@@ -1,0 +1,37 @@
+import os
+
+import pytest
+
+os.environ.setdefault("PYSPARK_PYTHON", "python3")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("waimak_spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config("spark.scheduler.mode", "FAIR")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture()
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture()
+def tmp_flow_dir(tmp_path):
+    return str(tmp_path / "flowtmp")

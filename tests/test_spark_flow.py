@@ -1,0 +1,212 @@
+"""End-to-end mini-flows on local Spark — the reference's TestSparkDataFlow
+tier: open → sql/transform → write, caching, commit protocol, named files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from waimak_spark.dataflow import Waimak
+from waimak_spark.operators import ParquetDataCommitter, date_based_snapshot_cleanup
+
+
+@pytest.fixture()
+def base_flow(spark, sf_dir, tmp_flow_dir):
+    return (
+        Waimak.spark_flow(spark, tmp_flow_dir)
+        .open_file_parquet(f"{sf_dir}/lineitem.parquet", "lineitem")
+        .open_file_parquet(f"{sf_dir}/orders.parquet", "orders")
+    )
+
+
+def test_open_transform_write(base_flow, tmp_path):
+    out = str(tmp_path / "out")
+    flow = (
+        base_flow.transform(
+            "lineitem",
+            output="agg",
+            fn=lambda df: df.groupBy("l_returnflag").agg(
+                F.sum("l_quantity").alias("sum_qty")
+            ),
+        )
+        .write_parquet(out, "agg")
+    )
+    executed, final = flow.execute()
+    assert {a.name for a in executed} >= {"transform:agg", "writeParquet:agg"}
+    result = base_flow.spark.read.parquet(f"{out}/agg")
+    assert result.count() > 0
+    assert set(result.columns) == {"l_returnflag", "sum_qty"}
+
+
+def test_sql_action_with_join(base_flow):
+    flow = base_flow.sql(
+        "lineitem", "orders",
+        output="joined",
+        query="""
+            select o.o_orderpriority, count(*) as n
+            from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+            group by o.o_orderpriority
+        """,
+    )
+    _, final = flow.execute()
+    df = final.inputs.get("joined")
+    assert df.count() == 5  # five order priorities
+
+
+def test_sql_drop_columns(base_flow):
+    flow = base_flow.sql(
+        "orders", output="o2",
+        query="select o_orderkey, o_orderstatus, o_totalprice from orders",
+        drop_columns=["o_totalprice"],
+    )
+    _, final = flow.execute()
+    assert final.inputs.get("o2").columns == ["o_orderkey", "o_orderstatus"]
+
+
+def test_multi_input_transform(base_flow):
+    flow = base_flow.transform(
+        "lineitem", "orders",
+        output="j",
+        fn=lambda l, o: l.join(o, l.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        ),
+    )
+    _, final = flow.execute()
+    assert final.inputs.get("j").columns == ["l_orderkey", "o_totalprice"]
+
+
+def test_alias_and_show(base_flow, capsys):
+    flow = base_flow.alias("orders", "orders2").show("orders2", n=3)
+    flow.execute()
+    assert "o_orderkey" in capsys.readouterr().out
+
+
+def test_partition_sort(base_flow):
+    flow = base_flow.partition_sort(
+        "lineitem", "ps", ["l_returnflag"], ["l_shipdate"]
+    )
+    _, final = flow.execute()
+    df = final.inputs.get("ps")
+    assert df.count() > 0
+
+
+def test_cache_as_parquet_only_when_reused(base_flow, tmp_flow_dir, spark):
+    # single consumer → cache skipped (no parquet under temp)
+    flow = (
+        base_flow.transform("lineitem", output="t1", fn=lambda df: df.limit(10))
+        .cache_as_parquet("t1")
+        .transform("t1", output="t2", fn=lambda df: df.limit(5))
+    )
+    _, final = flow.execute()
+    assert final.inputs.get("t2").count() == 5
+
+
+def test_cache_as_parquet_reused_label(base_flow, tmp_flow_dir, spark):
+    flow = (
+        base_flow.transform("lineitem", output="t1", fn=lambda df: df.limit(10))
+        .cache_as_parquet("t1")
+        .transform("t1", output="a", fn=lambda df: df.limit(5))
+        .transform("t1", output="b", fn=lambda df: df.limit(3))
+    )
+    # disable temp cleanup so we can inspect
+    spark.conf.set("spark.waimak.dataflow.removeTempAfterExecution", "false")
+    try:
+        _, final = flow.execute()
+        assert final.inputs.get("a").count() == 5
+        assert final.inputs.get("b").count() == 3
+        files = spark.read.parquet(f"{tmp_flow_dir}/t1")
+        assert files.count() == 10
+    finally:
+        spark.conf.unset("spark.waimak.dataflow.removeTempAfterExecution")
+
+
+def test_spark_cache(base_flow):
+    flow = (
+        base_flow.transform("lineitem", output="t1", fn=lambda df: df.limit(10))
+        .spark_cache("t1")
+        .transform("t1", output="a", fn=lambda df: df.limit(5))
+        .transform("t1", output="b", fn=lambda df: df.limit(3))
+    )
+    _, final = flow.execute()
+    assert final.inputs.get("t1").is_cached
+
+
+def test_in_place_transform(base_flow):
+    flow = (
+        base_flow.transform("orders", output="t1", fn=lambda df: df.limit(10))
+        .in_place_transform("t1", lambda df: df.withColumn("x", F.lit(1)))
+    )
+    _, final = flow.execute()
+    assert "x" in final.inputs.get("t1").columns
+
+
+def test_write_csv_single_file(base_flow, tmp_path):
+    out = str(tmp_path / "csvout")
+    flow = (
+        base_flow.transform("orders", output="small", fn=lambda df: df.limit(20))
+        .write_csv(out, "small")
+    )
+    flow.execute()
+    import glob
+
+    parts = glob.glob(f"{out}/small/part-*")
+    assert len(parts) == 1  # num_files defaults to 1
+
+
+def test_write_as_named_files(base_flow, tmp_path):
+    out = str(tmp_path / "named")
+    flow = (
+        base_flow.transform("orders", output="small", fn=lambda df: df.limit(20))
+        .write_as_named_files("small", out, 2, "mydata")
+    )
+    flow.execute()
+    import os
+
+    names = sorted(n for n in os.listdir(out) if not n.startswith("."))
+    assert names == ["mydata.1.parquet", "mydata.2.parquet"]
+
+
+def test_commit_push_snapshot_and_cleanup(base_flow, tmp_path, spark):
+    out = str(tmp_path / "committed")
+
+    def run(snap):
+        flow = (
+            Waimak.spark_flow(spark, str(tmp_path / f"tmp_{snap}"))
+            .open_file_parquet(
+                f"/root/testdata/sf0.001/orders.parquet", "orders"
+            )
+            .transform("orders", output="report", fn=lambda df: df.limit(10))
+            .commit("daily", "report")
+            .push("daily", ParquetDataCommitter(
+                out, snapshot_folder=f"snapshot_ts={snap}",
+                cleanup_strategy=date_based_snapshot_cleanup("snapshot_ts", 2),
+            ))
+        )
+        flow.execute()
+
+    for snap in ["20260101", "20260102", "20260103"]:
+        run(snap)
+    import os
+
+    snaps = sorted(os.listdir(f"{out}/report"))
+    assert snaps == ["snapshot_ts=20260102", "snapshot_ts=20260103"]
+    df = spark.read.parquet(f"{out}/report/snapshot_ts=20260103")
+    assert df.count() == 10
+
+
+def test_commit_without_push_fails(base_flow):
+    flow = base_flow.commit("orphan", "orders")
+    with pytest.raises(Exception, match="without pushes"):
+        flow.execute()
+
+
+def test_parallel_executor_spark(base_flow):
+    flow = base_flow
+    for i in range(4):
+        flow = flow.transform(
+            "lineitem", output=f"s{i}",
+            fn=lambda df, k=i: df.filter(F.col("l_linenumber") == k + 1)
+            .groupBy("l_returnflag").count(),
+        )
+    executor = Waimak.spark_executor(max_parallel_actions=4)
+    executed, final = executor.execute(flow)
+    for i in range(4):
+        assert final.inputs.get(f"s{i}").count() > 0

@@ -1,0 +1,430 @@
+"""SparkDataFlow: the DataFlow bound to a SparkSession, plus the action
+library (open / transform / sql / write / cache / debug).
+
+Re-expresses the reference's Spark action surface
+(waimak-core/.../dataflow/spark/SparkDataFlow.scala:15-150 and
+dataflow/spark/package.scala:34-760) as plain keyword-argument methods —
+the 12 ``transform`` arities collapse into one variadic method, Scala's
+curried builder blocks become keyword args.
+
+Key semantics kept from the reference:
+
+* labels referenced by ``sql`` actions are registered as temp views on the
+  thread that completes the producing action (SparkDataFlow.scala:76-86);
+* ``openCSV`` defaults header=true, inferSchema=true (package.scala:510);
+* ``writeCSV`` repartitions to ``num_files`` (default 1, package.scala:618);
+* ``cacheAsParquet`` cuts the plan by write+re-read under the temp folder
+  (SparkInterceptors.scala:48-65), scheduled lazily by a metadata extension
+  that skips labels used by <2 actions (CacheMetadataExtension.scala:13-48);
+* temp folder is wiped/created in ``prepare_for_execution`` and deleted in
+  ``finalise_execution`` unless configured otherwise
+  (SparkDataFlow.scala:88-122).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..filesystem import FileOps
+from .action import DataFlowAction, SimpleAction
+from .entities import DataFlowEntities
+from .exceptions import DataFlowException, FlowValidationException
+from .flow import DataFlow, FlowContext, MetadataExtension
+
+_LABEL_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+CONF_REMOVE_TEMP = "spark.waimak.dataflow.removeTempAfterExecution"
+CONF_CACHE_ONLY_REUSED = "spark.waimak.dataflow.cacheOnlyReusedLabels"
+
+
+def _validate_label(label: str) -> str:
+    if not _LABEL_RE.match(label):
+        raise FlowValidationException(
+            f"Label [{label}] is not a valid SQL temp-view name"
+        )
+    return label
+
+
+class SparkFlowContext(FlowContext):
+    """Context handed to action bodies: session + temp folder + file ops."""
+
+    def __init__(self, spark: SparkSession, temp_folder: str | None = None):
+        self.spark = spark
+        self.temp_folder = temp_folder
+        self.file_ops = FileOps(spark)
+
+    def get_boolean(self, key: str, default: bool) -> bool:
+        v = self.spark.conf.get(key, str(default).lower())
+        return str(v).lower() == "true"
+
+
+class SparkDataFlow(DataFlow):
+    """DataFlow with a SparkSession and the Spark action library."""
+
+    context: SparkFlowContext
+
+    def __init__(self, spark: SparkSession, temp_folder: str | None = None):
+        super().__init__(SparkFlowContext(spark, temp_folder))
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.context.spark
+
+    @property
+    def temp_folder(self) -> str | None:
+        return self.context.temp_folder
+
+    # -- lifecycle overrides -------------------------------------------------
+    def executed(self, action: DataFlowAction, outputs: Sequence[Optional[Any]]):
+        flow = super().executed(action, outputs)
+        # register sql-referenced labels as temp views as soon as produced,
+        # on the completing thread, to avoid consumer races
+        for label, value in zip(action.output_labels, outputs):
+            if label in flow.sql_tables and isinstance(value, DataFrame):
+                value.createOrReplaceTempView(label)
+        return flow
+
+    def prepare_for_execution(self):
+        flow = super().prepare_for_execution()
+        # seed inputs referenced by sql actions
+        for label in flow.sql_tables & flow.inputs.labels():
+            v = flow.inputs[label]
+            if isinstance(v, DataFrame):
+                v.createOrReplaceTempView(label)
+        if flow.temp_folder:
+            flow.context.file_ops.delete(flow.temp_folder, recursive=True)
+            flow.context.file_ops.mkdirs(flow.temp_folder)
+        return flow
+
+    def finalise_execution(self):
+        if self.temp_folder and self.context.get_boolean(CONF_REMOVE_TEMP, True):
+            self.context.file_ops.delete(self.temp_folder, recursive=True)
+        return self
+
+    # ======================= sources (§2.2) ==================================
+    def open(self, label: str, opener: Callable[[SparkFlowContext], DataFrame]):
+        """Generic open: any ``context -> DataFrame`` lambda."""
+        _validate_label(label)
+        return self.add_action(
+            SimpleAction([], [label], lambda _i, c: [opener(c)], name=f"open:{label}")
+        )
+
+    def open_parquet(self, base_path: str, *labels: str,
+                     snapshot_folder: str | None = None,
+                     output_prefix: str | None = None,
+                     options: dict[str, str] | None = None):
+        """Folder-per-label Parquet: reads ``base_path/label[/snapshot]``."""
+        flow = self
+        for label in labels:
+            out = f"{output_prefix}_{label}" if output_prefix else label
+            path = f"{base_path}/{label}"
+            if snapshot_folder:
+                path = f"{path}/{snapshot_folder}"
+            flow = flow.open_file_parquet(path, out, options=options)
+        return flow
+
+    def open_file_parquet(self, path: str, label: str,
+                          options: dict[str, str] | None = None):
+        """Single complete path (glob allowed)."""
+        _validate_label(label)
+        opts = options or {}
+
+        def body(_i: DataFlowEntities, c: SparkFlowContext):
+            return [c.spark.read.options(**opts).parquet(path)]
+
+        return self.add_action(SimpleAction([], [label], body, name=f"openParquet:{label}"))
+
+    def open_csv(self, base_path: str, *labels: str,
+                 snapshot_folder: str | None = None,
+                 output_prefix: str | None = None,
+                 options: dict[str, str] | None = None):
+        flow = self
+        for label in labels:
+            out = f"{output_prefix}_{label}" if output_prefix else label
+            path = f"{base_path}/{label}"
+            if snapshot_folder:
+                path = f"{path}/{snapshot_folder}"
+            flow = flow.open_file_csv(path, out, options=options)
+        return flow
+
+    def open_file_csv(self, path: str, label: str,
+                      options: dict[str, str] | None = None):
+        _validate_label(label)
+        opts = {"header": "true", "inferSchema": "true"}
+        opts.update(options or {})
+
+        def body(_i: DataFlowEntities, c: SparkFlowContext):
+            return [c.spark.read.options(**opts).csv(path)]
+
+        return self.add_action(SimpleAction([], [label], body, name=f"openCSV:{label}"))
+
+    def open_table(self, db_name: str, *table_names: str,
+                   label_prefix: str | None = None):
+        """Metastore tables via ``select * from db.table``."""
+        flow = self
+        for t in table_names:
+            label = f"{label_prefix}_{t}" if label_prefix else t
+            _validate_label(label)
+
+            def body(_i, c, db=db_name, tbl=t):
+                return [c.spark.table(f"{db}.{tbl}")]
+
+            flow = flow.add_action(
+                SimpleAction([], [label], body, name=f"openTable:{db_name}.{t}")
+            )
+        return flow
+
+    # ===================== transformations (§2.3) =============================
+    def transform(self, *input_labels: str, output: str,
+                  fn: Callable[..., DataFrame]):
+        """Variadic 1..N → 1 transform; ``fn`` receives one DataFrame per input."""
+        _validate_label(output)
+
+        def body(i: DataFlowEntities, _c):
+            return [fn(*[i.get(l) for l in input_labels])]
+
+        return self.add_action(
+            SimpleAction(list(input_labels), [output], body, name=f"transform:{output}")
+        )
+
+    def typed_transform(self, *input_labels: str, output: str,
+                        fn: Callable[..., Any]):
+        """Transform whose output may be any Python object (Dataset => T)."""
+        def body(i: DataFlowEntities, _c):
+            return [fn(*[i.get(l) for l in input_labels])]
+
+        return self.add_action(
+            SimpleAction(list(input_labels), [output], body,
+                         name=f"typedTransform:{output}")
+        )
+
+    def unit_transform(self, *input_labels: str, fn: Callable[..., None],
+                       name: str = "unitTransform"):
+        """Side-effecting action with no outputs (base of all writes)."""
+        def body(i: DataFlowEntities, _c):
+            fn(*[i.get(l) for l in input_labels])
+            return []
+
+        return self.add_action(SimpleAction(list(input_labels), [], body, name=name))
+
+    def sql(self, *input_labels: str, output: str, query: str,
+            drop_columns: Sequence[str] | None = None):
+        """Run Spark SQL over input labels pre-registered as temp views."""
+        _validate_label(output)
+        for l in input_labels:
+            _validate_label(l)
+
+        def body(_i: DataFlowEntities, c: SparkFlowContext):
+            df = c.spark.sql(query)
+            if drop_columns:
+                df = df.drop(*drop_columns)
+            return [df]
+
+        flow = self.add_action(
+            SimpleAction(list(input_labels), [output], body, name=f"sql:{output}")
+        )
+        flow.sql_tables |= set(input_labels)
+        return flow
+
+    def alias(self, label: str, alias: str):
+        """Expose an entity under a second label (same DataFrame)."""
+        _validate_label(alias)
+        return self.add_action(
+            SimpleAction([label], [alias], lambda i, _c: [i.get(label)],
+                         name=f"alias:{label}->{alias}")
+        )
+
+    def partition_sort(self, input_label: str, output: str,
+                       partition_cols: Sequence[str],
+                       sort_cols: Sequence[str] = ()):
+        """repartition(cols) + sortWithinPartitions(cols) — pre-write shuffle
+        control / secondary sort (package.scala:340-343)."""
+        def fn(df: DataFrame) -> DataFrame:
+            out = df.repartition(*[df[c] for c in partition_cols])
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            return out
+
+        return self.transform(input_label, output=output, fn=fn)
+
+    def in_place_transform(self, label: str, fn: Callable[[DataFrame], DataFrame]):
+        """Post-process a label in place by intercepting its producer."""
+        from .interceptor import PostActionInterceptor, post_transform
+
+        return PostActionInterceptor.attach(self, label, post_transform(fn))
+
+    def debug_as_table(self, *labels: str):
+        """Register labels as temp views only (debug)."""
+        flow = self
+        for label in labels:
+            _validate_label(label)
+
+            def body(i: DataFlowEntities, _c, l=label):
+                i.get(l).createOrReplaceTempView(l)
+                return []
+
+            flow = flow.add_action(
+                SimpleAction([label], [], body, name=f"debugAsTable:{label}")
+            )
+        return flow
+
+    def show(self, label: str, n: int = 20, truncate: bool = True):
+        return self.unit_transform(
+            label, fn=lambda df: df.show(n, truncate), name=f"show:{label}"
+        )
+
+    def print_schema(self, label: str):
+        return self.unit_transform(
+            label, fn=lambda df: df.printSchema(), name=f"printSchema:{label}"
+        )
+
+    # ========================= caching (§2.4) =================================
+    def cache_as_parquet(self, *labels: str, partitions: int | None = None,
+                         partition_cols: Sequence[str] | None = None,
+                         repartition: bool = True):
+        """Plan-cut cache: write to temp as Parquet, re-open. Scheduled via the
+        cache metadata extension (skips labels consumed by <2 actions when
+        ``spark.waimak.dataflow.cacheOnlyReusedLabels`` is true)."""
+        from ..operators.cache import CacheAsParquetExtension
+
+        flow = self
+        for label in labels:
+            flow = flow.with_extension(
+                CacheAsParquetExtension(label, partitions=partitions,
+                                        partition_cols=partition_cols,
+                                        repartition=repartition)
+            )
+        return flow
+
+    def spark_cache(self, *labels: str, storage_level: str = "MEMORY_AND_DISK"):
+        """df.persist(level) forced by a cheap head(1) — SparkInterceptors.scala:31-46."""
+        from ..operators.cache import SparkCacheExtension
+
+        flow = self
+        for label in labels:
+            flow = flow.with_extension(SparkCacheExtension(label, storage_level))
+        return flow
+
+    # ========================= sinks (§2.5) ===================================
+    def write(self, label: str, pre: Callable[[DataFrame], DataFrame] | None,
+              writer: Callable[[Any], None], name: str | None = None):
+        """Base write: optional pre-transform then a ``df.write``-consuming fn."""
+        def fn(df: DataFrame) -> None:
+            if pre is not None:
+                df = pre(df)
+            writer(df.write)
+
+        return self.unit_transform(label, fn=fn, name=name or f"write:{label}")
+
+    def write_parquet(self, base_path: str, *labels: str, overwrite: bool = False):
+        """N labels → ``base_path/label``; ErrorIfExists unless overwrite."""
+        mode = "overwrite" if overwrite else "errorifexists"
+        flow = self
+        for label in labels:
+            flow = flow.write(
+                label, None,
+                lambda w, l=label: w.mode(mode).parquet(f"{base_path}/{l}"),
+                name=f"writeParquet:{label}",
+            )
+        return flow
+
+    def write_partitioned_parquet(self, base_path: str, label: str,
+                                  partition_cols: Sequence[str] = (),
+                                  num_partitions: int | None = None,
+                                  repartition: bool = True,
+                                  overwrite: bool = False):
+        mode = "overwrite" if overwrite else "errorifexists"
+
+        def pre(df: DataFrame) -> DataFrame:
+            if num_partitions is not None:
+                return df.repartition(num_partitions)
+            if partition_cols and repartition:
+                return df.repartition(*[df[c] for c in partition_cols])
+            return df
+
+        def writer(w) -> None:
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.mode(mode).parquet(f"{base_path}/{label}")
+
+        return self.write(label, pre, writer, name=f"writePartitionedParquet:{label}")
+
+    def write_csv(self, base_path: str, *labels: str,
+                  options: dict[str, str] | None = None,
+                  overwrite: bool = False, num_files: int = 1):
+        mode = "overwrite" if overwrite else "errorifexists"
+        opts = {"header": "true"}
+        opts.update(options or {})
+        flow = self
+        for label in labels:
+            flow = flow.write(
+                label,
+                (lambda df, n=num_files: df.repartition(n)) if num_files else None,
+                lambda w, l=label: w.options(**opts).mode(mode).csv(f"{base_path}/{l}"),
+                name=f"writeCSV:{label}",
+            )
+        return flow
+
+    def write_hive_managed_table(self, db_name: str, *labels: str,
+                                 overwrite: bool = False):
+        mode = "overwrite" if overwrite else "errorifexists"
+        flow = self
+        for label in labels:
+            flow = flow.write(
+                label, None,
+                lambda w, l=label: w.mode(mode).saveAsTable(f"{db_name}.{l}"),
+                name=f"writeHiveManagedTable:{db_name}.{label}",
+            )
+        return flow
+
+    def write_as_named_files(self, label: str, dest_path: str, num_files: int,
+                             prefix: str, fmt: str = "parquet",
+                             options: dict[str, str] | None = None):
+        """Write exactly ``num_files`` files named ``prefix[.i].ext``:
+        write to temp, glob part files, rename (WriteAsNamedFilesAction.scala:27-68)."""
+        from ..operators.named_files import write_as_named_files_body
+
+        return self.unit_transform(
+            label,
+            fn=lambda df: write_as_named_files_body(
+                self.context, df, dest_path, num_files, prefix, fmt, options or {}
+            ),
+            name=f"writeAsNamedFiles:{label}",
+        )
+
+    # ==================== commit protocol (§2.5) ==============================
+    def commit(self, commit_name: str, *labels: str,
+               partitions: Sequence[str] | int | None = None,
+               repartition: bool = True, cache_labels: bool = True):
+        """Declare labels as part of a named commit (two-phase with push)."""
+        from ..operators.commit import CommitMetadataExtension
+
+        return CommitMetadataExtension.add_commit(
+            self, commit_name, labels, partitions, repartition, cache_labels
+        )
+
+    def push(self, commit_name: str, committer: Any):
+        """Bind a DataCommitter to a declared commit."""
+        from ..operators.commit import CommitMetadataExtension
+
+        return CommitMetadataExtension.add_push(self, commit_name, committer)
+
+
+class Waimak:
+    """Entry points (reference Waimak.scala:37-55)."""
+
+    @staticmethod
+    def spark_flow(spark: SparkSession, temp_folder: str | None = None) -> SparkDataFlow:
+        return SparkDataFlow(spark, temp_folder)
+
+    @staticmethod
+    def spark_executor(max_parallel_actions: int = 20, priority_strategy=None):
+        from .executor import ParallelDataFlowExecutor, race_to_outputs
+
+        return ParallelDataFlowExecutor(
+            max_jobs=max_parallel_actions,
+            priority_strategy=priority_strategy or race_to_outputs,
+        )

@@ -1,0 +1,85 @@
+"""Caching extensions: cacheAsParquet (plan-cut via write+re-read under the
+temp folder) and sparkCache (persist + force).
+
+Re-expresses SparkInterceptors.scala:31-65 and
+CacheMetadataExtension.scala:9-82. The "cache only if reused" analysis —
+skip the cache when <2 pending actions consume the label, governed by
+``spark.waimak.dataflow.cacheOnlyReusedLabels`` (default true) — is the
+reference's answer to repeated-subplan execution; write+re-read truncates
+lineage, spills to disk, and survives executor loss, which at 100 TB is far
+more robust than ``persist(MEMORY_AND_DISK)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+from ..dataflow.flow import DataFlow, MetadataExtension
+from ..dataflow.interceptor import PostActionInterceptor
+from ..dataflow.spark_flow import CONF_CACHE_ONLY_REUSED
+
+
+def _consumers(flow: DataFlow, label: str) -> int:
+    return sum(1 for a in flow.actions for l in a.input_labels if l == label)
+
+
+class CacheAsParquetExtension(MetadataExtension):
+    def __init__(self, label: str, partitions: int | None = None,
+                 partition_cols: Sequence[str] | None = None,
+                 repartition: bool = True):
+        self.label = label
+        self.partitions = partitions
+        self.partition_cols = list(partition_cols or [])
+        self.repartition = repartition
+
+    def pre_execution(self, flow: DataFlow) -> DataFlow:
+        flow = flow.without_extension(self)
+        only_reused = flow.context.get_boolean(CONF_CACHE_ONLY_REUSED, True)
+        if only_reused and _consumers(flow, self.label) < 2:
+            return flow
+
+        ext = self
+
+        def post(label: str, value, context):
+            if value is None:
+                return None
+            if context.temp_folder is None:
+                raise ValueError("cache_as_parquet requires a flow temp folder")
+            path = f"{context.temp_folder}/{label}"
+            df: DataFrame = value
+            if ext.partitions is not None:
+                df = df.repartition(ext.partitions)
+            elif ext.partition_cols and ext.repartition:
+                df = df.repartition(*[df[c] for c in ext.partition_cols])
+            w = df.write
+            if ext.partition_cols:
+                w = w.partitionBy(*ext.partition_cols)
+            w.mode("overwrite").parquet(path)
+            return context.spark.read.parquet(path)
+
+        return PostActionInterceptor.attach(flow, self.label, post)
+
+
+class SparkCacheExtension(MetadataExtension):
+    def __init__(self, label: str, storage_level: str = "MEMORY_AND_DISK"):
+        self.label = label
+        self.storage_level = storage_level
+
+    def pre_execution(self, flow: DataFlow) -> DataFlow:
+        flow = flow.without_extension(self)
+        only_reused = flow.context.get_boolean(CONF_CACHE_ONLY_REUSED, True)
+        if only_reused and _consumers(flow, self.label) < 2:
+            return flow
+        level = getattr(StorageLevel, self.storage_level)
+
+        def post(_label: str, value, _context):
+            if value is None:
+                return None
+            df: DataFrame = value.persist(level)
+            df.head(1)  # cheap forcing action (vs rdd.isEmpty in the reference)
+            return df
+
+        return PostActionInterceptor.attach(flow, self.label, post)
