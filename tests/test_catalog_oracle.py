@@ -1,0 +1,75 @@
+"""Strict DuckDB-oracle comparison for every catalog entry — mirrors the
+driver's correctness gate (row count + schema + order-insensitive values).
+Runs at sf0.001 for speed; the driver runs sf0.01."""
+
+import math
+
+import duckdb
+import pytest
+
+from waimak_spark.catalog import ALL_ENTRIES
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir=None):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf}/{t}.parquet'"
+        )
+    return con
+
+
+def normalise(rows, columns):
+    """Sort columns by name, then rows; round floats to kill ulp noise."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return round(v, 6)
+        if isinstance(v, bool):
+            return int(v)
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+oracle_entries = {k: v for k, v in ALL_ENTRIES.items() if v.get("oracle")}
+
+
+@pytest.mark.parametrize("name", sorted(oracle_entries))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    entry = oracle_entries[name]
+    sdf = entry["fn"](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry["oracle"])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    ns, nd = normalise(spark_rows, spark_cols), normalise(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_ENTRIES) - set(oracle_entries)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = ALL_ENTRIES[name]["fn"](spark, sf_dir)
+    assert df.count() >= 0
+    assert df.columns

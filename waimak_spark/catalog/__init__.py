@@ -1,0 +1,37 @@
+"""Query catalog: every implemented operator exposed as a (spark_fn, oracle)
+pair for the driver's DuckDB correctness gate.
+
+Each entry maps a name to a dict with:
+  ``fn``     — Callable[(SparkSession, sf_dir) -> DataFrame]
+  ``oracle`` — ANSI SQL string DuckDB runs over the same parquet views
+               (None for non-SQL-expressible ops → rows-only check).
+
+Column names are aliased identically on both sides; float aggregates are
+rounded so value-hashes match across engines.
+"""
+
+from __future__ import annotations
+
+from .events import ENTRIES as EVENT_ENTRIES
+from .relational import ENTRIES as RELATIONAL_ENTRIES
+from .similarity import ENTRIES as SIMILARITY_ENTRIES
+from .text import ENTRIES as TEXT_ENTRIES
+
+ALL_ENTRIES: dict[str, dict] = {}
+for part in (RELATIONAL_ENTRIES, EVENT_ENTRIES, TEXT_ENTRIES, SIMILARITY_ENTRIES):
+    overlap = set(part) & set(ALL_ENTRIES)
+    if overlap:
+        raise ValueError(f"duplicate catalog entries: {overlap}")
+    ALL_ENTRIES.update(part)
+
+
+def queries():
+    return {name: e["fn"] for name, e in ALL_ENTRIES.items()}
+
+
+def oracle_sql():
+    return {
+        name: e["oracle"]
+        for name, e in ALL_ENTRIES.items()
+        if e.get("oracle") is not None
+    }

@@ -1,0 +1,161 @@
+"""Event-stream style queries over the ``events`` table: windowed
+aggregation, sessionization, and the storage layer's dedup kernel shape
+(latest record per key — AuditTableFile.scala:72-82's
+row_number-over-desc-timestamp idiom, re-expressed on events).
+
+Scale notes: sessionization is one shuffle on user_id then narrow window
+work; tumbling windows use an arithmetic bucket (no UDF) so the groupBy
+gets map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+NANOS = 1_000_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read it as raw nanos (legacy conf) and keep all time
+    arithmetic in integer nanoseconds — exact, tz-free, and matched on the
+    oracle side by DuckDB's ``epoch_ns``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# audit-table snapshot dedup: latest event per (user_id, event_type)
+# — the §2.6 deduplicate kernel (row_number over desc ts, keep row 1)
+# --------------------------------------------------------------------------
+
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id",
+                F.round("value", 4).alias("value"))
+    )
+
+
+LATEST_ORACLE = """
+    select user_id, event_type, event_id, round(value, 4) as value
+    from (
+        select *, row_number() over (partition by user_id, event_type
+                                     order by ts desc, event_id desc) as rn
+        from events
+    )
+    where rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# tumbling window aggregation: 5-minute buckets as epoch seconds (tz-safe)
+# --------------------------------------------------------------------------
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    bucket = F.floor(F.col("ts") / (300 * NANOS)) * 300
+    return (
+        df.groupBy(bucket.cast("bigint").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+TUMBLING_ORACLE = """
+    select (epoch_ns(ts) // 300000000000) * 300 as window_start,
+           event_type,
+           count(*) as n,
+           round(sum(value), 4) as sum_value
+    from events
+    group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization: gap > 30 min starts a new session; sessions per user
+# --------------------------------------------------------------------------
+
+def sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * NANOS), 1).otherwise(0)
+    return (
+        df.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+SESSIONS_ORACLE = """
+    select user_id, sum(new_s)::BIGINT as n_sessions, count(*) as n_events
+    from (
+        select user_id,
+               case when prev_ts is null
+                         or epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+                    then 1 else 0 end as new_s
+        from (
+            select user_id, ts,
+                   lag(ts) over (partition by user_id
+                                 order by ts, event_id) as prev_ts
+            from events
+        )
+    )
+    group by user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# running total per user (analytic window over ordered frames)
+# --------------------------------------------------------------------------
+
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return df.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+RUNNING_ORACLE = """
+    select user_id, event_id,
+           round(sum(value) over (partition by user_id order by ts, event_id
+                                  rows between unbounded preceding and current row),
+                 4) as running_value
+    from events
+"""
+
+
+# --------------------------------------------------------------------------
+# approx aggregates — rows-only check (approximation isn't oracle-stable)
+# --------------------------------------------------------------------------
+
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.count("*").alias("n"),
+    )
+
+
+ENTRIES = {
+    "latest_event_per_user_type": {"fn": latest_event_per_user_type,
+                                   "oracle": LATEST_ORACLE},
+    "tumbling_window_counts": {"fn": tumbling_window_counts,
+                               "oracle": TUMBLING_ORACLE},
+    "sessions_per_user": {"fn": sessions_per_user, "oracle": SESSIONS_ORACLE},
+    "running_value_per_user": {"fn": running_value_per_user,
+                               "oracle": RUNNING_ORACLE},
+    "approx_event_stats": {"fn": approx_event_stats, "oracle": None},
+}

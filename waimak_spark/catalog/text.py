@@ -1,0 +1,113 @@
+"""Text-analysis + dedup catalog entries over the ``documents`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    cols = T.quality_columns(F.col("text"))
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    cols = T.lang_id_columns(F.col("text"))
+    return df.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        T.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+    select doc_id,
+           {T.bpe_token_count_sql('text')}::BIGINT as n_bpe_tokens,
+           len({T.TOKENS_SQL.format(col='text')})::BIGINT as n_ws_tokens
+    from documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprint: min/max shingle hash (winnowing-lite bounds)."""
+    df = _docs(spark, sf_dir)
+    sh = F.array_distinct(D.shingles(D.tokens(F.col("text")), D.SHINGLE_N))
+    hashes = F.transform(sh, lambda s: T.md5_hash32(s))
+    return df.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(sh).cast("bigint").alias("n_shingles"),
+    )
+
+
+FINGERPRINT_ORACLE = f"""
+    with tok as (
+        select doc_id, {T.TOKENS_SQL.format(col='text')} as t from documents
+    ), shingled as (
+        select doc_id, list_distinct({T.shingles_sql('t', D.SHINGLE_N)}) as sh
+        from tok
+    )
+    select doc_id,
+           list_min(list_transform(sh, s -> {T.md5_hash32_sql('s')})) as fp_min,
+           list_max(list_transform(sh, s -> {T.md5_hash32_sql('s')})) as fp_max,
+           len(sh)::BIGINT as n_shingles
+    from shingled
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signature(_docs(spark, sf_dir))
+
+
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.minhash_signature(_docs(spark, sf_dir))
+    return D.lsh_candidate_pairs(sig)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def dedup_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dups(D.simhash(_docs(spark, sf_dir)), max_hamming=2)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.1)
+
+
+ENTRIES = {
+    "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
+    "lang_id": {"fn": lang_id, "oracle": T.lang_id_sql()},
+    "token_counts": {"fn": token_counts, "oracle": TOKEN_COUNTS_ORACLE},
+    "doc_fingerprint": {"fn": doc_fingerprint, "oracle": FINGERPRINT_ORACLE},
+    "dedup_exact": {"fn": dedup_exact, "oracle": D.EXACT_DEDUP_SQL},
+    "dedup_minhash_signature": {"fn": dedup_minhash_signature,
+                                "oracle": D.minhash_signature_sql()},
+    "dedup_lsh_candidates": {"fn": dedup_lsh_candidates,
+                             "oracle": D.lsh_candidate_pairs_sql()},
+    "dedup_simhash": {"fn": dedup_simhash, "oracle": D.simhash_sql()},
+    "dedup_simhash_near_dups": {"fn": dedup_simhash_near_dups,
+                                "oracle": D.simhash_near_dups_sql()},
+    "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard,
+                            "oracle": D.ngram_jaccard_pairs_sql()},
+}

@@ -1,0 +1,214 @@
+"""Text-analysis and dedup column expressions — all built-in ``F``
+expressions (JVM-side, whole-stage codegen); no Python UDFs in any hot path.
+
+Cross-engine determinism: every hash is ``first 8 hex chars of md5 →
+bigint``, which DuckDB reproduces exactly (md5 is identical everywhere);
+the oracle builders in this module emit the matching DuckDB SQL fragments
+so Spark and oracle stay in lockstep by construction.
+
+Scale notes (100 TB posture): tokenisation/shingling/minhash are narrow
+per-row array ops — no shuffle, no UDF serde; LSH banding turns the O(n²)
+near-dup problem into an equi-join on band keys (shuffle on band hash,
+prunable by band count); simhash reduces each doc to one 16-bit value so
+the pair search is a cheap self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# deterministic 32-bit-ish hash (md5-prefix) — identical in Spark and DuckDB
+# ---------------------------------------------------------------------------
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint (0 .. 2^32-1)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash32_sql(expr: str) -> str:
+    """DuckDB fragment matching :func:`md5_hash32`."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def seeded_hash(col: Column, seed: int) -> Column:
+    return md5_hash32(F.concat(F.lit(f"{seed}:"), col))
+
+
+def seeded_hash_sql(expr: str, seed: int) -> str:
+    return md5_hash32_sql(f"'{seed}:' || {expr}")
+
+
+# ---------------------------------------------------------------------------
+# tokenisation
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: F.length(x) > 0)
+
+
+TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower({col}), '\\s+'), x -> len(x) > 0)"
+)
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """n-word shingles as space-joined strings; empty when < n tokens."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok, i + k) for k in range(n)]
+    )
+    return F.when(F.size(tok) >= n, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(tok_col: str = "t", n: int = 3) -> str:
+    """DuckDB fragment matching :func:`shingles`; ``tok_col`` must be a
+    column name in scope (lambdas can reference outer row columns)."""
+    parts = " || ' ' || ".join(f"{tok_col}[i+{k}]" for k in range(n))
+    return (
+        f"case when len({tok_col}) >= {n} then "
+        f"list_transform(generate_series(1, len({tok_col}) - {n - 1}), "
+        f"i -> {parts}) "
+        f"else [] end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: letter runs, digit runs, single punct marks
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(BPE_PATTERN))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_PATTERN}'))"
+
+
+# ---------------------------------------------------------------------------
+# quality metrics
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def quality_columns(text_col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword ratio metrics (rounded for parity)."""
+    tok = tokens(text_col)
+    n_tok = F.size(tok)
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    stop = F.size(F.filter(tok, lambda t: t.isin(STOPWORDS)))
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "avg_token_len": F.round(
+            F.when(n_tok > 0,
+                   F.aggregate(tok, F.lit(0).cast("bigint"),
+                               lambda acc, t: acc + F.length(t)) / n_tok)
+            .otherwise(F.lit(0.0)), 4),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, punct / n_chars).otherwise(0.0), 4),
+        "stopword_ratio": F.round(
+            F.when(n_tok > 0, stop / n_tok).otherwise(0.0), 4),
+    }
+
+
+STOPWORDS_SQL = "['" + "','".join(STOPWORDS) + "']"
+
+QUALITY_SQL = f"""
+    with tok as (
+        select *, {TOKENS_SQL.format(col='text')} as t
+        from documents
+    )
+    select doc_id,
+           len(t)::BIGINT as n_tokens,
+           length(text)::BIGINT as n_chars,
+           round(case when len(t) > 0
+                 then list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+                 else 0.0 end, 4) as avg_token_len,
+           round(case when length(text) > 0
+                 then (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                      / length(text)
+                 else 0.0 end, 4) as punct_ratio,
+           round(case when len(t) > 0
+                 then len(list_filter(t, x -> list_contains({STOPWORDS_SQL}, x)))::DOUBLE / len(t)
+                 else 0.0 end, 4) as stopword_ratio
+    from tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# language ID: marker-word voting (n-gram-free heuristic, deterministic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+
+def lang_id_columns(text_col: Column) -> dict[str, Column]:
+    tok = tokens(text_col)
+
+    def marker_filter(markers: list[str]):
+        # NB: single-arg lambda only — PySpark treats 2-arg lambdas in
+        # higher-order functions as (element, index)
+        return lambda t: t.isin(markers)
+
+    scores = {
+        lang: F.size(F.filter(tok, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # deterministic argmax: highest score wins, ties broken by lang name asc
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = scores[lang]
+        pred = F.when(s >= best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(s, best)
+    out = {f"score_{l}": scores[l].cast("bigint") for l in sorted(LANG_MARKERS)}
+    out["lang_pred"] = pred
+    return out
+
+
+def lang_id_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(t, x -> list_contains(['"
+            + "','".join(m)
+            + "'], x)))"
+        )
+        for lang, m in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    # same argmax: iterate langs desc, >= replaces — equivalent to
+    # max score with lexicographically-smallest lang on ties
+    pred = "'und'"
+    best = "0"
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = f"case when {score[lang]} >= {best} then '{lang}' else {pred} end"
+        best = f"greatest({score[lang]}, {best})"
+    cols = ",\n           ".join(
+        f"{score[l]}::BIGINT as score_{l}" for l in langs
+    )
+    return f"""
+        with tok as (
+            select doc_id, {TOKENS_SQL.format(col='text')} as t from documents
+        )
+        select doc_id,
+           {cols},
+           {pred} as lang_pred
+        from tok
+    """
