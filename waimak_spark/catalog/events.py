@@ -16,12 +16,22 @@ from pyspark.sql import functions as F
 NANOS = 1_000_000_000
 
 
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; read it as raw nanos (legacy conf) and keep all time
     arithmetic in integer nanoseconds — exact, tz-free, and matched on the
-    oracle side by DuckDB's ``epoch_ns``."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    oracle side by DuckDB's ``epoch_ns``.
+
+    The conf belongs at session construction (bench.py / tests set it
+    there); this defensive idempotent set exists only because the
+    correctness driver owns its own SparkSession — it never *changes* an
+    already-correct session, so repeated query builds are side-effect-free.
+    """
+    if spark.conf.get(NANOS_CONF, "false") != "true":
+        spark.conf.set(NANOS_CONF, "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 

@@ -16,7 +16,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.lsh_ann_pairs(emb, n_planes=8, dims=64, min_cosine=0.5)
+    return S.lsh_ann_pairs(emb, dims=64, min_cosine=0.0)
 
 
 ENTRIES = {
@@ -26,6 +26,6 @@ ENTRIES = {
     },
     "ann_lsh_pairs": {
         "fn": ann_lsh_pairs,
-        "oracle": S.lsh_ann_pairs_sql(n_planes=8, dims=64, min_cosine=0.5),
+        "oracle": S.lsh_ann_pairs_sql(dims=64, min_cosine=0.0),
     },
 }

@@ -88,7 +88,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_dups(D.simhash(_docs(spark, sf_dir)), max_hamming=2)
+    return D.simhash_near_dups(D.simhash(_docs(spark, sf_dir)))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

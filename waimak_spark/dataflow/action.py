@@ -63,10 +63,18 @@ class DataFlowAction:
 
     # ------------------------------------------------------------------
     def ready_to_run(self, inputs: DataFlowEntities) -> bool:
-        """True if all (required) inputs are present and non-empty."""
+        """True if every input label is present, and (unless
+        ``requires_all_inputs`` is False) non-empty.
+
+        Mirrors DataFlowAction.scala flowState: an absent input always means
+        RequiresInput — ``requiresAllInputs=false`` only relaxes the
+        present-but-empty case, never presence itself. Otherwise an action
+        could be scheduled before its producers ran."""
+        if not all(l in inputs for l in self.input_labels):
+            return False
         if not self.requires_all_inputs:
             return True
-        return all(l in inputs and inputs.non_empty(l) for l in self.input_labels)
+        return all(inputs.non_empty(l) for l in self.input_labels)
 
     @property
     def description(self) -> str:

@@ -19,7 +19,6 @@ Re-expresses the reference's ``DataFlow``
 from __future__ import annotations
 
 import copy
-from contextlib import contextmanager
 from typing import Any, Callable, Iterable, Mapping, Optional, Sequence, TypeVar
 
 from .action import DataFlowAction
@@ -75,7 +74,14 @@ class DataFlow:
 
     # -- builder ----------------------------------------------------------
     def add_action(self: F, action: DataFlowAction) -> F:
-        """Append an action; stamp active tags/pool; validate output labels."""
+        """Append an action; stamp active tags/pool; validate output labels.
+
+        The action is shallow-copied before being stamped so the caller's
+        instance stays untouched — adding the same instance to two branched
+        flows must not accumulate tag/pool state across branches (immutable
+        flow contract; the reference keeps tag state on the flow's tagState,
+        DataFlow.scala:200-232). A fresh guid is issued if this flow already
+        holds the guid, so ``executed``'s guid-based removal stays unique."""
         produced = {l for a in self.actions for l in a.output_labels}
         for label in action.output_labels:
             if label in produced:
@@ -93,10 +99,17 @@ class DataFlow:
             raise FlowValidationException(
                 f"Action [{action.name}] both sets and depends on tags {sorted(conflict)}"
             )
-        action.tags = action.tags | self._active_tags
-        action.tag_dependencies = action.tag_dependencies | self._active_tag_deps
-        action.pool = self._active_pool
-        return self._copy(actions=self.actions + [action])
+        import uuid as _uuid
+
+        stamped = copy.copy(action)
+        if any(a.guid == stamped.guid for a in self.actions):
+            stamped.guid = _uuid.uuid4().hex
+        stamped.tags = frozenset(action.tags | self._active_tags)
+        stamped.tag_dependencies = frozenset(
+            action.tag_dependencies | self._active_tag_deps
+        )
+        stamped.pool = self._active_pool
+        return self._copy(actions=self.actions + [stamped])
 
     def add_input(self: F, label: str, value: Optional[Any]) -> F:
         if label in self.inputs:
@@ -115,14 +128,11 @@ class DataFlow:
             flow = f(flow, it)
         return flow
 
-    # -- tags / pools (context managers replace Scala closure blocks) -----
-    @contextmanager
-    def tag(self, *tags: str):
-        """``with flow.tag("t") as fb: fb.flow = fb.flow...`` — see FlowBuilder.
-
-        Python lacks Scala's ``tag("t"){flow => ...}``; use :class:`_Scoped`.
-        """
-        raise NotImplementedError("use .tagged(*tags)(fn) instead")
+    # -- tags / pools (callback scopes replace Scala closure blocks) -----
+    def tag(self: F, *tags: str) -> Callable[[Callable[[F], F]], F]:
+        """Scala-parity spelling of :meth:`tagged` —
+        ``flow.tag("t")(lambda f: ...)`` (DataFlow.scala:200)."""
+        return self.tagged(*tags)
 
     def tagged(self: F, *tags: str) -> Callable[[Callable[[F], F]], F]:
         """``flow.tagged("t")(lambda f: f.open_parquet(...))`` — every action
@@ -253,6 +263,18 @@ class DataFlow:
                     raise FlowValidationException(
                         f"Action [{a.name}] depends on label [{l}] which no "
                         f"action produces and no input provides"
+                    )
+        # every depended-on tag must be carried by at least one action —
+        # a typo'd tag would otherwise silently drop the ordering edge
+        # (reference: "Could not find any actions tagged with label [t]",
+        # DataFlow.scala isValidFlowDAG)
+        carried = {t for a in self.actions for t in a.tags}
+        for a in self.actions:
+            for t in a.tag_dependencies:
+                if t not in carried:
+                    raise FlowValidationException(
+                        f"Action [{a.name}] depends on tag [{t}] but no "
+                        f"action in the flow is tagged with it"
                     )
         # cycle detection: edges = label deps + tag deps
         by_tag: dict[str, list[DataFlowAction]] = {}

@@ -9,28 +9,67 @@ Scale notes (100 TB posture):
 * exact dedup: one shuffle on the md5 content hash — the canonical
   hash-groupBy; never compares full text across the wire, only 32 hex chars;
 * MinHash: per-row narrow array math; signatures are k bigints per doc;
-* LSH: band keys turn all-pairs into an equi-join; candidates per bucket
-  are bounded, and the band count tunes recall vs join fan-out;
-* SimHash: one 16-bit value per doc; near-dup = self-join + bit_count,
-  which AQE can broadcast when the doc count allows;
-* n-gram Jaccard: exact similarity restricted to docs sharing ≥1 shingle
-  hash (an equi-join), not the O(n²) cross product.
+* LSH: band keys turn all-pairs into a groupBy; candidate pairs are
+  generated *inside* each bucket (collect_list + array pair expansion) so
+  the expensive signature pipeline is computed exactly once and there is no
+  self-join — one shuffle on the band key, one on the distinct;
+* SimHash: 64-bit signature; near-dup candidates come from a pigeonhole
+  equi-join on 4×16-bit segments (65 536 distinct values per segment, so
+  bucket fan-out stays ~n/65 536 on random data — survives 100× corpus
+  growth, unlike narrow-segment schemes);
+* n-gram Jaccard: exact similarity restricted to docs sharing ≥1
+  discriminative shingle; the pruned shingle table is persisted once and
+  pairs are bucket-generated, never an O(n²) cross product.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .text import (
     TOKENS_SQL,
-    md5_hash32_sql,
     seeded_hash,
     seeded_hash_sql,
     shingles,
     shingles_sql,
     tokens,
 )
+
+# ---------------------------------------------------------------------------
+# shared: input spreading + in-bucket pair generation
+# ---------------------------------------------------------------------------
+
+
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the session's shuffle parallelism
+    before a CPU-heavy per-row pipeline (tokenize/shingle/hash are
+    interpreted higher-order expressions — the scan's partition count caps
+    their parallelism, and a small parquet file arrives as ONE partition).
+    At cluster scale inputs already arrive in many partitions and this is a
+    no-op; the guard costs only physical planning, no job."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def pairs_of(sorted_arr: Column) -> Column:
+    """All ordered (a < b) element pairs of a pre-sorted array, as
+    ``array<struct<a,b>>`` — the per-bucket pair expansion that lets LSH /
+    Jaccard / SimHash candidate generation run as ``groupBy + explode``
+    instead of a self-join, so each upstream pipeline is evaluated once."""
+    return F.flatten(
+        F.transform(
+            sorted_arr,
+            lambda x, i: F.transform(
+                F.slice(sorted_arr, i + F.lit(2), F.size(sorted_arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
 
 # ---------------------------------------------------------------------------
 # exact dedup: hash-groupBy on full content
@@ -65,22 +104,42 @@ DEFAULT_SEEDS = list(range(8))
 SHINGLE_N = 3
 
 
+def shingle_base(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+    """(id, _sh) with ``_sh`` = distinct n-word shingles, spread across the
+    session's parallelism and persisted. Built identically by every
+    shingle-consuming operator (MinHash, LSH, n-gram Jaccard) so the plans
+    are equal and Spark's cache manager serves them all from ONE
+    materialization of the tokenize→shingle→distinct pipeline."""
+    df = spread_for_compute(df)
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("_sh"),
+    ).persist()
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       seeds: list[int] = DEFAULT_SEEDS,
                       n: int = SHINGLE_N) -> DataFrame:
-    """doc_id + one min-hash column per seed (NULL when doc has <n tokens)."""
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), n))
+    """doc_id + one min-hash column per seed (NULL when doc has <n tokens).
+
+    The distinct-shingle array is materialized ONCE (persist) before the
+    per-seed transforms: higher-order expressions are interpreted (no
+    whole-stage codegen, no common-subexpression elimination), so without
+    the barrier each of the k seed columns would re-run the whole
+    tokenize→shingle→distinct pipeline — measured 8× the cost at k=8."""
+    base = shingle_base(df, text_col, id_col, n)
 
     def hasher(seed: int):
         # single-arg lambda only: 2-arg lambdas become (element, index)
         return lambda s: seeded_hash(s, seed)
 
     cols = [
-        F.array_min(F.transform(sh, hasher(seed))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("_sh"), hasher(seed))).alias(f"mh{i}")
         for i, seed in enumerate(seeds)
     ]
-    return df.select(F.col(id_col), *cols)
+    return base.select(F.col(id_col), *cols)
 
 
 def minhash_signature_sql(seeds: list[int] = DEFAULT_SEEDS,
@@ -113,36 +172,50 @@ def lsh_candidate_pairs(sig: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
                         band_size: int = BAND_SIZE,
                         max_bucket: int = MAX_BUCKET,
                         id_col: str = "doc_id") -> DataFrame:
-    """Self-join on band keys; distinct (a < b) candidate pairs.
+    """Distinct (a < b) candidate pairs of docs sharing ≥1 LSH band.
 
-    Buckets with more than ``max_bucket`` members are dropped before the
-    join (frequent-bucket pruning): a bucket shared by thousands of docs
-    carries no near-dup signal but quadratic join cost — the standard LSH
+    Plan shape (the 100-TB-safe one): the signature frame is consumed
+    exactly once — band keys are emitted with a single ``posexplode`` (no
+    per-band unions), buckets are built with one ``groupBy`` collecting the
+    member ids, and pairs are expanded *inside* each bucket with an array
+    expression. No self-join, no window, so the expensive
+    tokenize→shingle→minhash pipeline runs once instead of ~4×.
+
+    Buckets with more than ``max_bucket`` members are dropped before pair
+    expansion (frequent-bucket pruning): a bucket shared by thousands of
+    docs carries no near-dup signal but quadratic cost — the standard LSH
     guard that bounds per-bucket fan-out to max_bucket² at any corpus size.
+
+    Docs with NULL signatures (fewer than n tokens) are filtered out first
+    on BOTH engines: Spark's concat_ws would silently skip NULLs and lump
+    every short doc into one md5('') bucket while SQL ``||`` propagates
+    NULL — filtering keeps the engines in lockstep.
     """
     n_bands = len(seeds) // band_size
-    band_cols = [
+    band_keys = F.array(*[
         F.md5(F.concat_ws(
             "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        )).alias("band_key")
+        ))
         for b in range(n_bands)
-    ]
-    banded = None
-    for b, bc in enumerate(band_cols):
-        part = sig.select(F.col(id_col).alias("id"), F.lit(b).alias("band"), bc)
-        banded = part if banded is None else banded.unionAll(part)
-    from pyspark.sql import Window as W
-
-    bucket_n = F.count("*").over(W.partitionBy("band", "band_key"))
-    banded = banded.withColumn("bn", bucket_n).where(
-        F.col("bn") <= max_bucket
-    ).drop("bn")
-    left = banded.select("band", "band_key", F.col("id").alias("doc_a"))
-    right = banded.select("band", "band_key", F.col("id").alias("doc_b"))
+    ])
+    # materialize the signature once: each band key references band_size mh
+    # columns, and interpreted higher-order expressions get no common-
+    # subexpression elimination — without the persist the whole
+    # tokenize→shingle→minhash pipeline would be re-evaluated per band key
+    sig = sig.persist()
+    banded = (
+        sig.where(F.col("mh0").isNotNull())
+        .select(F.col(id_col).alias("id"),
+                F.posexplode(band_keys).alias("band", "band_key"))
+    )
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     return (
-        left.join(right, ["band", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs_of(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -153,7 +226,8 @@ def lsh_candidate_pairs_sql(seeds: list[int] = DEFAULT_SEEDS,
                             n: int = SHINGLE_N) -> str:
     n_bands = len(seeds) // band_size
     band_selects = " union all ".join(
-        "select doc_id as id, {b} as band, md5({key}) as band_key from sig".format(
+        "select doc_id as id, {b} as band, md5({key}) as band_key from sig "
+        "where mh0 is not null".format(
             b=b,
             key=" || '_' || ".join(
                 f"mh{b * band_size + j}" for j in range(band_size)
@@ -177,40 +251,78 @@ def lsh_candidate_pairs_sql(seeds: list[int] = DEFAULT_SEEDS,
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit) + near-dup pairs by Hamming distance
+# SimHash (64-bit) + near-dup pairs by Hamming distance
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+# two independent 32-bit md5-derived hashes per token supply bits 0-31 /
+# 32-63 of the 64-bit token hash (md5 is reproducible in DuckDB, unlike
+# xxhash64 whose DuckDB counterpart uses a different algorithm)
+_SEED_LO = 99
+_SEED_HI = 100
+# bit value of each of the 64 simhash bits; bit 63 is the (negative)
+# two's-complement sign bit so the packed value stays a valid BIGINT
+_BIT_VALUES = [1 << i for i in range(63)] + [-(1 << 63)]
+_POW2_32 = [1 << k for k in range(32)]
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = SIMHASH_BITS) -> DataFrame:
-    """16-bit simhash over the distinct-token set, computed bit-parallel:
-    for each bit, sum +1/-1 over token hashes, then pack the signs."""
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash over the distinct-token set in ONE pass: each token's
+    two 32-bit hashes are computed once, then a single ``aggregate`` with an
+    array-of-64-counters accumulator tallies the per-bit ±1 votes (instead
+    of 64 separate passes over the token array); the sign of each vote
+    packs into the result. Per-row narrow compute, no shuffle."""
+    df = spread_for_compute(df)
     tok = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(tok, lambda t: seeded_hash(t, 99))
+    hs = F.transform(tok, lambda t: F.struct(
+        seeded_hash(t, _SEED_LO).alias("lo"),
+        seeded_hash(t, _SEED_HI).alias("hi"),
+    ))
+    pw = F.lit(_POW2_32).cast("array<long>")
+    bit_idx = F.lit(list(range(SIMHASH_BITS)))
 
-    def bit_vote(k: int):
-        # exactly-2-arg merge lambda; bind the bit index via closure
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def signs(h: Column) -> Column:
+        # +1/-1 per bit b: bit b<32 comes from h.lo, else bit (b-32) of h.hi;
+        # (v div 2^k) & 1 — exact for 32-bit values (shiftright needs a
+        # literal shift amount, so divide by a looked-up power of two)
+        return F.transform(
+            bit_idx,
+            lambda b: F.when(
+                F.floor(
+                    F.when(b < 32, h["lo"]).otherwise(h["hi"])
+                    / F.element_at(pw, (b % 32) + 1)
+                ).cast("long").bitwiseAND(F.lit(1)) == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        )
 
-    packed = F.lit(0).cast("long")
-    for i in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(i))
-        packed = packed + F.when(vote > 0, F.lit(1 << i)).otherwise(0)
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
+    )
+    bitvals = F.lit(_BIT_VALUES).cast("array<long>")
+    packed = F.aggregate(
+        F.zip_with(votes, bitvals,
+                   lambda v, bv: F.when(v > 0, bv).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return df.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     terms = []
     for i in range(bits):
+        arr, k = ("lo", i) if i < 32 else ("hi", i - 32)
         vote = (
-            f"list_sum(list_transform(hs, h -> case when (h >> {i}) & 1 = 1 "
+            f"list_sum(list_transform({arr}, h -> case when (h >> {k}) & 1 = 1 "
             f"then 1 else -1 end))"
         )
-        terms.append(f"case when {vote} > 0 then {1 << i} else 0 end")
+        bv = _BIT_VALUES[i]
+        lit = str(bv) if bv >= 0 else "(-9223372036854775807 - 1)"
+        terms.append(f"case when {vote} > 0 then {lit}::BIGINT else 0 end")
     packed = " + ".join(terms)
     return f"""
         with tok as (
@@ -218,7 +330,8 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
             from documents
         ), hashed as (
             select doc_id,
-                   list_transform(t, s -> {seeded_hash_sql('s', 99)}) as hs
+                   list_transform(t, s -> {seeded_hash_sql('s', _SEED_LO)}) as lo,
+                   list_transform(t, s -> {seeded_hash_sql('s', _SEED_HI)}) as hi
             from tok
         )
         select doc_id, ({packed})::BIGINT as simhash
@@ -226,38 +339,57 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     """
 
 
-# pigeonhole: with 16 bits in (max_hamming+1) segments, any pair within
-# max_hamming Hamming distance agrees exactly on ≥1 segment → candidate
-# generation is an equi-join on (segment_idx, segment_value), never O(n²)
-_SEGMENTS = [(0, 6), (6, 6), (12, 4)]  # (shift, width) covering 16 bits
+# pigeonhole: with 64 bits in (max_hamming+1)=4 segments, any pair within
+# max_hamming=3 Hamming distance agrees exactly on ≥1 segment → candidate
+# generation is an equi-join on (segment_idx, segment_value). Each segment
+# is 16 bits ⇒ 65 536 distinct join keys per segment, so bucket sizes stay
+# ~n/65 536 on random data — no cross-product degeneration at 100× scale.
+_SEGMENTS = [(0, 16), (16, 16), (32, 16), (48, 16)]  # (shift, width)
+DEFAULT_MAX_HAMMING = 3
 
 
-def simhash_near_dups(sig: DataFrame, max_hamming: int = 2,
+def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
                       id_col: str = "doc_id") -> DataFrame:
-    parts = None
-    for seg, (shift, width) in enumerate(_SEGMENTS):
-        mask = (1 << width) - 1
-        p = sig.select(
-            F.col(id_col).alias("id"), F.col("simhash"),
-            F.lit(seg).alias("seg"),
-            F.shiftright("simhash", shift).bitwiseAND(F.lit(mask)).alias("segv"),
+    """Near-dup pairs by Hamming distance ≤ ``max_hamming`` over the 64-bit
+    simhash. Segments are emitted with one ``explode`` (signature pipeline
+    runs once, not once per segment), buckets built by ``groupBy``
+    (seg, segv), and pairs expanded in-bucket — no self-join."""
+    # materialize the (tiny: id + one long) signature before fanning it out
+    # into 4 segment references — same no-CSE reasoning as in LSH banding
+    sig = sig.persist()
+    segs = F.array(*[
+        F.struct(
+            F.lit(s).alias("seg"),
+            F.shiftright("simhash", shift).bitwiseAND(
+                F.lit((1 << width) - 1)).alias("segv"),
         )
-        parts = p if parts is None else parts.unionAll(p)
-    a = parts.select("seg", "segv", F.col("id").alias("doc_a"),
-                     F.col("simhash").alias("sh_a"))
-    b = parts.select("seg", "segv", F.col("id").alias("doc_b"),
-                     F.col("simhash").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        for s, (shift, width) in enumerate(_SEGMENTS)
+    ])
+    parts = (
+        sig.select(F.col(id_col).alias("id"), F.col("simhash"),
+                   F.explode(segs).alias("s"))
+        .select("id", "simhash", F.col("s.seg").alias("seg"),
+                F.col("s.segv").alias("segv"))
+    )
+    buckets = (
+        parts.groupBy("seg", "segv")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    p = F.explode(pairs_of(F.col("ms"))).alias("p")
+    ham = F.bit_count(
+        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+    ).cast("int")
     return (
-        a.join(b, ["seg", "segv"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        buckets.select(p)
+        .select(F.col("p.a.id").alias("doc_a"), F.col("p.b.id").alias("doc_b"),
+                ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
 
 
-def simhash_near_dups_sql(max_hamming: int = 2,
+def simhash_near_dups_sql(max_hamming: int = DEFAULT_MAX_HAMMING,
                           bits: int = SIMHASH_BITS) -> str:
     seg_selects = " union all ".join(
         f"select doc_id as id, simhash, {seg} as seg, "
@@ -291,30 +423,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     *discriminative* shingle: shingles occurring in more than
     max(MIN_DF_FLOOR, 1% of docs) documents are dropped first (stop-shingle
     / IDF pruning). A shingle shared by half the corpus carries no
-    similarity signal but makes the equi-join quadratic — pruning bounds
-    join fan-out at any corpus size; Jaccard is computed over the pruned
-    sets on both engines identically.
-    """
-    n_docs = df.count()
-    max_df = max(MIN_DF_FLOOR, int(n_docs * MAX_DF_FRACTION))
-    sh_all = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n)))
-        .alias("shingle"),
-    ).select("id", F.md5("shingle").alias("sh"))
-    from pyspark.sql import Window as W
+    similarity signal but makes candidate generation quadratic — pruning
+    bounds fan-out at any corpus size.
 
+    Plan shape: the doc-count threshold is derived INSIDE the plan (1-row
+    count aggregate broadcast-cross-joined — no driver-side ``.count()``
+    action, so the operator stays lazy/composable); the pruned shingle
+    table is persisted once and feeds both the per-doc sizes and the
+    in-bucket pair expansion (groupBy + explode, no self-join).
+    """
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    sh_all = (
+        shingle_base(df, text_col, id_col, n)
+        .select(F.col(id_col).alias("id"), F.explode("_sh").alias("shingle"))
+        .select("id", F.md5("shingle").alias("sh"))
+    )
+    threshold = F.greatest(
+        F.lit(MIN_DF_FLOOR).cast("bigint"),
+        F.floor(F.col("n_docs") * F.lit(MAX_DF_FRACTION)),
+    )
     sh = (
         sh_all.withColumn("df", F.count("*").over(W.partitionBy("sh")))
-        .where(F.col("df") <= max_df)
-        .drop("df")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= threshold)
+        .select("id", "sh")
     )
+    # materialize once: both the sizes agg and the bucket pair expansion
+    # read it (at cluster scale the flow's cache_as_parquet plan-cut is the
+    # equivalent; persist suffices for a single operator invocation)
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     shared = (
-        sh.alias("a")
-        .join(sh.alias("b"),
-              (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        buckets.select(F.explode(pairs_of(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
     return (

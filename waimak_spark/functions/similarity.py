@@ -44,8 +44,10 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     query side; corpus side is a single scan)."""
     from pyspark.sql import Window as W
 
+    from .dedup import spread_for_compute
+
     v = as_double(F.col(vec_col))
-    base = emb.select(F.col(id_col), v.alias("v"))
+    base = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
     queries = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
@@ -98,6 +100,10 @@ def brute_force_topk_sql(query_ids: list[int], k: int = 5) -> str:
 # seeded md5 hash of (plane, dim) — reproducible in ANSI SQL
 # ---------------------------------------------------------------------------
 
+DEFAULT_PLANES = 16  # 2^16 = 65 536 buckets — candidate fan-out ~n²/65 536;
+# at 8 planes (256 buckets) the bucket join degenerates toward n²/256 at
+# corpus scale, so 16 is the floor for a 100×-safe single-table LSH
+
 
 def _plane_weight(plane: int, dim: int) -> float:
     """Deterministic weight in [-1, 1): derived from md5(plane:dim)."""
@@ -107,60 +113,90 @@ def _plane_weight(plane: int, dim: int) -> float:
     return (h / 2**31) - 1.0
 
 
+def _plane_matrix(n_planes: int, dims: int) -> list[list[float]]:
+    return [[_plane_weight(p, d) for d in range(dims)] for p in range(n_planes)]
+
+
 def lsh_bucket(vec: Column, n_planes: int, dims: int) -> Column:
-    """Pack sign bits of ``n_planes`` hyperplane projections into an int."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        proj = F.lit(0.0)
-        for d in range(dims):
-            proj = proj + F.element_at(vec, d + 1) * F.lit(_plane_weight(p, d))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+    """Pack sign bits of ``n_planes`` hyperplane projections into a long.
+
+    The plane matrix is a SINGLE array<array<double>> literal traversed
+    with ``transform``/``zip_with``/``aggregate`` — one compact expression
+    tree instead of n_planes×dims inline literal terms (which stressed
+    codegen at 8×64 already)."""
+    planes = F.lit(_plane_matrix(n_planes, dims))
+    bitvals = F.lit([1 << p for p in range(n_planes)]).cast("array<long>")
+    projs = F.transform(planes, lambda w: dot(vec, w))
+    return F.aggregate(
+        F.zip_with(projs, bitvals,
+                   lambda pr, bv: F.when(pr > 0, bv).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
-def lsh_ann_pairs(emb: DataFrame, n_planes: int = 8, dims: int = 64,
-                  min_cosine: float = 0.5, id_col: str = "vec_id",
+def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
+                  dims: int = 64, min_cosine: float = 0.5,
+                  id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """Near-neighbour pairs among vectors sharing an LSH bucket."""
+    """Near-neighbour pairs among vectors sharing an LSH bucket.
+
+    Plan shape: one scan computes (id, v, bucket); buckets are grouped and
+    pairs expanded in-bucket (collect_list + array pair expression) so the
+    projection pipeline runs once and there is no self-join shuffle of the
+    corpus — a single shuffle on the bucket key."""
+    from ..functions.dedup import pairs_of, spread_for_compute
+
     v = as_double(F.col(vec_col))
-    base = emb.select(
+    base = spread_for_compute(emb).select(
         F.col(id_col), v.alias("v"),
         lsh_bucket(v, n_planes, dims).alias("bucket"),
     )
-    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    buckets = (
+        base.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "v"))).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    p = F.explode(pairs_of(F.col("ms"))).alias("p")
+    sim = F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), 4)
     return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        buckets.select(p)
+        .select(F.col(f"p.a.{id_col}").alias("id_a"),
+                F.col(f"p.b.{id_col}").alias("id_b"),
+                sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= min_cosine)
     )
 
 
-def lsh_ann_pairs_sql(n_planes: int = 8, dims: int = 64,
+def lsh_ann_pairs_sql(n_planes: int = DEFAULT_PLANES, dims: int = 64,
                       min_cosine: float = 0.5) -> str:
-    def bucket_expr(vcol: str) -> str:
-        terms = []
-        for p in range(n_planes):
-            proj = " + ".join(
-                f"{vcol}[{d + 1}] * ({_plane_weight(p, d)!r})"
-                for d in range(dims)
-            )
-            terms.append(f"case when ({proj}) > 0 then {1 << p} else 0 end")
-        return " + ".join(terms)
-
+    plane_rows = ",\n                   ".join(
+        "({p}, [{w}]::DOUBLE[])".format(
+            p=p,
+            w=", ".join(repr(_plane_weight(p, d)) for d in range(dims)),
+        )
+        for p in range(n_planes)
+    )
     return f"""
-        with base as (
-            select vec_id, embedding::DOUBLE[] as v,
-                   ({bucket_expr('(embedding::DOUBLE[])')}) as bucket
-            from embeddings
+        with planes(p, w) as (
+            values {plane_rows}
+        ), base as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        ), bucketed as (
+            select b.vec_id,
+                   sum(case when list_dot_product(b.v, pl.w) > 0
+                       then (1::BIGINT << pl.p) else 0 end)::BIGINT as bucket
+            from base b cross join planes pl
+            group by b.vec_id
+        ), bb as (
+            select b.vec_id, b.v, k.bucket
+            from base b join bucketed k using (vec_id)
         )
         select a.vec_id as id_a, b.vec_id as id_b,
                round(list_dot_product(a.v, b.v)
                      / (sqrt(list_dot_product(a.v, a.v))
                         * sqrt(list_dot_product(b.v, b.v))), 4) as cosine_sim
-        from base a join base b on a.bucket = b.bucket and a.vec_id < b.vec_id
+        from bb a join bb b on a.bucket = b.bucket and a.vec_id < b.vec_id
         where round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 4) >= {min_cosine}

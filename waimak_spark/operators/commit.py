@@ -238,7 +238,10 @@ class ParquetDataCommitter(DataCommitter):
                 dest = f"{committer.output_base}/{e.label}"
                 if committer.snapshot_folder:
                     dest = f"{dest}/{committer.snapshot_folder}"
-                elif ops.exists(dest):
+                # re-check at move time (not just prepare-time validate):
+                # a concurrent or re-run commit must fail, never silently
+                # overwrite an existing destination/snapshot (exactly-once)
+                if ops.exists(dest):
                     raise DataFlowException(
                         f"Commit [{commit_name}]: destination [{dest}] already exists"
                     )
