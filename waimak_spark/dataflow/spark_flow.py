@@ -60,6 +60,12 @@ class SparkFlowContext(FlowContext):
         v = self.spark.conf.get(key, str(default).lower())
         return str(v).lower() == "true"
 
+    def get_long(self, key: str, default: int) -> int:
+        return int(self.spark.conf.get(key, str(default)))
+
+    def get_string(self, key: str, default: str) -> str:
+        return self.spark.conf.get(key, default)
+
 
 class SparkDataFlow(DataFlow):
     """DataFlow with a SparkSession and the Spark action library."""
@@ -411,6 +417,54 @@ class SparkDataFlow(DataFlow):
         from ..operators.commit import CommitMetadataExtension
 
         return CommitMetadataExtension.add_push(self, commit_name, committer)
+
+    # ==================== storage layer (§2.6) ================================
+    def get_or_create_audit_table(self, storage_base_path: str,
+                                  *table_names: str,
+                                  metadata_retrieval=None,
+                                  label_prefix: str | None = "audittable",
+                                  include_hot: bool = True,
+                                  update_table_metadata: bool | None = None):
+        """Open/create audit tables as flow entities (StorageActions.scala:145)."""
+        from ..storage import actions as SA
+
+        return SA.get_or_create_audit_table(
+            self, storage_base_path, metadata_retrieval, label_prefix,
+            include_hot, update_table_metadata, table_names)
+
+    def get_audit_table(self, storage_base_path: str, *table_names: str,
+                        label_prefix: str | None = "audittable",
+                        include_hot: bool = True):
+        from ..storage import actions as SA
+
+        return SA.get_audit_table(self, storage_base_path, label_prefix,
+                                  include_hot, table_names)
+
+    def write_to_storage(self, label_name: str, last_updated_col: str,
+                         append_dt=None, do_compaction=None,
+                         audit_table_label_prefix: str = "audittable"):
+        from ..storage import actions as SA
+
+        return SA.write_to_storage(
+            self, label_name, last_updated_col, append_dt,
+            do_compaction or (lambda r, c, t: False),
+            audit_table_label_prefix)
+
+    def snapshot_from_storage(self, storage_base_path: str, snapshot_ts,
+                              *table_names: str, include_hot: bool = True,
+                              output_prefix: str | None = None):
+        from ..storage import actions as SA
+
+        return SA.snapshot_from_storage(self, storage_base_path, snapshot_ts,
+                                        include_hot, output_prefix, table_names)
+
+    def load_from_storage(self, storage_base_path: str, *table_names: str,
+                          from_ts=None, to_ts=None, include_hot: bool = True,
+                          output_prefix: str | None = None):
+        from ..storage import actions as SA
+
+        return SA.load_from_storage(self, storage_base_path, from_ts, to_ts,
+                                    include_hot, output_prefix, table_names)
 
 
 class Waimak:

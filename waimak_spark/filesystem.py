@@ -75,6 +75,14 @@ class FileOps:
     def modification_time(self, p: str) -> int:
         return self._fs(p).getFileStatus(self._path(p)).getModificationTime()
 
+    def total_size(self, p: str) -> int:
+        """Total bytes under a path (files summed recursively)."""
+        fs = self._fs(p)
+        path = self._path(p)
+        if not fs.exists(path):
+            return 0
+        return fs.getContentSummary(path).getLength()
+
     # -- atomic moves (FSUtils.scala:109-134 semantics) ------------------------
     def rename(self, src: str, dest: str) -> bool:
         return self._fs(src).rename(self._path(src), self._path(dest))
