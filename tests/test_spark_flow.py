@@ -210,3 +210,46 @@ def test_parallel_executor_spark(base_flow):
     executed, final = executor.execute(flow)
     for i in range(4):
         assert final.inputs.get(f"s{i}").count() > 0
+
+
+class TestCombineAndPartitionedCSV:
+    def test_combine_merges_and_executes(self, spark, tmp_path):
+        from waimak_spark.dataflow.spark_flow import Waimak
+
+        df1 = spark.createDataFrame([(1,)], "a int")
+        df2 = spark.createDataFrame([(2,)], "b int")
+        f1 = Waimak.spark_flow(spark).open("one", lambda c: df1)
+        f2 = Waimak.spark_flow(spark).open("two", lambda c: df2)
+        merged = f1 + f2
+        _, final = merged.execute()
+        assert final.inputs.get("one").count() == 1
+        assert final.inputs.get("two").count() == 1
+
+    def test_combine_rejects_duplicate_labels(self, spark):
+        from waimak_spark.dataflow.exceptions import FlowValidationException
+        from waimak_spark.dataflow.spark_flow import Waimak
+
+        df = spark.createDataFrame([(1,)], "a int")
+        f1 = Waimak.spark_flow(spark).open("same", lambda c: df)
+        f2 = Waimak.spark_flow(spark).open("same", lambda c: df)
+        with pytest.raises(FlowValidationException):
+            f1.combine(f2)
+
+    def test_write_partitioned_csv(self, spark, tmp_path):
+        import os
+
+        from waimak_spark.dataflow.spark_flow import Waimak
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "y")], "id int, part string")
+        out = str(tmp_path / "csvout")
+        flow = (Waimak.spark_flow(spark, str(tmp_path / "tmp"))
+                .open("t", lambda c: df)
+                .write_partitioned_csv(out, "t", partition_cols=["part"]))
+        flow.execute()
+        dirs = sorted(d for d in os.listdir(f"{out}/t")
+                      if d.startswith("part="))
+        assert dirs == ["part=x", "part=y"]
+        back = (spark.read.options(header=True, inferSchema=True)
+                .csv(f"{out}/t"))
+        assert back.count() == 3

@@ -161,6 +161,29 @@ class DataFlow:
 
         return run
 
+    # -- combine (SparkDataFlow.scala:133-148) -----------------------------
+    def combine(self: F, other: "DataFlow") -> F:
+        """Merge two flows for parallel execution: smash inputs, actions,
+        sql-table registrations and extensions together, then re-validate
+        (duplicate labels across the flows fail validation). Also exposed
+        as ``flow1 + flow2``."""
+        for label in other.inputs:
+            if label in self.inputs:
+                raise FlowValidationException(
+                    f"Input label [{label}] exists in both flows being combined")
+        merged = self._copy(
+            inputs=self.inputs.with_entities(dict(other.inputs.items())),
+            actions=self.actions + list(other.actions),
+            extensions=self.extensions + [
+                e for e in other.extensions if e not in self.extensions],
+            sql_tables=self.sql_tables | other.sql_tables,
+        )
+        merged.validate()
+        return merged
+
+    def __add__(self: F, other: "DataFlow") -> F:
+        return self.combine(other)
+
     # -- interceptors ------------------------------------------------------
     def add_interceptor(self: F, interceptor: DataFlowAction, guid_to_replace: str) -> F:
         """Replace the action with ``guid_to_replace`` by ``interceptor``

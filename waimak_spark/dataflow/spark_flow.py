@@ -83,6 +83,14 @@ class SparkDataFlow(DataFlow):
     def temp_folder(self) -> str | None:
         return self.context.temp_folder
 
+    # -- combine (SparkDataFlow.scala:133-148) --------------------------------
+    def combine(self, other: DataFlow):
+        merged = super().combine(other)
+        if self.temp_folder is None and getattr(other, "temp_folder", None):
+            merged = merged._copy(
+                context=SparkFlowContext(self.spark, other.temp_folder))
+        return merged
+
     # -- lifecycle overrides -------------------------------------------------
     def executed(self, action: DataFlowAction, outputs: Sequence[Optional[Any]]):
         flow = super().executed(action, outputs)
@@ -374,6 +382,32 @@ class SparkDataFlow(DataFlow):
             )
         return flow
 
+    def write_partitioned_csv(self, base_path: str, label: str,
+                              partition_cols: Sequence[str] = (),
+                              repartition: bool = True,
+                              options: dict[str, str] | None = None,
+                              overwrite: bool = False):
+        """CSV with partition folders (package.scala:604-615): repartition
+        on the partition columns so each partition directory gets one file
+        per shuffle partition, then ``partitionBy().csv()``."""
+        mode = "overwrite" if overwrite else "errorifexists"
+        opts = {"header": "true"}
+        opts.update(options or {})
+
+        def pre(df: DataFrame) -> DataFrame:
+            if partition_cols and repartition:
+                return df.repartition(*[df[c] for c in partition_cols])
+            return df
+
+        def writer(w) -> None:
+            w = w.options(**opts)
+            if partition_cols:
+                w = w.partitionBy(*list(partition_cols))
+            w.mode(mode).csv(f"{base_path}/{label}")
+
+        return self.write(label, pre, writer,
+                          name=f"writePartitionedCSV:{label}")
+
     def write_hive_managed_table(self, db_name: str, *labels: str,
                                  overwrite: bool = False):
         mode = "overwrite" if overwrite else "errorifexists"
@@ -417,6 +451,16 @@ class SparkDataFlow(DataFlow):
         from ..operators.commit import CommitMetadataExtension
 
         return CommitMetadataExtension.add_push(self, commit_name, committer)
+
+    # ==================== data quality (§2.8) =================================
+    def add_data_quality_check(self, label: str, check, *handlers):
+        """Attach a data-quality check + alert handlers to a label
+        (dataquality/package.scala:16-29). Evaluated at prepare time via
+        the DQ metadata extension: the label is cached, checks run as an
+        in-place transform, alerts route by importance."""
+        from ..dataquality import add_data_quality_check as _add
+
+        return _add(self, label, check, *handlers)
 
     # ==================== storage layer (§2.6) ================================
     def get_or_create_audit_table(self, storage_base_path: str,

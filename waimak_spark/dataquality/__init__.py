@@ -1,0 +1,41 @@
+"""Data quality checks with alerting.
+
+Re-expresses the reference's waimak-dataquality + waimak-deequ modules
+(dataquality/package.scala:16-29, DataQualityMetadataExtension.scala:15-46,
+DatasetCheck.scala, DataQualityAlertHandler.scala, deequ/prefabchecks/*)
+WITHOUT the Deequ dependency: each prefab check is one native DataFrame
+aggregate — completeness = avg(col is not null), uniqueness =
+singleton-group fraction, recency = count past a cutoff, generic SQL =
+avg(case when cond …) — evaluated on the cached label so the check costs
+one small job over data Spark already materialized.
+"""
+
+from .core import (
+    AlertImportance,
+    CollectingAlertHandler,
+    DataQualityAlert,
+    DataQualityAlertException,
+    DataQualityAlertHandler,
+    DataQualityCheck,
+    DataQualityMetadataExtension,
+    DatasetChecks,
+    ExceptionQualityAlert,
+    LoggingQualityAlert,
+    SimpleDatasetCheck,
+    add_data_quality_check,
+)
+from .prefab import (
+    completeness_check,
+    generic_sql_check,
+    recent_timestamp_check,
+    uniqueness_check,
+)
+
+__all__ = [
+    "AlertImportance", "DataQualityAlert", "DataQualityAlertException",
+    "DataQualityAlertHandler", "DataQualityCheck", "DatasetChecks",
+    "SimpleDatasetCheck", "DataQualityMetadataExtension",
+    "ExceptionQualityAlert", "LoggingQualityAlert", "CollectingAlertHandler",
+    "add_data_quality_check", "completeness_check", "uniqueness_check",
+    "recent_timestamp_check", "generic_sql_check",
+]

@@ -1,0 +1,152 @@
+"""Prefab data-quality checks as single DataFrame aggregates — the four
+checks the reference ships via Deequ (waimak-deequ/.../prefabchecks/*),
+re-expressed natively:
+
+* completeness — ``avg(col is not null)`` per column, one aggregate row
+  for ALL columns (CompletenessCheck.scala);
+* uniqueness — fraction of (columns)-combinations occurring exactly once
+  (Deequ ``hasUniqueness`` semantics, UniquenessCheck.scala);
+* recent timestamp — any row with ``col >= now - N hours``
+  (RecentTimestampCheck.scala);
+* generic SQL — every row satisfies a boolean SQL condition
+  (GenericSQLCheck.scala).
+
+Each check body runs ONE Spark job over the (cached) label.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .core import (
+    AlertImportance,
+    DataQualityAlert,
+    DatasetChecks,
+    SimpleDatasetCheck,
+)
+
+
+def completeness_check(columns: Sequence[str],
+                       warning_threshold: Optional[float] = None,
+                       critical_threshold: Optional[float] = None
+                       ) -> DatasetChecks:
+    """Alert when the non-null fraction of any column drops below the
+    thresholds."""
+    cols = list(columns)
+
+    def metric(df: DataFrame) -> DataFrame:
+        return df.agg(*[
+            F.avg(F.col(c).isNotNull().cast("double")).alias(c) for c in cols
+        ])
+
+    def alert(mdf: DataFrame, label: str):
+        row = mdf.collect()[0]
+        alerts = []
+        for threshold, importance in (
+                (critical_threshold, AlertImportance.CRITICAL),
+                (warning_threshold, AlertImportance.WARNING)):
+            if threshold is None:
+                continue
+            for c in cols:
+                completeness = row[c] if row[c] is not None else 0.0
+                if completeness < threshold:
+                    alerts.append(DataQualityAlert(
+                        f"Less than {threshold * 100}% of {c} values were "
+                        f"complete on label {label} "
+                        f"(got {completeness * 100:.1f}%).", importance))
+        return alerts
+
+    return DatasetChecks([SimpleDatasetCheck(metric, alert)])
+
+
+def uniqueness_check(columns: Sequence[str],
+                     warning_threshold: Optional[float] = 1.0,
+                     critical_threshold: Optional[float] = None
+                     ) -> DatasetChecks:
+    """Deequ ``hasUniqueness``: fraction of column-combinations that occur
+    exactly once; defaults to warning when not fully unique."""
+    cols = list(columns)
+
+    def metric(df: DataFrame) -> DataFrame:
+        return (df.groupBy(*cols).count()
+                .agg(F.count("*").alias("combos"),
+                     F.count(F.when(F.col("count") == 1, 1)).alias("unique"),
+                     F.sum("count").alias("rows")))
+
+    def alert(mdf: DataFrame, label: str):
+        row = mdf.collect()[0]
+        rows = row["rows"] or 0
+        fraction = (row["unique"] / rows) if rows else 1.0
+        alerts = []
+        for threshold, importance in (
+                (critical_threshold, AlertImportance.CRITICAL),
+                (warning_threshold, AlertImportance.WARNING)):
+            if threshold is not None and fraction < threshold:
+                alerts.append(DataQualityAlert(
+                    f"{','.join(cols)} was not {threshold * 100}% unique on "
+                    f"label {label} (got {fraction * 100:.1f}%).", importance))
+        return alerts
+
+    return DatasetChecks([SimpleDatasetCheck(metric, alert)])
+
+
+def recent_timestamp_check(column: str, hours_to_look_back: int = 6,
+                           alert_level: str = "warning",
+                           now_override: Optional[datetime] = None
+                           ) -> DatasetChecks:
+    """Alert when no row's timestamp is within the look-back window —
+    flags unexpectedly stale data."""
+    importance = AlertImportance.of(
+        "critical" if alert_level == "critical" else "warning")
+    if alert_level not in ("warning", "critical"):
+        raise ValueError(
+            f"Invalid alert level {alert_level} for recentTimestampCheck "
+            f"on column {column}")
+
+    def metric(df: DataFrame) -> DataFrame:
+        now = now_override or datetime.utcnow()
+        cutoff = now - timedelta(hours=hours_to_look_back)
+        return df.where(F.col(column) >= F.lit(cutoff)) \
+                 .agg(F.count("*").alias("recent"))
+
+    def alert(mdf: DataFrame, label: str):
+        if (mdf.collect()[0]["recent"] or 0) > 0:
+            return []
+        return [DataQualityAlert(
+            f"No new data in the last {hours_to_look_back} hours "
+            f"on label {label}.", importance)]
+
+    return DatasetChecks([SimpleDatasetCheck(metric, alert)])
+
+
+def generic_sql_check(warning_checks: Sequence[str] = (),
+                      critical_checks: Sequence[str] = ()) -> DatasetChecks:
+    """Every row must satisfy each boolean SQL condition (e.g.
+    ``"my_column > 5"``); one aggregate evaluates all conditions."""
+    warn, crit = list(warning_checks), list(critical_checks)
+    conds = [(c, AlertImportance.WARNING) for c in warn] + \
+            [(c, AlertImportance.CRITICAL) for c in crit]
+
+    def metric(df: DataFrame) -> DataFrame:
+        return df.agg(*[
+            F.avg(F.when(F.expr(cond), 1.0).otherwise(0.0)).alias(f"c{i}")
+            for i, (cond, _) in enumerate(conds)
+        ])
+
+    def alert(mdf: DataFrame, label: str):
+        row = mdf.collect()[0]
+        out = []
+        for i, (cond, importance) in enumerate(conds):
+            satisfied = row[f"c{i}"]
+            if satisfied is not None and satisfied < 1.0:
+                out.append(DataQualityAlert(
+                    f"generic sql constraint [{cond}] failed on label "
+                    f"{label} ({satisfied * 100:.1f}% of rows satisfied).",
+                    importance))
+        return out
+
+    return DatasetChecks([SimpleDatasetCheck(metric, alert)])
