@@ -1,0 +1,174 @@
+"""App layer: config parsing matrix, env templates, SparkApp/WaimakApp
+lifecycle, multi-app dependency ordering — scenarios modeled on
+TestCaseClassConfigParser.scala / TestMultiAppRunner.scala."""
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import pytest
+
+from waimak_spark.app import (
+    BaseEnv,
+    ConfigException,
+    HiveEnv,
+    JavaPropertiesPropertyProvider,
+    MultiAppRunner,
+    SparkApp,
+    WaimakApp,
+    parse_config,
+    separator,
+)
+
+
+@dataclass(frozen=True)
+class DemoConf:
+    name: str
+    count: int = 5
+    ratio: float = 0.5
+    enabled: bool = True
+    tags: Sequence[str] = field(default_factory=tuple,
+                                metadata=separator(";"))
+    comment: Optional[str] = None
+
+
+class TestConfigParser:
+    def test_types_and_defaults_from_map(self):
+        conf = parse_config(DemoConf, None, "app.",
+                            {"app.name": "x", "app.count": "7",
+                             "app.ratio": "0.25", "app.enabled": "false",
+                             "app.tags": "a; b;c"})
+        assert conf == DemoConf("x", 7, 0.25, False, ["a", "b", "c"], None)
+
+    def test_missing_required_raises(self):
+        with pytest.raises(ConfigException, match="app.name"):
+            parse_config(DemoConf, None, "app.", {})
+
+    def test_defaults_applied(self):
+        conf = parse_config(DemoConf, None, "app.", {"app.name": "x"})
+        assert (conf.count, conf.ratio, conf.enabled) == (5, 0.5, True)
+
+    def test_spark_conf_lookup(self, spark):
+        from waimak_spark.dataflow.spark_flow import SparkFlowContext
+
+        spark.conf.set("t.app.name", "from_spark")
+        try:
+            conf = parse_config(DemoConf, SparkFlowContext(spark), "t.app.")
+            assert conf.name == "from_spark"
+        finally:
+            spark.conf.unset("t.app.name")
+
+    def test_additional_conf_wins_over_spark(self, spark):
+        from waimak_spark.dataflow.spark_flow import SparkFlowContext
+
+        spark.conf.set("t2.app.name", "spark_val")
+        try:
+            conf = parse_config(DemoConf, SparkFlowContext(spark), "t2.app.",
+                                {"t2.app.name": "map_val"})
+            assert conf.name == "map_val"
+        finally:
+            spark.conf.unset("t2.app.name")
+
+    def test_property_provider_fallback(self):
+        provider = JavaPropertiesPropertyProvider({"app.name": "secret"})
+        conf = parse_config(DemoConf, None, "app.", {}, providers=[provider])
+        assert conf.name == "secret"
+
+    def test_bad_boolean_raises(self):
+        with pytest.raises(ConfigException, match="boolean"):
+            parse_config(DemoConf, None, "app.",
+                         {"app.name": "x", "app.enabled": "maybe"})
+
+
+class TestEnv:
+    def test_base_env_paths(self):
+        env = BaseEnv("file:///tmp/envtest", "dev", "My-Project", "Feature/ABC")
+        assert env.base_path == "file:///tmp/envtest/data/dev/my_project/feature_abc"
+        assert env.tmp_dir.endswith("/tmp")
+
+    def test_prod_drops_branch(self):
+        env = BaseEnv("hdfs://nn", "PROD", "proj", "whatever")
+        assert env.base_path == "hdfs://nn/data/prod/proj"
+
+    def test_hive_env_db_names(self):
+        env = HiveEnv("file:///tmp/x", "dev", "proj", "br",
+                      base_database_location="/tmp/x/dbs",
+                      extra_dbs=("Staging",))
+        assert env.base_db_name == "dev_proj_br"
+        assert env.all_dbs == ["dev_proj_br_staging", "dev_proj_br"]
+
+    def test_create_cleanup_roundtrip(self, spark, tmp_path):
+        env = BaseEnv(f"file://{tmp_path}", "dev", "p", "b")
+        env.create(spark)
+        import os
+
+        assert os.path.isdir(f"{tmp_path}/data/dev/p/b")
+        env.cleanup(spark)
+        assert not os.path.exists(f"{tmp_path}/data/dev/p/b")
+
+
+class _CountingApp(WaimakApp):
+    env_cls = BaseEnv
+
+    def __init__(self):
+        self.ran_with: list = []
+
+    def conf_defaults(self, env):
+        return {"my.app.default": "defval"}
+
+    def flow(self, empty_flow, env):
+        self.ran_with.append(env)
+        df = empty_flow.spark.range(3)
+        return empty_flow.open("numbers", lambda c: df).alias("numbers", "out")
+
+
+def _set_env_conf(spark, prefix, tmp_path):
+    spark.conf.set(f"{prefix}uri", f"file://{tmp_path}")
+    spark.conf.set(f"{prefix}environment", "dev")
+    spark.conf.set(f"{prefix}project", "proj")
+    spark.conf.set(f"{prefix}branch", "b1")
+
+
+class TestApps:
+    def test_waimak_app_runs_flow(self, spark, tmp_path):
+        app = _CountingApp()
+        _set_env_conf(spark, "spark.waimak.environment.one.", tmp_path)
+        app.run_spark_app(spark, "spark.waimak.environment.one.")
+        assert len(app.ran_with) == 1
+        assert app.ran_with[0].base_path == f"file://{tmp_path}/data/dev/proj/b1"
+        assert spark.conf.get("my.app.default") == "defval"
+
+    def test_user_conf_wins_over_default(self, spark, tmp_path):
+        app = _CountingApp()
+        _set_env_conf(spark, "spark.waimak.environment.two.", tmp_path)
+        spark.conf.set("my.app.default", "uservalue")
+        app.run_spark_app(spark, "spark.waimak.environment.two.")
+        assert spark.conf.get("my.app.default") == "uservalue"
+
+    def test_multi_app_runner_dependency_order(self, spark, tmp_path):
+        order: list[str] = []
+
+        class _Recorder(SparkApp):
+            env_cls = BaseEnv
+
+            def __init__(self, tag):
+                self.tag = tag
+
+            def run(self, spark, env):
+                order.append(self.tag)
+
+        for name in ("first", "second"):
+            _set_env_conf(spark, f"spark.waimak.environment.{name}.", tmp_path)
+        spark.conf.set("spark.waimak.apprunner.apps", "second,first")
+        spark.conf.set("spark.waimak.apprunner.first.appName", "a1")
+        spark.conf.set("spark.waimak.apprunner.second.appName", "a2")
+        spark.conf.set("spark.waimak.apprunner.second.dependencies", "first")
+        try:
+            MultiAppRunner({"a1": _Recorder("first"),
+                            "a2": _Recorder("second")}).run_all(spark)
+        finally:
+            for k in ("spark.waimak.apprunner.apps",
+                      "spark.waimak.apprunner.first.appName",
+                      "spark.waimak.apprunner.second.appName",
+                      "spark.waimak.apprunner.second.dependencies"):
+                spark.conf.unset(k)
+        assert order == ["first", "second"]

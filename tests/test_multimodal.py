@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: media struct, lazy local fetch, fake-image
+decode, byte features, frame sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from waimak_spark import multimodal as M
+
+
+@pytest.fixture()
+def media_files(tmp_path):
+    paths = []
+    for i, payload in enumerate([b"hello world", b"\x00\x01\x02", b"x" * 100]):
+        p = tmp_path / f"blob{i}.bin"
+        p.write_bytes(payload)
+        paths.append((i, str(p)))
+    return paths
+
+
+class TestMediaStruct:
+    def test_attach_media_schema(self, spark, media_files):
+        df = spark.createDataFrame(media_files, "id int, path string")
+        out = M.attach_media(df, "path", "application/octet-stream")
+        got = out.schema["media"].dataType
+        assert [(f.name, f.dataType.simpleString()) for f in got.fields] == \
+            [(f.name, f.dataType.simpleString()) for f in M.MEDIA_SCHEMA.fields]
+        row = out.collect()[0]
+        assert row["media"]["data"] is None  # lazy until fetched
+        assert row["media"]["media_type"] == "application/octet-stream"
+
+    def test_lazy_fetch_reads_local_files(self, spark, media_files):
+        df = M.attach_media(
+            spark.createDataFrame(media_files, "id int, path string"),
+            "path", "application/octet-stream")
+        fetched = M.lazy_fetch(df)
+        got = {r["id"]: bytes(r["media"]["data"]) for r in fetched.collect()}
+        assert got[0] == b"hello world"
+        assert got[1] == b"\x00\x01\x02"
+        assert len(got[2]) == 100
+
+    def test_lazy_fetch_custom_fetcher(self, spark, media_files):
+        df = M.attach_media(
+            spark.createDataFrame(media_files, "id int, path string"),
+            "path", "x")
+        fetched = M.lazy_fetch(df, fetcher=lambda uri: uri.encode()[:4])
+        row = fetched.where(F.col("id") == 0).collect()[0]
+        assert bytes(row["media"]["data"]) == media_files[0][1].encode()[:4]
+
+
+class TestDecodeAndFeatures:
+    def test_fake_image_roundtrip(self, spark):
+        df = spark.createDataFrame([(1, 640, 480, 3, "pixels" * 10)],
+                                   "id int, w int, h int, c int, px string")
+        payload = M.fake_image_payload(F.col("w"), F.col("h"), F.col("c"),
+                                       F.col("px"))
+        decoded = M.decode_image(df.select("id", payload.alias("data")))
+        img = decoded.collect()[0]["image"]
+        assert (img["width"], img["height"], img["channels"]) == (640, 480, 3)
+        assert img["n_pixel_bytes"] == 60
+
+    def test_unknown_format_raises_not_implemented(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"\x89PNG...."))],
+                                   "id int, data binary")
+        with pytest.raises(Exception) as e:
+            M.decode_image(df).collect()
+        assert "NotImplementedError" in str(e.value) or isinstance(
+            e.value, NotImplementedError)
+
+    def test_byte_features(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"abc")), (2, None)],
+                                   "id int, data binary")
+        rows = {r["id"]: r["features"]
+                for r in M.byte_features(df).collect()}
+        assert rows[1]["n_bytes"] == 3
+        assert rows[1]["first_byte"] == ord("a")
+        assert rows[1]["byte_sum"] == ord("a") + ord("b") + ord("c")
+        assert rows[2]["n_bytes"] == 0
+
+    def test_frame_sample(self, spark):
+        data = bytes(range(10)) * 64  # 640 bytes → 10 frames of 64
+        df = spark.createDataFrame([(1, bytearray(data))],
+                                   "id int, data binary")
+        out = M.frame_sample(df, frame_size=64, every_n=2).collect()[0]
+        assert out["n_frames"] == 10
+        assert out["n_sampled"] == 5
+        assert len(bytes(out["sampled"])) == 5 * 64

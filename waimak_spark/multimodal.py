@@ -1,0 +1,238 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, plus Arrow-batched decode / feature-extract / frame-sample
+operators over ``mapInPandas``.
+
+North-star extension (not in the reference — BASELINE.json): the Spark-side
+plumbing is fully real — schemas, partition spreading, mapInPandas batch
+shapes, binary payload round trips. Actual image/audio codecs are NOT
+available in this environment, so ``decode_image`` uses Pillow when
+importable and otherwise only understands the deterministic ``FAKEIMG1``
+payload format (raising ``NotImplementedError`` for real formats) — the
+operator contract and distributed execution path are identical either way.
+
+Scale notes (100 TB posture): payload bytes never hit the driver — fetch
+and decode run inside Arrow batches on executors; feature columns are tiny
+projections so downstream joins/agg shuffle metadata, not media. The lazy
+pattern (store ``uri``, fetch on demand, spill decoded features, drop the
+bytes) keeps the working set at metadata scale.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: typed media struct: where the bytes came from, what they are, the bytes
+#: themselves (NULL until fetched), and free-form metadata
+MEDIA_SCHEMA = StructType([
+    StructField("uri", StringType()),
+    StructField("media_type", StringType()),
+    StructField("data", BinaryType()),
+    StructField("meta", MapType(StringType(), StringType())),
+])
+
+FAKE_IMAGE_MAGIC = b"FAKEIMG1"
+
+
+def attach_media(df: DataFrame, uri_col: str, media_type: str,
+                 data_col: Optional[str] = None,
+                 out_col: str = "media") -> DataFrame:
+    """Wrap existing columns into the typed media struct; ``data`` stays
+    NULL for lazy fetch unless ``data_col`` is given."""
+    data = F.col(data_col) if data_col else F.lit(None).cast("binary")
+    return df.withColumn(out_col, F.struct(
+        F.col(uri_col).cast("string").alias("uri"),
+        F.lit(media_type).alias("media_type"),
+        data.alias("data"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    ))
+
+
+def lazy_fetch(df: DataFrame, media_col: str = "media",
+               fetcher: Optional[Callable[[str], bytes]] = None) -> DataFrame:
+    """Fill ``media.data`` by fetching each row's URI inside Arrow batches
+    on the executors (driver never sees payload bytes). The default
+    fetcher reads local/file:// paths; pass a custom callable for object
+    stores or HTTP."""
+    import pandas as pd
+
+    fetch = fetcher or _fetch_local
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != media_col]
+        + [StructField(media_col, MEDIA_SCHEMA)])
+    other_cols = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            def fill(m):
+                if m is None:
+                    return m
+                m = dict(m)
+                if m.get("data") is None and m.get("uri"):
+                    m["data"] = fetch(m["uri"])
+                return m
+
+            pdf = pdf.copy()
+            pdf[media_col] = pdf[media_col].map(fill)
+            yield pdf[other_cols + [media_col]]
+
+    return df.mapInPandas(run, schema)
+
+
+def _fetch_local(uri: str) -> bytes:
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    with open(path, "rb") as f:
+        return f.read()
+
+
+# ---------------------------------------------------------------------------
+# deterministic fake image payloads (the no-codec test format)
+# ---------------------------------------------------------------------------
+
+
+def fake_image_payload(width_col, height_col, channels_col,
+                       pixel_source_col) -> F.Column:
+    """Binary payload ``FAKEIMG1<wwww><hhhh><c>`` + pixel bytes, built
+    JVM-side: header fields are zero-padded ascii so the expression stays
+    pure ``concat``/``encode``."""
+    return F.concat(
+        F.lit(FAKE_IMAGE_MAGIC),
+        F.encode(F.lpad(width_col.cast("string"), 4, "0"), "utf-8"),
+        F.encode(F.lpad(height_col.cast("string"), 4, "0"), "utf-8"),
+        F.encode(channels_col.cast("string"), "utf-8"),
+        F.encode(pixel_source_col, "utf-8"),
+    )
+
+
+IMAGE_INFO_SCHEMA = StructType([
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_pixel_bytes", LongType()),
+])
+
+
+def _decode_one(data: Optional[bytes]):
+    if data is None:
+        return None, None, None, None
+    if bytes(data[:8]) == FAKE_IMAGE_MAGIC:
+        return (int(data[8:12]), int(data[12:16]), int(data[16:17]),
+                len(data) - 17)
+    try:  # real codecs only when Pillow happens to be importable
+        import io
+
+        from PIL import Image  # noqa: WPS433
+
+        img = Image.open(io.BytesIO(bytes(data)))
+        return (img.width, img.height, len(img.getbands()), len(data))
+    except ImportError:
+        raise NotImplementedError(
+            "No image codec available in this environment: only the "
+            "deterministic FAKEIMG1 payload format is decodable. Install "
+            "Pillow for real formats.")
+
+
+def decode_image(df: DataFrame, data_col: str = "data",
+                 out_col: str = "image") -> DataFrame:
+    """Per-row image header decode in Arrow batches → typed struct column
+    (width/height/channels/payload size)."""
+    import pandas as pd
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, IMAGE_INFO_SCHEMA)])
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[data_col].map(
+                lambda d: dict(zip(
+                    ("width", "height", "channels", "n_pixel_bytes"),
+                    _decode_one(d))))
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(run, schema)
+
+
+BYTE_FEATURES_SCHEMA = StructType([
+    StructField("n_bytes", LongType()),
+    StructField("first_byte", IntegerType()),
+    StructField("last_byte", IntegerType()),
+    StructField("byte_sum", LongType()),
+])
+
+
+def byte_features(df: DataFrame, data_col: str = "data",
+                  out_col: str = "features") -> DataFrame:
+    """Cheap content features straight off the payload bytes — the
+    feature-extraction stage shape (decode-free, runs on any modality)."""
+    import pandas as pd
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, BYTE_FEATURES_SCHEMA)])
+    cols = [f.name for f in df.schema.fields]
+
+    def feats(d: Optional[bytes]):
+        if d is None or len(d) == 0:
+            return {"n_bytes": 0, "first_byte": None, "last_byte": None,
+                    "byte_sum": 0}
+        b = bytes(d)
+        return {"n_bytes": len(b), "first_byte": b[0], "last_byte": b[-1],
+                "byte_sum": sum(b)}
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[data_col].map(feats)
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(run, schema)
+
+
+def frame_sample(df: DataFrame, data_col: str = "data",
+                 frame_size: int = 64, every_n: int = 2,
+                 out_col: str = "sampled") -> DataFrame:
+    """Treat the payload as concatenated fixed-size frames (the video
+    shape) and keep every n-th frame — pure byte arithmetic per row in
+    Arrow batches; the sampled payload replaces the original."""
+    import pandas as pd
+
+    schema = StructType(list(df.schema.fields) + [
+        StructField(out_col, BinaryType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+    ])
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            sampled, n_frames, n_sampled = [], [], []
+            for d in pdf[data_col]:
+                if d is None:
+                    sampled.append(None); n_frames.append(0); n_sampled.append(0)
+                    continue
+                b = bytes(d)
+                frames = [b[i:i + frame_size]
+                          for i in range(0, len(b), frame_size)]
+                keep = frames[::every_n]
+                sampled.append(b"".join(keep))
+                n_frames.append(len(frames))
+                n_sampled.append(len(keep))
+            pdf[out_col] = sampled
+            pdf["n_frames"] = n_frames
+            pdf["n_sampled"] = n_sampled
+            yield pdf[cols + [out_col, "n_frames", "n_sampled"]]
+
+    return df.mapInPandas(run, schema)

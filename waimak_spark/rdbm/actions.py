@@ -11,7 +11,7 @@ from typing import Callable, Optional, Sequence
 
 from dataclasses import dataclass
 
-from ..dataflow.action import SimpleAction
+from ..dataflow.action import SimpleAction  # noqa: F401  (re-export site)
 from ..storage.actions import write_to_storage
 from .extractor import RDBMExtractor
 from .kernels import snapshot_temporal_table_dataset
