@@ -1,0 +1,136 @@
+"""Structured Streaming: file-source incremental processing through the
+flow, watermarked windows, session windows, custom stateful operator."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from waimak_spark.streaming import (
+    open_file_stream,
+    sessionize_stream,
+    stateful_running_totals,
+    watermarked_window_agg,
+    write_file_stream,
+    write_memory_stream,
+)
+
+SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+])
+
+T = datetime
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append").parquet(path)
+
+
+ROWS1 = [
+    (1, T(2024, 1, 1, 10, 0, 10), 1.0),
+    (1, T(2024, 1, 1, 10, 1, 30), 2.0),
+    (2, T(2024, 1, 1, 10, 0, 40), 5.0),
+]
+ROWS2 = [
+    (1, T(2024, 1, 1, 10, 6, 0), 3.0),
+    (2, T(2024, 1, 1, 11, 0, 0), 7.0),
+]
+
+
+class TestFileStreamFlow:
+    def test_incremental_processing_with_checkpoint(self, spark, tmp_path):
+        from waimak_spark.dataflow.spark_flow import Waimak
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(spark, src, ROWS1)
+
+        def build():
+            flow = Waimak.spark_flow(spark)
+            flow = open_file_stream(flow, "events_stream", src,
+                                    schema=SCHEMA)
+            return write_file_stream(flow, "events_stream", out, ckpt)
+
+        build().execute()
+        assert spark.read.parquet(out).count() == 3
+        # second run: only NEW files are processed (checkpoint advanced)
+        _write_batch(spark, src, ROWS2)
+        build().execute()
+        assert spark.read.parquet(out).count() == 5
+
+    def test_windowed_agg_stream_matches_batch(self, spark, tmp_path):
+        from waimak_spark.dataflow.spark_flow import Waimak
+
+        src = str(tmp_path / "in2")
+        _write_batch(spark, src, ROWS1 + ROWS2)
+
+        aggs = [F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value")]
+        flow = Waimak.spark_flow(spark)
+        flow = open_file_stream(flow, "ev", src, schema=SCHEMA)
+        flow = flow.transform(
+            "ev", output="windowed",
+            fn=lambda df: watermarked_window_agg(
+                df, "ts", "5 minutes", "10 minutes", aggs, ["user_id"]))
+        flow = write_memory_stream(flow, "windowed", "win_tbl",
+                                   output_mode="complete")
+        flow.execute()
+        got = {(r["user_id"], r["window_start"]): (r["n"], r["sum_value"])
+               for r in spark.sql("select * from win_tbl").collect()}
+        batch = watermarked_window_agg(
+            spark.createDataFrame(ROWS1 + ROWS2, SCHEMA), "ts",
+            "5 minutes", "10 minutes", aggs, ["user_id"])
+        expected = {(r["user_id"], r["window_start"]): (r["n"], r["sum_value"])
+                    for r in batch.collect()}
+        assert got == expected
+        assert len(got) == 4
+
+
+class TestSessionWindows:
+    def test_sessionize_batch_semantics(self, spark):
+        df = spark.createDataFrame(ROWS1 + ROWS2, SCHEMA)
+        out = sessionize_stream(df, "ts", "30 minutes", ["user_id"])
+        got = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+        # user 1: events at 10:00/10:01/10:06 in one session (gaps < 30m);
+        # user 2: 10:00 and 11:00 → two sessions
+        assert got == [(1, 3), (2, 1), (2, 1)]
+
+
+class TestStatefulOperator:
+    def test_running_totals_across_micro_batches(self, spark, tmp_path):
+        src = str(tmp_path / "in3")
+        ckpt = str(tmp_path / "ckpt3")
+        # two files + maxFilesPerTrigger=1 → two micro-batches in one run;
+        # the per-key state must carry between them
+        _write_batch(spark, src, ROWS1)
+        _write_batch(spark, src, ROWS2)
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        totals = stateful_running_totals(stream, "user_id", "value")
+        q = (totals.writeStream.format("memory").queryName("totals_tbl")
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql("select * from totals_tbl").collect()
+        # the memory table holds every per-batch emission; the final state
+        # per key is the row with the highest running count — identical
+        # regardless of file processing order
+        finals = {}
+        for r in rows:
+            k = r["user_id"]
+            if k not in finals or r["n_events"] > finals[k][0]:
+                finals[k] = (r["n_events"], r["total_value"])
+        assert finals == {1: (3, 6.0), 2: (2, 12.0)}
+        assert len(rows) > 2  # intermediate emissions prove multi-batch run

@@ -13,6 +13,7 @@ rounded so value-hashes match across engines.
 from __future__ import annotations
 
 from .events import ENTRIES as EVENT_ENTRIES
+from .joins import ENTRIES as JOIN_ENTRIES
 from .multimodal import ENTRIES as MULTIMODAL_ENTRIES
 from .rdbm import ENTRIES as RDBM_ENTRIES
 from .relational import ENTRIES as RELATIONAL_ENTRIES
@@ -23,7 +24,7 @@ from .text import ENTRIES as TEXT_ENTRIES
 ALL_ENTRIES: dict[str, dict] = {}
 for part in (RELATIONAL_ENTRIES, EVENT_ENTRIES, TEXT_ENTRIES,
              SIMILARITY_ENTRIES, STORAGE_ENTRIES, RDBM_ENTRIES,
-             MULTIMODAL_ENTRIES):
+             MULTIMODAL_ENTRIES, JOIN_ENTRIES):
     overlap = set(part) & set(ALL_ENTRIES)
     if overlap:
         raise ValueError(f"duplicate catalog entries: {overlap}")

@@ -1,0 +1,78 @@
+"""Streaming flow actions: ``readStream`` sources behind labels and sinks
+that run the query with the ``availableNow`` trigger (process everything
+currently available, then stop — incremental batch) or leave it live.
+
+Streaming DataFrames flow through the ordinary action library: a
+streaming label feeds ``transform``/``sql`` like any other entity; only
+sources and sinks are streaming-specific.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..dataflow.action import SimpleAction
+
+
+def open_file_stream(flow, label: str, path: str, fmt: str = "parquet",
+                     schema=None, options: Optional[dict] = None,
+                     max_files_per_trigger: Optional[int] = None):
+    """File-source stream: picks up files appearing under ``path``;
+    ``max_files_per_trigger`` bounds per-micro-batch work."""
+
+    def body(_i, c):
+        reader = c.spark.readStream.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   str(max_files_per_trigger))
+        return [reader.load(path)]
+
+    return flow.add_action(
+        SimpleAction([], [label], body, name=f"openFileStream:{label}"))
+
+
+def write_file_stream(flow, label: str, path: str, checkpoint: str,
+                      fmt: str = "parquet", output_mode: str = "append",
+                      available_now: bool = True):
+    """Run the streaming query writing ``label`` to files. With
+    ``available_now`` (default) the action blocks until all currently
+    available input is processed, then the query stops — the incremental
+    batch pattern; checkpoints make re-runs process only NEW files."""
+
+    def body(i, _c):
+        df = i.get(label)
+        writer = (df.writeStream.format(fmt)
+                  .outputMode(output_mode)
+                  .option("path", path)
+                  .option("checkpointLocation", checkpoint))
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return []
+        return []  # non-blocking live queries are started by the caller
+
+    return flow.add_action(
+        SimpleAction([label], [], body, name=f"writeFileStream:{label}"))
+
+
+def write_memory_stream(flow, label: str, query_name: str,
+                        output_mode: str = "append"):
+    """Sink to an in-memory table (tests/debug): runs with availableNow
+    and registers ``query_name`` as a queryable temp table."""
+
+    def body(i, _c):
+        df = i.get(label)
+        q = (df.writeStream.format("memory")
+             .queryName(query_name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return []
+
+    return flow.add_action(
+        SimpleAction([label], [], body, name=f"writeMemoryStream:{label}"))

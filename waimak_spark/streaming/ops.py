@@ -1,0 +1,96 @@
+"""Streaming operator idioms: watermarked windows, session windows, and an
+``applyInPandasWithState`` custom stateful kernel.
+
+All three work identically on batch frames (windows/session_window are
+plain expressions; the stateful op needs a streaming frame), so batch
+tests assert exact semantics and the streaming tests assert the
+end-to-end incremental path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+
+def watermarked_window_agg(df: DataFrame, ts_col: str,
+                           window_duration: str, watermark: str,
+                           aggs: Sequence[Column],
+                           group_cols: Sequence[str] = (),
+                           slide: str | None = None) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation with late-data
+    tolerance: the watermark bounds state kept for out-of-order events —
+    the canonical streaming-agg shape that also runs unchanged on batch
+    frames."""
+    wm = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    window = (F.window(F.col(ts_col), window_duration, slide)
+              if slide else F.window(F.col(ts_col), window_duration))
+    out = wm.groupBy(window.alias("w"),
+                     *[F.col(c) for c in group_cols]).agg(*aggs)
+    agg_names = [c for c in out.columns
+                 if c != "w" and c not in set(group_cols)]
+    return out.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      *group_cols, *agg_names)
+
+
+def sessionize_stream(df: DataFrame, ts_col: str, gap: str,
+                      group_cols: Sequence[str],
+                      watermark: str | None = None) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per key (F.session_window — state bounded by the watermark on
+    streams)."""
+    src = (df.withWatermark(ts_col, watermark)
+           if watermark and df.isStreaming else df)
+    return (src.groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
+                        *[F.col(c) for c in group_cols])
+            .agg(F.count("*").alias("n_events"))
+            .select(*group_cols,
+                    F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_events"))
+
+
+RUNNING_TOTALS_OUTPUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+RUNNING_TOTALS_STATE = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def stateful_running_totals(df: DataFrame, key_col: str = "user_id",
+                            value_col: str = "value") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, sum) carried across micro-batches in explicit
+    state — the escape hatch for semantics window functions can't express
+    incrementally. Emits the updated totals for every key seen in each
+    batch."""
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (df.groupBy(F.col(key_col))
+            .applyInPandasWithState(
+                update, RUNNING_TOTALS_OUTPUT, RUNNING_TOTALS_STATE,
+                "update", "NoTimeout"))
