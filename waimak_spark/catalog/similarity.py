@@ -19,6 +19,16 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_pairs(emb, dims=64, min_cosine=0.0)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_topk(emb, QUERY_IDS, k=5)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embedding_cosine_dedup(emb, min_cosine=0.0)
+
+
 ENTRIES = {
     "ann_brute_force_topk": {
         "fn": ann_brute_force_topk,
@@ -27,5 +37,13 @@ ENTRIES = {
     "ann_lsh_pairs": {
         "fn": ann_lsh_pairs,
         "oracle": S.lsh_ann_pairs_sql(dims=64, min_cosine=0.0),
+    },
+    "ann_ivf_topk": {
+        "fn": ann_ivf_topk,
+        "oracle": S.ivf_topk_sql(QUERY_IDS, k=5),
+    },
+    "dedup_embedding_cosine": {
+        "fn": dedup_embedding_cosine,
+        "oracle": S.embedding_cosine_dedup_sql(min_cosine=0.0),
     },
 }

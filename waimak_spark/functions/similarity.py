@@ -168,6 +168,176 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
     )
 
 
+def embedding_cosine_dedup(emb: DataFrame, min_cosine: float = 0.0,
+                           n_planes: int = DEFAULT_PLANES, dims: int = 64,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate RESOLUTION over embeddings: LSH candidate pairs with
+    cosine ≥ threshold become duplicate edges, and every id is assigned a
+    canonical id = min(itself, all duplicate partners) — one groupBy over
+    the edge list, no iteration. (Min-over-neighbors is the standard
+    single-pass approximation of connected components; chains longer than
+    one hop keep distinct canonicals until a later pass.)"""
+    pairs = lsh_ann_pairs(emb, n_planes, dims, min_cosine, id_col, vec_col)
+    edges = pairs.select(F.col("id_a").alias("id"),
+                         F.col("id_b").alias("peer")).unionAll(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("peer")))
+    ids = emb.select(F.col(id_col).alias("id"))
+    return (ids.join(edges, "id", "left")
+            .groupBy("id")
+            .agg(F.least(F.first("id"), F.min("peer")).alias("canonical"))
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("canonical", "id").alias("canonical_id")))
+
+
+def embedding_cosine_dedup_sql(min_cosine: float = 0.0,
+                               n_planes: int = DEFAULT_PLANES,
+                               dims: int = 64) -> str:
+    return f"""
+        with pairs as ({lsh_ann_pairs_sql(n_planes, dims, min_cosine)}),
+        edges as (
+            select id_a as id, id_b as peer from pairs
+            union all
+            select id_b as id, id_a as peer from pairs
+        )
+        select e.vec_id,
+               coalesce(least(e.vec_id, min(ed.peer)), e.vec_id) as canonical_id
+        from embeddings e
+        left join edges ed on ed.id = e.vec_id
+        group by e.vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantization into deterministic centroid cells; queries probe
+# the nprobe nearest cells — the classic scale path beyond brute force
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+_IVF_SEED = 1000  # centroid c uses plane-weight rows seeded at 1000+c
+
+
+def _centroid_matrix(n_centroids: int, dims: int) -> list[list[float]]:
+    return [[_plane_weight(_IVF_SEED + c, d) for d in range(dims)]
+            for c in range(n_centroids)]
+
+
+def _ivf_scores(vec: Column, n_centroids: int, dims: int) -> Column:
+    """Per-centroid score |c|² − 2·(v·c) — argmin equals nearest centroid
+    by euclidean distance (the |v|² term is constant per vector)."""
+    cents = F.lit(_centroid_matrix(n_centroids, dims))
+    return F.transform(cents, lambda w: dot(w, w) - 2.0 * dot(vec, w))
+
+
+def ivf_cell(vec: Column, n_centroids: int = IVF_CENTROIDS,
+             dims: int = 64) -> Column:
+    scores = _ivf_scores(vec, n_centroids, dims)
+    return F.array_position(scores, F.array_min(scores)).cast("int")
+
+
+def ivf_probe_cells(vec: Column, n_centroids: int = IVF_CENTROIDS,
+                    dims: int = 64, nprobe: int = IVF_NPROBE) -> Column:
+    scores = _ivf_scores(vec, n_centroids, dims)
+    idx = F.sequence(F.lit(1), F.lit(n_centroids))
+    ranked = F.array_sort(F.zip_with(
+        scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"])
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+             dims: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: corpus vectors are bucketed once by nearest
+    centroid (cell), each query probes its ``nprobe`` nearest cells, and
+    exact cosine ranks only the probed candidates.
+
+    Scale shape: one narrow pass assigns cells (no shuffle beyond the
+    spread), the probe set is tiny and broadcast, so candidate generation
+    is a broadcast-hash join on the cell id — corpus-side stays
+    partition-local, and the scored candidate count is ~nprobe/n_centroids
+    of brute force."""
+    from pyspark.sql import Window as W
+
+    from .dedup import spread_for_compute
+
+    v = as_double(F.col(vec_col))
+    base = spread_for_compute(emb).select(
+        F.col(id_col), v.alias("v"),
+        ivf_cell(v, n_centroids, dims).alias("cell"))
+    base = base.persist()
+    queries = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        ivf_probe_cells(F.col("v"), n_centroids, dims, nprobe).alias("probes"))
+    probe = queries.select("query_id", "qv",
+                           F.explode("probes").alias("cell"))
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    cand = (base.join(F.broadcast(probe), "cell")
+            .where(F.col(id_col) != F.col("query_id"))
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    sim.alias("cosine_sim")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
+                                          F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine_sim"))
+
+
+def ivf_topk_sql(query_ids: list[int], k: int = 5,
+                 n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+                 dims: int = 64) -> str:
+    cent_rows = ",\n                   ".join(
+        "({c}, [{w}]::DOUBLE[])".format(
+            c=c + 1,
+            w=", ".join(repr(_plane_weight(_IVF_SEED + c, d))
+                        for d in range(dims)),
+        )
+        for c in range(n_centroids)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        with cents(c, w) as (
+            values {cent_rows}
+        ), base as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        ), scored as (
+            select b.vec_id, b.v, k.c,
+                   list_dot_product(k.w, k.w)
+                       - 2 * list_dot_product(b.v, k.w) as score
+            from base b cross join cents k
+        ), cells as (
+            select vec_id, v, c as cell from (
+                select *, row_number() over (partition by vec_id
+                                             order by score, c) as rn
+                from scored
+            ) where rn = 1
+        ), probes as (
+            select vec_id as query_id, v as qv, c as cell from (
+                select *, row_number() over (partition by vec_id
+                                             order by score, c) as rn
+                from scored where vec_id in ({ids})
+            ) where rn <= {nprobe}
+        ), cand as (
+            select p.query_id, b.vec_id as neighbor_id,
+                   round(list_dot_product(p.qv, b.v)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(b.v, b.v))), 4)
+                       as cosine_sim
+            from probes p join cells b using (cell)
+            where b.vec_id != p.query_id
+        )
+        select query_id, neighbor_id, rank, cosine_sim
+        from (
+            select *, row_number() over (partition by query_id
+                                         order by cosine_sim desc,
+                                                  neighbor_id asc) as rank
+            from cand
+        )
+        where rank <= {k}
+    """
+
+
 def lsh_ann_pairs_sql(n_planes: int = DEFAULT_PLANES, dims: int = 64,
                       min_cosine: float = 0.5) -> str:
     plane_rows = ",\n                   ".join(
