@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions — the 100-TB posture, regression-locked:
+filters reach the parquet scan, small dimensions broadcast, partition
+columns prune directories, and nothing degenerates into a cartesian or
+broadcast-nested-loop join."""
+
+import pytest
+
+from waimak_spark.catalog import ALL_ENTRIES
+
+
+def plan_of(name, spark, sf_dir) -> str:
+    df = ALL_ENTRIES[name]["fn"](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# every catalog entry must avoid the two scale-killer join strategies,
+# except deliberate broadcasts of provably-tiny sides:
+# - ann_brute_force_topk crosses the corpus with a ≤10-row query set
+# - dedup_ngram_jaccard crosses with a ONE-row count aggregate (the
+#   in-plan stop-shingle threshold that replaced the driver-side .count())
+CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard"}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ENTRIES))
+def test_no_catastrophic_joins(name, spark, sf_dir):
+    plan = plan_of(name, spark, sf_dir)
+    if name in CROSS_OK:
+        return
+    for bad in NEVER_ACCEPTABLE:
+        assert bad not in plan, f"{name}: {bad} in physical plan"
+
+
+class TestScanEfficiency:
+    def test_filter_pushed_to_scan(self, spark, sf_dir):
+        # q6 filters on shipdate/discount/quantity — they must reach the
+        # parquet reader, not sit in a post-scan Filter only
+        plan = plan_of("q6_revenue_delta", spark, sf_dir)
+        assert "PushedFilters: [" in plan
+        assert "IsNotNull" in plan.split("PushedFilters")[1][:400]
+
+    def test_column_pruning(self, spark, sf_dir):
+        # part_feature_projection selects 3 of 9 part columns — ReadSchema
+        # must not include untouched wide columns
+        plan = plan_of("part_feature_projection", spark, sf_dir)
+        read_schema = plan.split("ReadSchema")[1][:300]
+        assert "p_comment" not in read_schema
+
+    def test_dimension_joins_broadcast(self, spark, sf_dir):
+        plan = plan_of("q5_region_revenue", spark, sf_dir)
+        assert "BroadcastHashJoin" in plan
+
+    def test_storage_reads_prune_partitions(self, spark, sf_dir):
+        # allBetween filters on the de_store_type/de_store_region partition
+        # columns → directory-level pruning at the scan
+        plan = plan_of("storage_all_between", spark, sf_dir)
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters")[1][:400]
+        assert "de_store_region" in pf
+
+    def test_asof_join_is_window_not_nested_loop(self, spark, sf_dir):
+        plan = plan_of("asof_quote_per_trade", spark, sf_dir)
+        assert "Window" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_range_join_is_equi_join(self, spark, sf_dir):
+        # the bucketed formulation must produce a hash join on the bucket,
+        # not a nested-loop over the inequality
+        plan = plan_of("range_join_shipments", spark, sf_dir)
+        assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) \
+            or ("ShuffledHashJoin" in plan)
+
+    def test_ivf_probe_is_broadcast(self, spark, sf_dir):
+        plan = plan_of("ann_ivf_topk", spark, sf_dir)
+        assert "BroadcastHashJoin" in plan
