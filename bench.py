@@ -64,9 +64,13 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        # force with the noop sink, not count(): count() lets Catalyst prune
+        # projection columns, so a narrow per-row query (fingerprint, quality
+        # metrics, simhash, ...) would be "benched" as a bare row count —
+        # noop evaluates every output column with no sink overhead
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

@@ -234,3 +234,61 @@ class TestInterceptors:
     def test_intercept_missing_label_raises(self):
         with pytest.raises(FlowValidationException, match="No action produces"):
             PostActionInterceptor.attach(DataFlow(), "zzz", lambda l, v, c: v)
+
+
+class TestConfigurationExtensions:
+    """Config-string-enabled pre-execution hooks (DataFlow.scala:345-367,
+    659-671) — explicit registry replacing ServiceLoader."""
+
+    def _context(self, conf):
+        from waimak_spark.dataflow.flow import FlowContext
+
+        class Ctx(FlowContext):
+            def get_string(self, key, default):
+                return conf.get(key, default)
+
+        return Ctx()
+
+    def test_enabled_extension_rewrites_flow(self):
+        from waimak_spark.dataflow.flow import (
+            CONF_EXTENSIONS,
+            DataFlowConfigurationExtension,
+            register_configuration_extension,
+        )
+
+        @register_configuration_extension
+        class AddMarker(DataFlowConfigurationExtension):
+            extension_key = "test_add_marker"
+
+            def pre_execution_manipulation(self, flow):
+                return flow.add_action(action([], ["marker"], produce(42)))
+
+        ctx = self._context({CONF_EXTENSIONS: "test_add_marker"})
+        prepared = DataFlow(ctx).prepare_for_execution()
+        assert any("marker" in a.output_labels for a in prepared.actions)
+        # execute() prepares internally — start from the raw flow
+        _, final = DataFlow(ctx).execute()
+        assert final.inputs["marker"] == 42
+
+    def test_unknown_extension_name_raises(self):
+        from waimak_spark.dataflow.flow import CONF_EXTENSIONS
+
+        ctx = self._context({CONF_EXTENSIONS: "no_such_ext"})
+        with pytest.raises(FlowValidationException, match="no_such_ext"):
+            DataFlow(ctx).prepare_for_execution()
+
+    def test_no_conf_runs_nothing(self):
+        flow = DataFlow().add_action(action([], ["a"], produce(1)))
+        assert len(flow.prepare_for_execution().actions) == 1
+
+    def test_registration_requires_key(self):
+        from waimak_spark.dataflow.flow import (
+            DataFlowConfigurationExtension,
+            register_configuration_extension,
+        )
+
+        class NoKey(DataFlowConfigurationExtension):
+            pass
+
+        with pytest.raises(ValueError, match="extension_key"):
+            register_configuration_extension(NoKey)

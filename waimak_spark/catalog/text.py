@@ -43,15 +43,28 @@ TOKEN_COUNTS_ORACLE = f"""
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc fingerprint: min/max shingle hash (winnowing-lite bounds)."""
+    """Per-doc fingerprint: min/max shingle hash (winnowing-lite bounds).
+
+    Staged projections (tokens → shingles → hashes) because interpreted
+    higher-order expressions get no CSE: inlined, the tokenize pipeline
+    would re-run per element_at reference and the md5 transform would run
+    twice (once under array_min, once under array_max)."""
     df = _docs(spark, sf_dir)
-    sh = F.array_distinct(D.shingles(D.tokens(F.col("text")), D.SHINGLE_N))
-    hashes = F.transform(sh, lambda s: T.md5_hash32(s))
-    return df.select(
+    tk = df.select("doc_id", T.tokens(F.col("text")).alias("_t"))
+    shd = tk.select(
         "doc_id",
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
-        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.array_distinct(D.shingles(F.col("_t"), D.SHINGLE_N)).alias("_sh"),
+    )
+    hsh = shd.select(
+        "doc_id",
+        F.transform(F.col("_sh"), lambda s: T.md5_hash32(s)).alias("_h"),
+        F.size("_sh").cast("bigint").alias("n_shingles"),
+    )
+    return hsh.select(
+        "doc_id",
+        F.array_min("_h").alias("fp_min"),
+        F.array_max("_h").alias("fp_max"),
+        "n_shingles",
     )
 
 

@@ -34,6 +34,43 @@ MAX_EXTENSION_ITERATIONS = 10  # spark.waimak.dataflow.maxIterations... default
 class FlowContext:
     """Execution context handed to every action body. Subclassed by Spark flows."""
 
+    def get_string(self, key: str, default: str) -> str:
+        """Config lookup; the base context has no config source."""
+        return default
+
+
+CONF_EXTENSIONS = "spark.waimak.dataflow.extensions"
+
+
+class DataFlowConfigurationExtension:
+    """Pre-execution hook enabled by listing its ``extension_key`` in the
+    comma-separated ``spark.waimak.dataflow.extensions`` config.
+
+    Reference: the ServiceLoader-discovered DataFlowConfigurationExtension
+    trait (DataFlow.scala:659-671) looked up and run once in
+    prepareForExecution (DataFlow.scala:345-367). Idiomatic Python: an
+    explicit registry populated by the ``register_configuration_extension``
+    decorator instead of java.util.ServiceLoader."""
+
+    extension_key: str = ""
+
+    def pre_execution_manipulation(self, flow: "DataFlow") -> "DataFlow":
+        return flow
+
+
+_CONFIGURATION_EXTENSIONS: dict[str, type] = {}
+
+
+def register_configuration_extension(cls: type) -> type:
+    """Class decorator: make a DataFlowConfigurationExtension discoverable
+    by its ``extension_key``."""
+    key = getattr(cls, "extension_key", "")
+    if not key:
+        raise ValueError(
+            f"{cls.__name__} must define a non-empty extension_key")
+    _CONFIGURATION_EXTENSIONS[key] = cls
+    return cls
+
 
 class MetadataExtension:
     """Flow-attached state with a pre-execution manipulation hook.
@@ -239,9 +276,23 @@ class DataFlow:
                 out.append(a)
         return out
 
+    def _enabled_configuration_extensions(self) -> list[DataFlowConfigurationExtension]:
+        names = [s.strip() for s in
+                 self.context.get_string(CONF_EXTENSIONS, "").split(",")
+                 if s.strip()]
+        unknown = [n for n in names if n not in _CONFIGURATION_EXTENSIONS]
+        if unknown:
+            raise FlowValidationException(
+                f"Unknown configuration extensions {unknown}; registered: "
+                f"{sorted(_CONFIGURATION_EXTENSIONS)}")
+        return [_CONFIGURATION_EXTENSIONS[n]() for n in names]
+
     def prepare_for_execution(self: F) -> F:
-        """Run metadata extensions until stable (≤10 iterations), then validate."""
+        """Run config extensions once, then metadata extensions until stable
+        (≤10 iterations), then validate."""
         flow = self
+        for cext in self._enabled_configuration_extensions():
+            flow = cext.pre_execution_manipulation(flow)
         for _ in range(MAX_EXTENSION_ITERATIONS):
             if not flow.extensions:
                 break

@@ -110,11 +110,19 @@ def shingle_base(df: DataFrame, text_col: str = "text",
     session's parallelism and persisted. Built identically by every
     shingle-consuming operator (MinHash, LSH, n-gram Jaccard) so the plans
     are equal and Spark's cache manager serves them all from ONE
-    materialization of the tokenize→shingle→distinct pipeline."""
+    materialization of the tokenize→shingle→distinct pipeline.
+
+    The token array is projected in its OWN select step before shingling:
+    interpreted higher-order expressions get no common-subexpression
+    elimination, so inlining ``tokens(text)`` into ``shingles`` re-runs the
+    whole split+filter once per ``element_at`` reference — i.e. 3× per
+    shingle, O(tokens²) per row. The two-step projection turns those into
+    bound-reference lookups (measured 10× faster at sf0.1)."""
     df = spread_for_compute(df)
-    return df.select(
+    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    return tk.select(
         F.col(id_col),
-        F.array_distinct(shingles(tokens(F.col(text_col)), n)).alias("_sh"),
+        F.array_distinct(shingles(F.col("_t"), n)).alias("_sh"),
     ).persist()
 
 

@@ -48,10 +48,16 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
     v = as_double(F.col(vec_col))
     base = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
+    # carry each vector's norm so the per-candidate expression does one dot
+    # product instead of three (self-dots are interpreted HOFs with no CSE);
+    # sqrt-then-multiply keeps the result IEEE-identical to the inline form
+    base = base.select("*", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     queries = base.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    sim = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    sim = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
     scored = (
         base.crossJoin(F.broadcast(queries))
         .where(F.col(id_col) != F.col("query_id"))
@@ -148,17 +154,23 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
     from ..functions.dedup import pairs_of, spread_for_compute
 
     v = as_double(F.col(vec_col))
-    base = spread_for_compute(emb).select(
-        F.col(id_col), v.alias("v"),
-        lsh_bucket(v, n_planes, dims).alias("bucket"),
+    base = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
+    base = base.select(
+        "*",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        lsh_bucket(F.col("v"), n_planes, dims).alias("bucket"),
     )
     buckets = (
         base.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.struct(id_col, "v"))).alias("ms"))
+        .agg(F.sort_array(
+            F.collect_list(F.struct(id_col, "v", "nrm"))).alias("ms"))
         .where(F.size("ms") >= 2)
     )
     p = F.explode(pairs_of(F.col("ms"))).alias("p")
-    sim = F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), 4)
+    # one dot per pair; norms were computed once per vector upstream
+    sim = F.round(
+        dot(F.col("p.a.v"), F.col("p.b.v"))
+        / (F.col("p.a.nrm") * F.col("p.b.nrm")), 4)
     return (
         buckets.select(p)
         .select(F.col(f"p.a.{id_col}").alias("id_a"),
@@ -179,15 +191,20 @@ def embedding_cosine_dedup(emb: DataFrame, min_cosine: float = 0.0,
     single-pass approximation of connected components; chains longer than
     one hop keep distinct canonicals until a later pass.)"""
     pairs = lsh_ann_pairs(emb, n_planes, dims, min_cosine, id_col, vec_col)
-    edges = pairs.select(F.col("id_a").alias("id"),
-                         F.col("id_b").alias("peer")).unionAll(
-        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("peer")))
+    # symmetric edge expansion in ONE pass over pairs (a unionAll of two
+    # projections would evaluate the whole LSH pipeline twice — no CSE
+    # across union branches), then pre-aggregate min(peer) per id so the
+    # corpus join touches one tiny row per duplicated id
+    edges = pairs.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("peer")),
+        F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("peer")),
+    )).alias("e")).select("e.id", "e.peer")
+    min_peer = edges.groupBy("id").agg(F.min("peer").alias("peer"))
     ids = emb.select(F.col(id_col).alias("id"))
-    return (ids.join(edges, "id", "left")
-            .groupBy("id")
-            .agg(F.least(F.first("id"), F.min("peer")).alias("canonical"))
+    return (ids.join(min_peer, "id", "left")
             .select(F.col("id").alias(id_col),
-                    F.coalesce("canonical", "id").alias("canonical_id")))
+                    F.coalesce(F.least("id", "peer"), F.col("id"))
+                    .alias("canonical_id")))
 
 
 def embedding_cosine_dedup_sql(min_cosine: float = 0.0,
@@ -223,11 +240,27 @@ def _centroid_matrix(n_centroids: int, dims: int) -> list[list[float]]:
             for c in range(n_centroids)]
 
 
+def _centroid_norms(n_centroids: int, dims: int) -> list[float]:
+    """|c|² per centroid, summed sequentially in Python — bit-identical to
+    the sequential ``aggregate``/``list_dot_product`` the engines would
+    compute, but done ONCE at plan-build time instead of per row (the
+    inline ``dot(w, w)`` was n_centroids×dims interpreted flops per row)."""
+    out = []
+    for c in range(n_centroids):
+        s = 0.0
+        for d in range(dims):
+            w = _plane_weight(_IVF_SEED + c, d)
+            s += w * w
+        out.append(s)
+    return out
+
+
 def _ivf_scores(vec: Column, n_centroids: int, dims: int) -> Column:
     """Per-centroid score |c|² − 2·(v·c) — argmin equals nearest centroid
     by euclidean distance (the |v|² term is constant per vector)."""
     cents = F.lit(_centroid_matrix(n_centroids, dims))
-    return F.transform(cents, lambda w: dot(w, w) - 2.0 * dot(vec, w))
+    norms = F.lit(_centroid_norms(n_centroids, dims))
+    return F.zip_with(cents, norms, lambda w, n2: n2 - 2.0 * dot(vec, w))
 
 
 def ivf_cell(vec: Column, n_centroids: int = IVF_CENTROIDS,
@@ -263,16 +296,29 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     from .dedup import spread_for_compute
 
     v = as_double(F.col(vec_col))
-    base = spread_for_compute(emb).select(
-        F.col(id_col), v.alias("v"),
-        ivf_cell(v, n_centroids, dims).alias("cell"))
-    base = base.persist()
+    # staged projections: v once, then the 16-centroid score array ONCE per
+    # row (array_position + array_min reference it as a bound column — the
+    # inline form evaluated the n_centroids×dims score pipeline twice per
+    # row, plus a cast per centroid), then the cell id
+    raw = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
+    scored = raw.select(
+        "*",
+        _ivf_scores(F.col("v"), n_centroids, dims).alias("_scores"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    base = scored.select(
+        F.col(id_col), "v", "nrm",
+        F.array_position(F.col("_scores"), F.array_min("_scores"))
+        .cast("int").alias("cell"),
+    ).persist()
     queries = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         ivf_probe_cells(F.col("v"), n_centroids, dims, nprobe).alias("probes"))
-    probe = queries.select("query_id", "qv",
+    probe = queries.select("query_id", "qv", "qn",
                            F.explode("probes").alias("cell"))
-    sim = F.round(cosine(F.col("qv"), F.col("v")), 4)
+    sim = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
     cand = (base.join(F.broadcast(probe), "cell")
             .where(F.col(id_col) != F.col("query_id"))
             .select("query_id", F.col(id_col).alias("neighbor_id"),
@@ -287,24 +333,25 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 def ivf_topk_sql(query_ids: list[int], k: int = 5,
                  n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
                  dims: int = 64) -> str:
+    norms = _centroid_norms(n_centroids, dims)
     cent_rows = ",\n                   ".join(
-        "({c}, [{w}]::DOUBLE[])".format(
+        "({c}, [{w}]::DOUBLE[], {n2})".format(
             c=c + 1,
             w=", ".join(repr(_plane_weight(_IVF_SEED + c, d))
                         for d in range(dims)),
+            n2=repr(norms[c]),
         )
         for c in range(n_centroids)
     )
     ids = ", ".join(str(i) for i in query_ids)
     return f"""
-        with cents(c, w) as (
+        with cents(c, w, n2) as (
             values {cent_rows}
         ), base as (
             select vec_id, embedding::DOUBLE[] as v from embeddings
         ), scored as (
             select b.vec_id, b.v, k.c,
-                   list_dot_product(k.w, k.w)
-                       - 2 * list_dot_product(b.v, k.w) as score
+                   k.n2 - 2 * list_dot_product(b.v, k.w) as score
             from base b cross join cents k
         ), cells as (
             select vec_id, v, c as cell from (
