@@ -354,14 +354,25 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
 # ~n/65 536 on random data — no cross-product degeneration at 100× scale.
 _SEGMENTS = [(0, 16), (16, 16), (32, 16), (48, 16)]  # (shift, width)
 DEFAULT_MAX_HAMMING = 3
+SIMHASH_MAX_BUCKET = 200  # frequent-bucket pruning, same guard as LSH
 
 
 def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
+                      max_bucket: int = SIMHASH_MAX_BUCKET,
                       id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ ``max_hamming`` over the 64-bit
     simhash. Segments are emitted with one ``explode`` (signature pipeline
     runs once, not once per segment), buckets built by ``groupBy``
-    (seg, segv), and pairs expanded in-bucket — no self-join."""
+    (seg, segv), and pairs expanded in-bucket — no self-join.
+
+    Buckets with more than ``max_bucket`` members are dropped before pair
+    expansion (frequent-bucket pruning): a 16-bit segment value shared by
+    thousands of docs makes the expansion quadratic while carrying little
+    near-dup signal — the guard bounds per-bucket fan-out to max_bucket²
+    at any corpus size (without it a template-heavy corpus degenerates:
+    the synthetic documents table already produces 67 200 pairs from 500
+    docs). Corpora where near-dup mass is genuinely quadratic should use a
+    canonical-assignment resolution instead of pair listing."""
     # materialize the (tiny: id + one long) signature before fanning it out
     # into 4 segment references — same no-CSE reasoning as in LSH banding
     sig = sig.persist()
@@ -382,7 +393,7 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
     buckets = (
         parts.groupBy("seg", "segv")
         .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
-        .where(F.size("ms") >= 2)
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
     p = F.explode(pairs_of(F.col("ms"))).alias("p")
     ham = F.bit_count(
@@ -398,6 +409,7 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
 
 
 def simhash_near_dups_sql(max_hamming: int = DEFAULT_MAX_HAMMING,
+                          max_bucket: int = SIMHASH_MAX_BUCKET,
                           bits: int = SIMHASH_BITS) -> str:
     seg_selects = " union all ".join(
         f"select doc_id as id, simhash, {seg} as seg, "
@@ -406,7 +418,13 @@ def simhash_near_dups_sql(max_hamming: int = DEFAULT_MAX_HAMMING,
     )
     return f"""
         with sig as ({simhash_sql(bits)}),
-        parts as ({seg_selects})
+        parts_all as ({seg_selects}),
+        parts as (
+            select * from (
+                select *, count(*) over (partition by seg, segv) as bn
+                from parts_all
+            ) where bn <= {max_bucket}
+        )
         select distinct a.id as doc_a, b.id as doc_b,
                bit_count(xor(a.simhash, b.simhash))::INTEGER as hamming
         from parts a join parts b
