@@ -172,3 +172,73 @@ class TestApps:
                       "spark.waimak.apprunner.second.dependencies"):
                 spark.conf.unset(k)
         assert order == ["first", "second"]
+
+
+class TestEnvironmentManager:
+    def test_create_and_cleanup_actions(self, spark, tmp_path):
+        from waimak_spark.app.runner import EnvironmentManager
+
+        calls = []
+
+        class App(WaimakApp):
+            def create_env(self, spark, prefix):
+                calls.append(("create", prefix))
+
+            def cleanup_env(self, spark, prefix):
+                calls.append(("cleanup", prefix))
+
+        mgr = EnvironmentManager({"demo": App()})
+        spark.conf.set(EnvironmentManager.CONF_APP, "demo")
+        try:
+            spark.conf.set(EnvironmentManager.CONF_ACTION, "create")
+            mgr.perform_env_action(spark)
+            spark.conf.set(EnvironmentManager.CONF_ACTION, "cleanup")
+            mgr.perform_env_action(spark)
+        finally:
+            spark.conf.unset(EnvironmentManager.CONF_APP)
+            spark.conf.unset(EnvironmentManager.CONF_ACTION)
+        assert calls == [("create", "spark.waimak.environment."),
+                         ("cleanup", "spark.waimak.environment.")]
+
+    def test_unknown_app_or_action_raise(self, spark):
+        from waimak_spark.app.runner import EnvironmentManager
+
+        mgr = EnvironmentManager({})
+        spark.conf.set(EnvironmentManager.CONF_APP, "nope")
+        try:
+            with pytest.raises(KeyError):
+                mgr.perform_env_action(spark)
+        finally:
+            spark.conf.unset(EnvironmentManager.CONF_APP)
+
+        mgr2 = EnvironmentManager({"demo": WaimakApp()})
+        spark.conf.set(EnvironmentManager.CONF_APP, "demo")
+        spark.conf.set(EnvironmentManager.CONF_ACTION, "destroy")
+        try:
+            with pytest.raises(ValueError, match="destroy"):
+                mgr2.perform_env_action(spark)
+        finally:
+            spark.conf.unset(EnvironmentManager.CONF_APP)
+            spark.conf.unset(EnvironmentManager.CONF_ACTION)
+
+
+class TestLogAndReturn:
+    def test_passthrough_and_message(self, caplog):
+        import logging
+
+        from waimak_spark.log import log_and_return
+
+        with caplog.at_level(logging.INFO, logger="waimak_spark"):
+            assert log_and_return(41, "static message") == 41
+            assert log_and_return(42, lambda v: f"value={v}") == 42
+        assert "static message" in caplog.text
+        assert "value=42" in caplog.text
+
+    def test_lazy_message_not_built_below_level(self, caplog):
+        import logging
+
+        from waimak_spark.log import log_and_return
+
+        boom = lambda v: (_ for _ in ()).throw(AssertionError("built"))  # noqa: E731
+        with caplog.at_level(logging.ERROR, logger="waimak_spark"):
+            assert log_and_return(7, boom, level=logging.DEBUG) == 7

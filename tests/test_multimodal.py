@@ -84,3 +84,32 @@ class TestDecodeAndFeatures:
         assert out["n_frames"] == 10
         assert out["n_sampled"] == 5
         assert len(bytes(out["sampled"])) == 5 * 64
+
+    def test_resize_image_nearest_neighbour(self, spark):
+        # 2×2 single-channel image with pixels 'abcd' → upscale to 4×4
+        df = spark.createDataFrame([(1, 2, 2, 1, "abcd")],
+                                   "id int, w int, h int, c int, px string")
+        payload = M.fake_image_payload(F.col("w"), F.col("h"), F.col("c"),
+                                       F.col("px"))
+        out = M.resize_image(df.select("id", payload.alias("data")),
+                             out_w=4, out_h=4).collect()[0]
+        b = bytes(out["resized"])
+        assert b[:8] == M.FAKE_IMAGE_MAGIC
+        assert (int(b[8:12]), int(b[12:16]), int(b[16:17])) == (4, 4, 1)
+        # nearest-neighbour: each source pixel becomes a 2×2 block
+        px = b[17:].decode()
+        assert px == "aabb" "aabb" "ccdd" "ccdd"
+        # downscale back to 2×2 returns the original pixels
+        out2 = M.resize_image(
+            M.resize_image(df.select("id", payload.alias("data")),
+                           out_w=4, out_h=4),
+            out_w=2, out_h=2, data_col="resized", out_col="small").collect()[0]
+        assert bytes(out2["small"])[17:].decode() == "abcd"
+
+    def test_resize_unknown_format_raises(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"JFIFxxxx"))],
+                                   "id int, data binary")
+        with pytest.raises(Exception) as e:
+            M.resize_image(df, 2, 2).collect()
+        assert "NotImplementedError" in str(e.value) or isinstance(
+            e.value, NotImplementedError)

@@ -77,3 +77,39 @@ class MultiAppRunner:
                     s, f"spark.waimak.environment.{name}."),
                 name, cfg.dependencies)
         Waimak.spark_executor().execute(flow)
+
+
+class EnvironmentManager:
+    """Create or clean up an application's environment by name, driven by
+    config (EnvironmentManager.scala): reads
+    ``spark.waimak.environment.appClassName`` (a registry key here — a
+    registry replaces reflection) and ``spark.waimak.environment.action``
+    (``create`` | ``cleanup``), then calls the app's
+    ``create_env``/``cleanup_env`` with the standard environment prefix."""
+
+    CONF_APP = "spark.waimak.environment.appClassName"
+    CONF_ACTION = "spark.waimak.environment.action"
+    ENV_PREFIX = "spark.waimak.environment."
+
+    def __init__(self, registry: dict[str, SparkApp]):
+        self.registry = dict(registry)
+
+    def perform_env_action(self, spark) -> None:
+        from ..dataflow.spark_flow import SparkFlowContext
+
+        ctx = SparkFlowContext(spark)
+        app_name = ctx.get_string(self.CONF_APP, "")
+        action = ctx.get_string(self.CONF_ACTION, "").lower()
+        if app_name not in self.registry:
+            raise KeyError(
+                f"App [{app_name}] is not registered; known: "
+                f"{sorted(self.registry)}")
+        app = self.registry[app_name]
+        if action == "create":
+            app.create_env(spark, self.ENV_PREFIX)
+        elif action == "cleanup":
+            app.cleanup_env(spark, self.ENV_PREFIX)
+        else:
+            raise ValueError(
+                f"Unsupported environment action [{action}]; expected "
+                f"create or cleanup")

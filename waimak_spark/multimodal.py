@@ -200,6 +200,51 @@ def byte_features(df: DataFrame, data_col: str = "data",
     return df.mapInPandas(run, schema)
 
 
+def resize_image(df: DataFrame, out_w: int, out_h: int,
+                 data_col: str = "data",
+                 out_col: str = "resized") -> DataFrame:
+    """Nearest-neighbour resize of FAKEIMG1 payloads to ``out_w``×``out_h``
+    in Arrow batches — pure byte arithmetic, deterministic, no codec. The
+    output column is a new FAKEIMG1 payload with the target dimensions.
+    Real formats raise ``NotImplementedError`` (no codec in this
+    environment); wire Pillow into a custom mapInPandas for those."""
+    import pandas as pd
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, BinaryType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def one(d: Optional[bytes]) -> Optional[bytes]:
+        if d is None:
+            return None
+        b = bytes(d)
+        if b[:8] != FAKE_IMAGE_MAGIC:
+            raise NotImplementedError(
+                "resize_image only understands the FAKEIMG1 payload format "
+                "in this environment")
+        w, h, c = int(b[8:12]), int(b[12:16]), int(b[16:17])
+        px = b[17:]
+        out = bytearray()
+        for y in range(out_h):
+            sy = (y * h) // out_h
+            for x in range(out_w):
+                sx = (x * w) // out_w
+                for ch in range(c):
+                    i = (sy * w + sx) * c + ch
+                    out.append(px[i] if i < len(px) else 0)
+        return (FAKE_IMAGE_MAGIC
+                + f"{out_w:04d}".encode() + f"{out_h:04d}".encode()
+                + str(c).encode() + bytes(out))
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[data_col].map(one)
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(run, schema)
+
+
 def frame_sample(df: DataFrame, data_col: str = "data",
                  frame_size: int = 64, every_n: int = 2,
                  out_col: str = "sampled") -> DataFrame:
