@@ -19,12 +19,13 @@ from .rdbm import ENTRIES as RDBM_ENTRIES
 from .relational import ENTRIES as RELATIONAL_ENTRIES
 from .similarity import ENTRIES as SIMILARITY_ENTRIES
 from .storage import ENTRIES as STORAGE_ENTRIES
+from .streaming import ENTRIES as STREAMING_ENTRIES
 from .text import ENTRIES as TEXT_ENTRIES
 
 ALL_ENTRIES: dict[str, dict] = {}
 for part in (RELATIONAL_ENTRIES, EVENT_ENTRIES, TEXT_ENTRIES,
              SIMILARITY_ENTRIES, STORAGE_ENTRIES, RDBM_ENTRIES,
-             MULTIMODAL_ENTRIES, JOIN_ENTRIES):
+             MULTIMODAL_ENTRIES, JOIN_ENTRIES, STREAMING_ENTRIES):
     overlap = set(part) & set(ALL_ENTRIES)
     if overlap:
         raise ValueError(f"duplicate catalog entries: {overlap}")
