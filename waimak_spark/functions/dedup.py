@@ -46,12 +46,20 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     before a CPU-heavy per-row pipeline (tokenize/shingle/hash are
     interpreted higher-order expressions — the scan's partition count caps
     their parallelism, and a small parquet file arrives as ONE partition).
-    At cluster scale inputs already arrive in many partitions and this is a
-    no-op; the guard costs only physical planning, no job."""
+
+    The skip-heuristic reads ``inputFiles()`` — driver-side file metadata
+    only. (``df.rdd.getNumPartitions()`` would finalize the physical plan,
+    which under AQE *executes* upstream shuffle stages when the operator is
+    composed over a derived frame — an eager action hidden in plan-build.)
+    At cluster scale a table arrives as many files and this is a no-op; a
+    frame with no file provenance is repartitioned, which is the safe side."""
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 
