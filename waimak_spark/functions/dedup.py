@@ -224,10 +224,17 @@ def lsh_candidate_pairs(sig: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
         .select(F.col(id_col).alias("id"),
                 F.posexplode(band_keys).alias("band", "band_key"))
     )
+    # window-precount BEFORE collect_list: filtering on size(ids) after
+    # collection would first materialize a degenerate bucket's full member
+    # array in one aggregation buffer (OOM at corpus scale); the count
+    # window is sort-based (no arrays), and the groupBy that follows hashes
+    # on the same keys so Spark reuses the exchange — no extra shuffle
+    w = W.partitionBy("band", "band_key")
+    bounded = (banded.withColumn("bn", F.count("*").over(w))
+               .where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket)))
     buckets = (
-        banded.groupBy("band", "band_key")
+        bounded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     return (
         buckets.select(F.explode(pairs_of(F.col("ids"))).alias("p"))
@@ -398,10 +405,14 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
         .select("id", "simhash", F.col("s.seg").alias("seg"),
                 F.col("s.segv").alias("segv"))
     )
+    # precount window before collecting (bounded aggregation buffers —
+    # same skew-safety reasoning as in lsh_candidate_pairs)
+    w = W.partitionBy("seg", "segv")
+    bounded = (parts.withColumn("bn", F.count("*").over(w))
+               .where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket)))
     buckets = (
-        parts.groupBy("seg", "segv")
+        bounded.groupBy("seg", "segv")
         .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
     p = F.explode(pairs_of(F.col("ms"))).alias("p")
     ham = F.bit_count(
@@ -448,6 +459,10 @@ def simhash_near_dups_sql(max_hamming: int = DEFAULT_MAX_HAMMING,
 
 MAX_DF_FRACTION = 0.01  # stop-shingle pruning: drop shingles in >1% of docs
 MIN_DF_FLOOR = 5
+# absolute cap regardless of corpus size: 1% of a billion-doc corpus is
+# still a 10M-member bucket (quadratic pairs + unbounded collect) — the
+# cap bounds per-bucket fan-out the same way MAX_BUCKET does for LSH
+MAX_DF_CAP = 100
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -472,9 +487,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col).alias("id"), F.explode("_sh").alias("shingle"))
         .select("id", F.md5("shingle").alias("sh"))
     )
-    threshold = F.greatest(
-        F.lit(MIN_DF_FLOOR).cast("bigint"),
-        F.floor(F.col("n_docs") * F.lit(MAX_DF_FRACTION)),
+    threshold = F.least(
+        F.greatest(
+            F.lit(MIN_DF_FLOOR).cast("bigint"),
+            F.floor(F.col("n_docs") * F.lit(MAX_DF_FRACTION)),
+        ),
+        F.lit(MAX_DF_CAP).cast("bigint"),
     )
     sh = (
         sh_all.withColumn("df", F.count("*").over(W.partitionBy("sh")))
@@ -524,9 +542,10 @@ def ngram_jaccard_pairs_sql(n: int = SHINGLE_N, min_jaccard: float = 0.1) -> str
             select id, sh from (
                 select *, count(*) over (partition by sh) as df from sh_all
             )
-            where df <= greatest({MIN_DF_FLOOR},
-                                 floor((select count(*) from documents)
-                                       * {MAX_DF_FRACTION})::BIGINT)
+            where df <= least(greatest({MIN_DF_FLOOR},
+                                       floor((select count(*) from documents)
+                                             * {MAX_DF_FRACTION})::BIGINT),
+                              {MAX_DF_CAP})
         ), sizes as (
             select id, count(*) as n_sh from sh group by id
         ), shared as (

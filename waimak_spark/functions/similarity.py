@@ -141,16 +141,24 @@ def lsh_bucket(vec: Column, n_planes: int, dims: int) -> Column:
     )
 
 
+LSH_ANN_MAX_BUCKET = 200  # frequent-bucket pruning (bounds collect + pairs)
+
+
 def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
                   dims: int = 64, min_cosine: float = 0.5,
+                  max_bucket: int = LSH_ANN_MAX_BUCKET,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Near-neighbour pairs among vectors sharing an LSH bucket.
 
-    Plan shape: one scan computes (id, v, bucket); buckets are grouped and
-    pairs expanded in-bucket (collect_list + array pair expression) so the
-    projection pipeline runs once and there is no self-join shuffle of the
-    corpus — a single shuffle on the bucket key."""
+    Plan shape: one scan computes (id, v, bucket); bucket sizes are counted
+    with a sort-based window FIRST (so a degenerate bucket — e.g. a corpus
+    full of identical vectors — never materializes an unbounded member
+    array in an aggregation buffer), oversized buckets are dropped, and
+    pairs are expanded in-bucket. The groupBy hashes on the same key as the
+    window so the exchange is reused — one shuffle total, no self-join."""
+    from pyspark.sql import Window as W
+
     from ..functions.dedup import pairs_of, spread_for_compute
 
     v = as_double(F.col(vec_col))
@@ -160,11 +168,14 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
         lsh_bucket(F.col("v"), n_planes, dims).alias("bucket"),
     )
+    bounded = (
+        base.withColumn("bn", F.count("*").over(W.partitionBy("bucket")))
+        .where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
+    )
     buckets = (
-        base.groupBy("bucket")
+        bounded.groupBy("bucket")
         .agg(F.sort_array(
             F.collect_list(F.struct(id_col, "v", "nrm"))).alias("ms"))
-        .where(F.size("ms") >= 2)
     )
     p = F.explode(pairs_of(F.col("ms"))).alias("p")
     # one dot per pair; norms were computed once per vector upstream
@@ -190,7 +201,8 @@ def embedding_cosine_dedup(emb: DataFrame, min_cosine: float = 0.0,
     the edge list, no iteration. (Min-over-neighbors is the standard
     single-pass approximation of connected components; chains longer than
     one hop keep distinct canonicals until a later pass.)"""
-    pairs = lsh_ann_pairs(emb, n_planes, dims, min_cosine, id_col, vec_col)
+    pairs = lsh_ann_pairs(emb, n_planes, dims, min_cosine,
+                          id_col=id_col, vec_col=vec_col)
     # symmetric edge expansion in ONE pass over pairs (a unionAll of two
     # projections would evaluate the whole LSH pipeline twice — no CSE
     # across union branches), then pre-aggregate min(peer) per id so the
@@ -386,7 +398,8 @@ def ivf_topk_sql(query_ids: list[int], k: int = 5,
 
 
 def lsh_ann_pairs_sql(n_planes: int = DEFAULT_PLANES, dims: int = 64,
-                      min_cosine: float = 0.5) -> str:
+                      min_cosine: float = 0.5,
+                      max_bucket: int = LSH_ANN_MAX_BUCKET) -> str:
     plane_rows = ",\n                   ".join(
         "({p}, [{w}]::DOUBLE[])".format(
             p=p,
@@ -405,9 +418,14 @@ def lsh_ann_pairs_sql(n_planes: int = DEFAULT_PLANES, dims: int = 64,
                        then (1::BIGINT << pl.p) else 0 end)::BIGINT as bucket
             from base b cross join planes pl
             group by b.vec_id
-        ), bb as (
+        ), bb_all as (
             select b.vec_id, b.v, k.bucket
             from base b join bucketed k using (vec_id)
+        ), bb as (
+            select * from (
+                select *, count(*) over (partition by bucket) as bn
+                from bb_all
+            ) where bn >= 2 and bn <= {max_bucket}
         )
         select a.vec_id as id_a, b.vec_id as id_b,
                round(list_dot_product(a.v, b.v)
