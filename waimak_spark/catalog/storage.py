@@ -26,6 +26,10 @@ from ..storage import AuditTableInfo, FileStorageOps
 from ..storage.audit import AuditTableFile, create_table, open_tables
 
 _BUILD_MARKER = "_BUILD_OK"
+# bump when the audit layout or the batch construction changes: a marker
+# from an older build (persisted /tmp across driver rounds) must not be
+# trusted to match the current reader
+_BUILD_VERSION = "v2"
 UPDATE_EVERY = 3  # every third order gets an update in batch 2
 UPDATE_DELAY_DAYS = 1000
 CUTOFF = "2000-01-01 00:00:00"  # between batch-1 and batch-2 date ranges
@@ -59,7 +63,16 @@ def _audit_orders(spark: SparkSession, sf_dir: str) -> AuditTableFile:
     """Build (once per sf_dir) and open the audit table."""
     base = _base_dir(sf_dir)
     ops = FileStorageOps(spark, base)
-    if not ops.fops.exists(f"{base}/{_BUILD_MARKER}"):
+    marker = f"{base}/{_BUILD_MARKER}"
+
+    def _marker_current() -> bool:
+        try:
+            return (ops.fops.exists(marker)
+                    and ops.fops.read_string(marker).strip() == _BUILD_VERSION)
+        except Exception:
+            return False
+
+    if not _marker_current():
         shutil.rmtree(base, ignore_errors=True)
         b1, b2 = _batches(spark, sf_dir)
         info = AuditTableInfo("orders_audit", ["o_orderkey"], {}, True)
@@ -67,7 +80,7 @@ def _audit_orders(spark: SparkSession, sf_dir: str) -> AuditTableFile:
         t, _ = t.append(b1, "last_updated")
         t, _ = t.append(b2, "last_updated")
         t.compact(small_region_row_threshold=10**9)
-        ops.fops.write_string(f"{base}/{_BUILD_MARKER}", "ok")
+        ops.fops.write_string(marker, _BUILD_VERSION)
     tables, _ = open_tables(ops, ["orders_audit"])
     return tables["orders_audit"]
 
