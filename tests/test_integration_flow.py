@@ -1,0 +1,129 @@
+"""Whole-engine integration: ONE flow combining sources, sql, data-quality
+checks, plan-cut caching, audit-table storage writes, the staged-move
+committer with metastore sync, and the manifest committer — executed by
+the parallel executor. Cross-feature interactions (DQ interceptors + tag
+wiring + commit rewrites) are where orchestration frameworks break."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from waimak_spark import Waimak
+from waimak_spark.dataflow import ParallelDataFlowExecutor
+from waimak_spark.dataquality import CollectingAlertHandler, completeness_check
+from waimak_spark.filesystem import FileOps
+from waimak_spark.operators.commit import ParquetDataCommitter
+from waimak_spark.operators.manifest_commit import (
+    ManifestParquetDataCommitter,
+    read_manifest_table,
+)
+from waimak_spark.operators.metastore import HiveDummyConnector
+from waimak_spark.storage.audit import open_tables
+from waimak_spark.storage.file_ops import FileStorageOps
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_everything_in_one_flow(spark, tmp_path):
+    out = str(tmp_path / "committed")
+    mout = str(tmp_path / "manifested")
+    storage = str(tmp_path / "storage")
+    handler = CollectingAlertHandler()
+    connector = None
+
+    flow = (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
+            .open_file_parquet(f"{SF}/orders.parquet", "orders")
+            .open_file_parquet(f"{SF}/customer.parquet", "customer")
+            .sql("orders", "customer",
+                 output="enriched",
+                 query="""
+                   select o.o_orderkey, o.o_custkey, c.c_name,
+                          o.o_totalprice,
+                          cast(o.o_orderdate as timestamp) as last_updated
+                   from orders o join customer c
+                     on o.o_custkey = c.c_custkey
+                 """)
+            .transform("enriched", output="summary",
+                       fn=lambda df: df.groupBy("o_custkey").agg(
+                           F.count("*").alias("n_orders"),
+                           F.round(F.sum("o_totalprice"), 2).alias("total")))
+            .add_data_quality_check(
+                "summary", completeness_check(["total"],
+                                              warning_threshold=0.9),
+                handler)
+            .cache_as_parquet("enriched"))
+
+    # storage write path for the enriched label
+    flow = (flow.get_or_create_audit_table(
+                storage, "enriched",
+                metadata_retrieval=lambda t: __import__(
+                    "waimak_spark.storage.audit", fromlist=["AuditTableInfo"]
+                ).AuditTableInfo(t, ["o_orderkey"], {}, True))
+            .write_to_storage("enriched", "last_updated"))
+
+    # staged-move commit with metastore sync + manifest commit, same flow
+    ctx = flow.context
+    connector = HiveDummyConnector(ctx, database="testdb")
+    flow = (flow
+            .commit("main", "summary")
+            .push("main", ParquetDataCommitter(
+                out, snapshot_folder="snap=2026",
+                metastore_connector=connector, metastore_db="testdb"))
+            .commit("mirror", "enriched")
+            .push("mirror", ManifestParquetDataCommitter(mout)))
+
+    executed, final = flow.execute(ParallelDataFlowExecutor(max_jobs=4))
+    assert not final.actions
+
+    # committed snapshot readable and correct vs direct computation
+    got = spark.read.parquet(f"{out}/summary/snap=2026")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    expected = (orders.groupBy("o_custkey")
+                .agg(F.count("*").alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total")))
+    assert got.count() == expected.count()
+    j = (got.withColumnRenamed("total", "got_total")
+         .join(expected, "o_custkey"))
+    assert j.where(F.col("got_total") != F.col("total")).count() == 0
+
+    # metastore DDLs captured for the committed label
+    assert connector.ran_ddls, "metastore sync never ran"
+    assert any("summary" in d for batch in connector.ran_ddls for d in batch)
+
+    # manifest mirror readable
+    m = read_manifest_table(spark, f"{mout}/enriched")
+    assert m.count() == orders.count()
+
+    # audit table holds one hot region with the enriched rows
+    ops = FileStorageOps(spark, storage)
+    tables, _ = open_tables(ops, ["enriched"])
+    snap = tables["enriched"].snapshot()
+    assert snap is not None and snap.count() == orders.count()
+
+    # DQ ran and raised no warning (totals are complete)
+    assert all(a.importance.name != "CRITICAL" for a in handler.alerts)
+
+
+def test_dq_warning_and_commit_coexist(spark, tmp_path):
+    """A failing DQ check with a collecting handler must not abort the
+    commit; the alert is routed, the data still lands."""
+    out = str(tmp_path / "out")
+    handler = CollectingAlertHandler()
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id int, v string")
+
+    # DQ checks attach to a label's PRODUCER (interceptor semantics, as in
+    # the reference) — flow inputs must pass through an action first
+    flow = (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
+            .add_input("raw", df)
+            .transform("raw", output="t", fn=lambda d: d)
+            .add_data_quality_check(
+                "t", completeness_check(["v"], warning_threshold=0.95),
+                handler)
+            .commit("c", "t")
+            .push("c", ParquetDataCommitter(out)))
+    flow.execute(ParallelDataFlowExecutor(max_jobs=4))
+
+    assert spark.read.parquet(f"{out}/t").count() == 3
+    assert handler.alerts, "completeness warning expected"

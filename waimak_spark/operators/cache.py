@@ -26,6 +26,25 @@ def _consumers(flow: DataFlow, label: str) -> int:
     return sum(1 for a in flow.actions for l in a.input_labels if l == label)
 
 
+def _producer(flow: DataFlow, label: str):
+    return next((a for a in flow.actions if label in a.output_labels), None)
+
+
+def _mark_cached(flow: DataFlow, old_producer, label: str, attr: str) -> DataFlow:
+    """Record on the (new) interceptor that ``label`` is already cached so a
+    second cache request becomes a no-op — an explicit ``cache_as_parquet``
+    plus the commit extension's auto-cache of reused committed labels would
+    otherwise stack two write+re-read posts on one label: the second
+    overwrite deletes the files the first one's re-read plan points at
+    (self-overwrite read failure). One cache per label, like the reference."""
+    new_producer = _producer(flow, label)
+    marks = set(getattr(new_producer, attr, ()))
+    marks |= set(getattr(old_producer, attr, ()))
+    marks.add(label)
+    setattr(new_producer, attr, frozenset(marks))
+    return flow
+
+
 class CacheAsParquetExtension(MetadataExtension):
     def __init__(self, label: str, partitions: int | None = None,
                  partition_cols: Sequence[str] | None = None,
@@ -40,6 +59,9 @@ class CacheAsParquetExtension(MetadataExtension):
         only_reused = flow.context.get_boolean(CONF_CACHE_ONLY_REUSED, True)
         if only_reused and _consumers(flow, self.label) < 2:
             return flow
+        old_producer = _producer(flow, self.label)
+        if self.label in getattr(old_producer, "parquet_cached_labels", ()):
+            return flow  # already cached — never stack a second write+re-read
 
         ext = self
 
@@ -60,7 +82,9 @@ class CacheAsParquetExtension(MetadataExtension):
             w.mode("overwrite").parquet(path)
             return context.spark.read.parquet(path)
 
-        return PostActionInterceptor.attach(flow, self.label, post)
+        flow = PostActionInterceptor.attach(flow, self.label, post)
+        return _mark_cached(flow, old_producer, self.label,
+                            "parquet_cached_labels")
 
 
 class SparkCacheExtension(MetadataExtension):
@@ -73,6 +97,9 @@ class SparkCacheExtension(MetadataExtension):
         only_reused = flow.context.get_boolean(CONF_CACHE_ONLY_REUSED, True)
         if only_reused and _consumers(flow, self.label) < 2:
             return flow
+        old_producer = _producer(flow, self.label)
+        if self.label in getattr(old_producer, "spark_cached_labels", ()):
+            return flow
         level = getattr(StorageLevel, self.storage_level)
 
         def post(_label: str, value, _context):
@@ -82,4 +109,6 @@ class SparkCacheExtension(MetadataExtension):
             df.head(1)  # cheap forcing action (vs rdd.isEmpty in the reference)
             return df
 
-        return PostActionInterceptor.attach(flow, self.label, post)
+        flow = PostActionInterceptor.attach(flow, self.label, post)
+        return _mark_cached(flow, old_producer, self.label,
+                            "spark_cached_labels")
