@@ -196,10 +196,11 @@ class TestLowerCaseAll:
 class _StubExtractor(SQLServerExtractor):
     """JDBC boundary replaced with in-memory frames."""
 
-    def __init__(self, spark, frame, pk_rows):
+    def __init__(self, spark, frame, pk_rows, split_values=(3, 6)):
         super().__init__(spark, "jdbc:sqlserver://stub")
         self._frame = frame
         self._pk_rows = pk_rows
+        self._split_values = split_values
         self.queries: list[str] = []
         self.predicates = None
 
@@ -208,7 +209,8 @@ class _StubExtractor(SQLServerExtractor):
         self.predicates = predicates
         if "split_point" in table_or_query:
             return self._frame.sparkSession.createDataFrame(
-                [(str(v),) for v in (3, 6)], "split_point string")
+                [(str(v),) for v in self._split_values],
+                "split_point string")
         if "sys.tables" in table_or_query or "pg_class" in table_or_query:
             return self._pk_rows
         return self._frame
@@ -250,3 +252,21 @@ class TestStubExtraction:
         # split predicates were generated from the stubbed points
         assert ex.predicates == [
             "[id] >= '3' and [id] < '6'", "[id] < '3'", "[id] >= '6'"]
+
+    def test_numeric_split_points_keep_db_order(self, spark):
+        """Numeric PKs whose string order differs from numeric order
+        (5,9,10 → '10','5','9' when string-sorted) must keep the
+        DB-returned order, else the predicates overlap and partitioned
+        extraction silently duplicates rows (RDBMExtractor.scala:247-253
+        never re-sorts)."""
+        frame = spark.createDataFrame(
+            [(1, "x", datetime(2020, 1, 1))],
+            "id int, v string, updated timestamp")
+        ex = _StubExtractor(spark, frame, self._pk_frame(spark),
+                            split_values=(5, 9, 10))
+        meta = TableExtractionMetadata("dbo", "items", ["id"], "updated")
+        ex.get_table_dataset(meta.to_meta(), None, max_rows_per_partition=2)
+        assert ex.predicates == [
+            "[id] >= '5' and [id] < '9'",
+            "[id] >= '9' and [id] < '10'",
+            "[id] < '5'", "[id] >= '10'"]

@@ -140,8 +140,13 @@ class RDBMExtractor:
                                   ) -> Optional[list[str]]:
         q = split_points_query(meta, last_updated, max_rows_per_partition,
                                self.escape_keyword)
+        # Preserve the DB-returned order: the split-points query is already
+        # ordered by the PK in the DB's native collation
+        # (RDBMExtractor.scala:247-253). Re-sorting the *stringified* points
+        # here (e.g. numeric PKs 5,9,10 -> '10','5','9') would produce
+        # overlapping predicates and silently duplicate rows.
         points = [str(r[0]) for r in self._read_jdbc_query(q).collect()]
-        return split_points_to_predicates(sorted(points), meta,
+        return split_points_to_predicates(points, meta,
                                           self.escape_keyword)
 
     def get_table_dataset(self, meta_map: dict[str, str],
