@@ -17,8 +17,6 @@ to parquet/kafka with a checkpoint.
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,7 +54,13 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_start"),
         "event_type", "n", "sum_value")
 
-    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    # FIXED sink name, dropped before each run: a per-invocation uuid name
+    # would leak one registered memory-sink table per call into the session
+    # (same hygiene class as an unpersisted cache) — with a fixed name the
+    # session holds at most one, and the previous run's query is already
+    # stopped (awaitTermination + stop below) so the name is free to reuse
+    name = "stream_tumbling_counts_sink"
+    spark.catalog.dropTempView(name)
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .cache_registry import tracked_persist
 from .text import (
     TOKENS_SQL,
     seeded_hash,
@@ -54,7 +55,12 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     At cluster scale a table arrives as many files and this is a no-op; a
     frame with no file provenance is repartitioned, which is the safe side."""
     spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        # non-numeric on some platforms (e.g. "auto" under Databricks
+        # AQE auto-optimized shuffle) — fall back to cluster parallelism
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        target = spark.sparkContext.defaultParallelism
     try:
         if len(df.inputFiles()) >= target:
             return df
@@ -128,10 +134,10 @@ def shingle_base(df: DataFrame, text_col: str = "text",
     bound-reference lookups (measured 10× faster at sf0.1)."""
     df = spread_for_compute(df)
     tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    return tk.select(
+    return tracked_persist(tk.select(
         F.col(id_col),
         F.array_distinct(shingles(F.col("_t"), n)).alias("_sh"),
-    ).persist()
+    ))
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
@@ -218,7 +224,7 @@ def lsh_candidate_pairs(sig: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
     # columns, and interpreted higher-order expressions get no common-
     # subexpression elimination — without the persist the whole
     # tokenize→shingle→minhash pipeline would be re-evaluated per band key
-    sig = sig.persist()
+    sig = tracked_persist(sig)
     banded = (
         sig.where(F.col("mh0").isNotNull())
         .select(F.col(id_col).alias("id"),
@@ -390,7 +396,7 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
     canonical-assignment resolution instead of pair listing."""
     # materialize the (tiny: id + one long) signature before fanning it out
     # into 4 segment references — same no-CSE reasoning as in LSH banding
-    sig = sig.persist()
+    sig = tracked_persist(sig)
     segs = F.array(*[
         F.struct(
             F.lit(s).alias("seg"),
@@ -503,7 +509,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # materialize once: both the sizes agg and the bucket pair expansion
     # read it (at cluster scale the flow's cache_as_parquet plan-cut is the
     # equivalent; persist suffices for a single operator invocation)
-    sh = sh.persist()
+    sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     buckets = (
         sh.groupBy("sh")

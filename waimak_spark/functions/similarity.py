@@ -1,22 +1,37 @@
 """Similarity search over embedding columns (``array<float>``):
 brute-force cosine top-k as the exact baseline, LSH-bucketed (random
-hyperplane / sign-bits) as the scale path.
+hyperplane / sign-bits) as the scale path, IVF (coarse centroid cells)
+for approximate top-k.
 
-All vector math is built-in ``F`` array expressions (``zip_with`` +
-``aggregate``) — JVM-side, no Python serde per row.
+Vector math runs in TWO lockstep forms:
+
+* ``Column`` expressions (``zip_with`` + ``aggregate``) — JVM-side,
+  used for tiny inputs and kept as the reference semantics; and
+* vectorized Arrow-batch kernels (``pandas_udf`` + NumPy) for the hot
+  per-row scoring paths. The NumPy kernels accumulate **sequentially over
+  dimensions** (one IEEE-754 rounding per multiply and per add, in the
+  same order as ``F.aggregate``/``zip_with`` and DuckDB
+  ``list_dot_product``) while vectorizing **across rows**, so the results
+  are bit-identical to the interpreted-HOF form — argmin / sign-bit
+  decisions cannot diverge from the oracle. NumPy elementwise ufuncs do
+  not fuse multiply-add, so no FMA contraction breaks the parity.
 
 Scale notes (100 TB posture): brute-force is a broadcast of the query set
 against a scan of the corpus (no shuffle on the big side; O(Q×N) flops).
 The LSH variant assigns each vector a sign-bit bucket from D deterministic
 pseudo-random hyperplanes, so candidate generation is an equi-join on
 bucket id — at 1000 executors the corpus-side stays partition-local until
-one shuffle on the (small) bucket key space.
+one shuffle on the (small) bucket key space. Scoring is Arrow-batched
+(~1000 rows per Python call), never row-at-a-time.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -37,11 +52,126 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+# ---------------------------------------------------------------------------
+# vectorized Arrow-batch kernels (the hot path)
+# ---------------------------------------------------------------------------
+
+
+def _rows_matrix(series: pd.Series) -> np.ndarray:
+    """Stack an Arrow batch of array<double> values into an (n, d) float64
+    matrix (rows arrive as numpy arrays already; this is one copy)."""
+    if len(series) == 0:
+        return np.zeros((0, 0))
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _seq_matmul(X: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """``X(n,d) · Wᵀ(d,p)`` accumulated sequentially over ``d`` but
+    vectorized over rows: per element one rounded multiply then one rounded
+    add per dimension, in ascending-dimension order — bit-identical to the
+    per-row ``F.aggregate(F.zip_with(v, w, *), 0.0, +)`` and to DuckDB's
+    ``list_dot_product``. (A BLAS ``X @ W.T`` would use pairwise/blocked
+    summation whose roundoff differs in the last ulp — enough to flip an
+    argmin between near-tied centroids and break oracle lockstep.)"""
+    acc = np.zeros((X.shape[0], W.shape[0]))
+    for d in range(W.shape[1]):
+        acc += X[:, d, None] * W[:, d][None, :]
+    return acc
+
+
+def _seq_rowdot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise sequential dot product of two (n, d) matrices."""
+    acc = np.zeros(A.shape[0])
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+# DataType instances (not DDL strings) so the module imports without an
+# active SparkSession — DDL return types are parsed at decoration time
+@F.pandas_udf(DoubleType())
+def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Sequential dot product per row-pair (Arrow-batched)."""
+    A, B = _rows_matrix(a), _rows_matrix(b)
+    if A.size == 0:
+        return pd.Series(np.zeros(len(a)))
+    return pd.Series(_seq_rowdot(A, B))
+
+
+# ---------------------------------------------------------------------------
+# sign-bit LSH bucketing: deterministic pseudo-random hyperplanes from a
+# seeded md5 hash of (plane, dim) — reproducible in ANSI SQL
+# ---------------------------------------------------------------------------
+
+DEFAULT_PLANES = 16  # 2^16 = 65 536 buckets — candidate fan-out ~n²/65 536;
+# at 8 planes (256 buckets) the bucket join degenerates toward n²/256 at
+# corpus scale, so 16 is the floor for a 100×-safe single-table LSH
+
+
+def _plane_weight(plane: int, dim: int) -> float:
+    """Deterministic weight in [-1, 1): derived from md5(plane:dim)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h / 2**31) - 1.0
+
+
+def _plane_matrix(n_planes: int, dims: int) -> list[list[float]]:
+    return [[_plane_weight(p, d) for d in range(dims)] for p in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, n_planes: int, dims: int) -> Column:
+    """Pack sign bits of ``n_planes`` hyperplane projections into a long.
+
+    Expression form (interpreted HOFs) — kept as the reference semantics
+    and for composition inside pure-SQL plans; the bucketing operators use
+    the bit-identical vectorized kernel ``_lsh_features`` instead."""
+    planes = F.lit(_plane_matrix(n_planes, dims))
+    bitvals = F.lit([1 << p for p in range(n_planes)]).cast("array<long>")
+    projs = F.transform(planes, lambda w: dot(vec, w))
+    return F.aggregate(
+        F.zip_with(projs, bitvals,
+                   lambda pr, bv: F.when(pr > 0, bv).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def _lsh_features(n_planes: int, dims: int):
+    """Vectorized (bucket, nrm) kernel: one Arrow pass computes the
+    sign-bit bucket and the vector norm for a whole batch."""
+    W = np.array(_plane_matrix(n_planes, dims))
+    bits = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf("bucket long, nrm double")
+    def feat(v: pd.Series) -> pd.DataFrame:
+        X = _rows_matrix(v)
+        if X.size == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "nrm": pd.Series([], dtype="float64")})
+        proj = _seq_matmul(X, W)
+        bucket = ((proj > 0) * bits).sum(axis=1)
+        return pd.DataFrame({"bucket": bucket,
+                             "nrm": np.sqrt(_seq_rowdot(X, X))})
+
+    return feat
+
+
+LSH_ANN_MAX_BUCKET = 200  # frequent-bucket pruning (bounds collect + pairs)
+
+
 def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbours for the given query ids (broadcast the
-    query side; corpus side is a single scan)."""
+    query side; corpus side is a single scan).
+
+    Candidate scoring stays a JVM ``Column`` expression here: the cross
+    product is Q×N rows each carrying two 64-dim vectors, and shipping that
+    through Arrow to a Python kernel costs more in serde than the
+    interpreted dot saves (measured 10× slower at sf0.1) — the vectorized
+    kernels win only where the per-row compute is many dots (LSH/IVF
+    bucketing) or the pair set is bucket-bounded."""
     from pyspark.sql import Window as W
 
     from .dedup import spread_for_compute
@@ -101,49 +231,6 @@ def brute_force_topk_sql(query_ids: list[int], k: int = 5) -> str:
     """
 
 
-# ---------------------------------------------------------------------------
-# sign-bit LSH bucketing: deterministic pseudo-random hyperplanes from a
-# seeded md5 hash of (plane, dim) — reproducible in ANSI SQL
-# ---------------------------------------------------------------------------
-
-DEFAULT_PLANES = 16  # 2^16 = 65 536 buckets — candidate fan-out ~n²/65 536;
-# at 8 planes (256 buckets) the bucket join degenerates toward n²/256 at
-# corpus scale, so 16 is the floor for a 100×-safe single-table LSH
-
-
-def _plane_weight(plane: int, dim: int) -> float:
-    """Deterministic weight in [-1, 1): derived from md5(plane:dim)."""
-    import hashlib
-
-    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
-    return (h / 2**31) - 1.0
-
-
-def _plane_matrix(n_planes: int, dims: int) -> list[list[float]]:
-    return [[_plane_weight(p, d) for d in range(dims)] for p in range(n_planes)]
-
-
-def lsh_bucket(vec: Column, n_planes: int, dims: int) -> Column:
-    """Pack sign bits of ``n_planes`` hyperplane projections into a long.
-
-    The plane matrix is a SINGLE array<array<double>> literal traversed
-    with ``transform``/``zip_with``/``aggregate`` — one compact expression
-    tree instead of n_planes×dims inline literal terms (which stressed
-    codegen at 8×64 already)."""
-    planes = F.lit(_plane_matrix(n_planes, dims))
-    bitvals = F.lit([1 << p for p in range(n_planes)]).cast("array<long>")
-    projs = F.transform(planes, lambda w: dot(vec, w))
-    return F.aggregate(
-        F.zip_with(projs, bitvals,
-                   lambda pr, bv: F.when(pr > 0, bv).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-
-
-LSH_ANN_MAX_BUCKET = 200  # frequent-bucket pruning (bounds collect + pairs)
-
-
 def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
                   dims: int = 64, min_cosine: float = 0.5,
                   max_bucket: int = LSH_ANN_MAX_BUCKET,
@@ -151,22 +238,28 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
                   vec_col: str = "embedding") -> DataFrame:
     """Near-neighbour pairs among vectors sharing an LSH bucket.
 
-    Plan shape: one scan computes (id, v, bucket); bucket sizes are counted
-    with a sort-based window FIRST (so a degenerate bucket — e.g. a corpus
-    full of identical vectors — never materializes an unbounded member
-    array in an aggregation buffer), oversized buckets are dropped, and
-    pairs are expanded in-bucket. The groupBy hashes on the same key as the
-    window so the exchange is reused — one shuffle total, no self-join."""
+    Plan shape: one scan computes (id, v, bucket, nrm) — bucket and norm
+    come from ONE Arrow-batched kernel pass; bucket sizes are counted with
+    a sort-based window FIRST (so a degenerate bucket — e.g. a corpus full
+    of identical vectors — never materializes an unbounded member array in
+    an aggregation buffer), oversized buckets are dropped, and pairs are
+    expanded in-bucket. The groupBy hashes on the same key as the window so
+    the exchange is reused — one shuffle total, no self-join."""
     from pyspark.sql import Window as W
 
     from ..functions.dedup import pairs_of, spread_for_compute
 
     v = as_double(F.col(vec_col))
-    base = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
-    base = base.select(
-        "*",
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
-        lsh_bucket(F.col("v"), n_planes, dims).alias("bucket"),
+    feat = _lsh_features(n_planes, dims)
+    base = (
+        spread_for_compute(emb)
+        .select(F.col(id_col), v.alias("v"))
+        # the kernel is projected ONCE as a struct, fields extracted in the
+        # next projection — same staging discipline as the HOF operators
+        .select("*", feat(F.col("v")).alias("_f"))
+        .select(F.col(id_col), "v",
+                F.col("_f.bucket").alias("bucket"),
+                F.col("_f.nrm").alias("nrm"))
     )
     bounded = (
         base.withColumn("bn", F.count("*").over(W.partitionBy("bucket")))
@@ -178,15 +271,17 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
             F.collect_list(F.struct(id_col, "v", "nrm"))).alias("ms"))
     )
     p = F.explode(pairs_of(F.col("ms"))).alias("p")
-    # one dot per pair; norms were computed once per vector upstream
+    pairs = buckets.select(p).select(
+        F.col(f"p.a.{id_col}").alias("id_a"),
+        F.col(f"p.b.{id_col}").alias("id_b"),
+        F.col("p.a.v").alias("va"), F.col("p.b.v").alias("vb"),
+        F.col("p.a.nrm").alias("na"), F.col("p.b.nrm").alias("nb"),
+    )
+    # one Arrow-batched dot per pair; norms were computed once per vector
     sim = F.round(
-        dot(F.col("p.a.v"), F.col("p.b.v"))
-        / (F.col("p.a.nrm") * F.col("p.b.nrm")), 4)
+        _pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
-        buckets.select(p)
-        .select(F.col(f"p.a.{id_col}").alias("id_a"),
-                F.col(f"p.b.{id_col}").alias("id_b"),
-                sim.alias("cosine_sim"))
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= min_cosine)
     )
 
@@ -200,7 +295,8 @@ def embedding_cosine_dedup(emb: DataFrame, min_cosine: float = 0.0,
     canonical id = min(itself, all duplicate partners) — one groupBy over
     the edge list, no iteration. (Min-over-neighbors is the standard
     single-pass approximation of connected components; chains longer than
-    one hop keep distinct canonicals until a later pass.)"""
+    one hop keep distinct canonicals until a later pass — see
+    ``embedding_cosine_dedup_fixpoint`` for the chain-resolving variant.)"""
     pairs = lsh_ann_pairs(emb, n_planes, dims, min_cosine,
                           id_col=id_col, vec_col=vec_col)
     # symmetric edge expansion in ONE pass over pairs (a unionAll of two
@@ -255,8 +351,7 @@ def _centroid_matrix(n_centroids: int, dims: int) -> list[list[float]]:
 def _centroid_norms(n_centroids: int, dims: int) -> list[float]:
     """|c|² per centroid, summed sequentially in Python — bit-identical to
     the sequential ``aggregate``/``list_dot_product`` the engines would
-    compute, but done ONCE at plan-build time instead of per row (the
-    inline ``dot(w, w)`` was n_centroids×dims interpreted flops per row)."""
+    compute, but done ONCE at plan-build time instead of per row."""
     out = []
     for c in range(n_centroids):
         s = 0.0
@@ -269,7 +364,8 @@ def _centroid_norms(n_centroids: int, dims: int) -> list[float]:
 
 def _ivf_scores(vec: Column, n_centroids: int, dims: int) -> Column:
     """Per-centroid score |c|² − 2·(v·c) — argmin equals nearest centroid
-    by euclidean distance (the |v|² term is constant per vector)."""
+    by euclidean distance (the |v|² term is constant per vector).
+    Expression form; the operators use the vectorized kernels below."""
     cents = F.lit(_centroid_matrix(n_centroids, dims))
     norms = F.lit(_centroid_norms(n_centroids, dims))
     return F.zip_with(cents, norms, lambda w, n2: n2 - 2.0 * dot(vec, w))
@@ -290,6 +386,57 @@ def ivf_probe_cells(vec: Column, n_centroids: int = IVF_CENTROIDS,
     return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["i"])
 
 
+def _ivf_np_scores(X: np.ndarray, W: np.ndarray, N2: np.ndarray) -> np.ndarray:
+    """(n, n_centroids) scores |c|² − 2·(v·c): the subtract/scale rounding
+    order matches ``n2 - 2.0 * dot`` in the expression form exactly."""
+    return N2[None, :] - 2.0 * _seq_matmul(X, W)
+
+
+def _ivf_corpus_features(n_centroids: int, dims: int):
+    """Vectorized (cell, nrm) kernel for corpus rows: nearest-centroid id
+    (1-based, ties to the lowest centroid index — same as
+    ``array_position(scores, array_min)`` and the oracle's
+    ``row_number() order by score, c``) plus the vector norm."""
+    W = np.array(_centroid_matrix(n_centroids, dims))
+    N2 = np.array(_centroid_norms(n_centroids, dims))
+
+    @F.pandas_udf("cell int, nrm double")
+    def feat(v: pd.Series) -> pd.DataFrame:
+        X = _rows_matrix(v)
+        if X.size == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "nrm": pd.Series([], dtype="float64")})
+        scores = _ivf_np_scores(X, W, N2)
+        cell = (np.argmin(scores, axis=1) + 1).astype(np.int32)
+        return pd.DataFrame({"cell": cell,
+                             "nrm": np.sqrt(_seq_rowdot(X, X))})
+
+    return feat
+
+
+def _ivf_query_features(n_centroids: int, dims: int, nprobe: int):
+    """Vectorized (probes, nrm) kernel for query rows: the ``nprobe``
+    nearest centroid ids in ascending-score order (stable argsort — ties to
+    the lowest centroid index, matching the expression form's
+    ``array_sort(struct(s, i))``)."""
+    W = np.array(_centroid_matrix(n_centroids, dims))
+    N2 = np.array(_centroid_norms(n_centroids, dims))
+
+    @F.pandas_udf("probes array<int>, nrm double")
+    def feat(v: pd.Series) -> pd.DataFrame:
+        X = _rows_matrix(v)
+        if X.size == 0:
+            return pd.DataFrame({"probes": pd.Series([], dtype="object"),
+                                 "nrm": pd.Series([], dtype="float64")})
+        scores = _ivf_np_scores(X, W, N2)
+        order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe] + 1
+        return pd.DataFrame(
+            {"probes": [row.astype(np.int32).tolist() for row in order],
+             "nrm": np.sqrt(_seq_rowdot(X, X))})
+
+    return feat
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
              dims: int = 64, id_col: str = "vec_id",
@@ -298,40 +445,41 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     centroid (cell), each query probes its ``nprobe`` nearest cells, and
     exact cosine ranks only the probed candidates.
 
-    Scale shape: one narrow pass assigns cells (no shuffle beyond the
-    spread), the probe set is tiny and broadcast, so candidate generation
-    is a broadcast-hash join on the cell id — corpus-side stays
-    partition-local, and the scored candidate count is ~nprobe/n_centroids
-    of brute force."""
+    Scale shape: one Arrow-batched pass assigns cells (no shuffle beyond
+    the spread), the query side is a SEPARATE pushed-down ``isin`` scan of
+    a handful of rows (so the corpus pipeline is consumed exactly once and
+    nothing needs to be persisted), the probe set is tiny and broadcast,
+    and candidate generation is a broadcast-hash join on the cell id —
+    corpus-side stays partition-local, and the scored candidate count is
+    ~nprobe/n_centroids of brute force."""
     from pyspark.sql import Window as W
 
     from .dedup import spread_for_compute
 
     v = as_double(F.col(vec_col))
-    # staged projections: v once, then the 16-centroid score array ONCE per
-    # row (array_position + array_min reference it as a bound column — the
-    # inline form evaluated the n_centroids×dims score pipeline twice per
-    # row, plus a cast per centroid), then the cell id
-    raw = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
-    scored = raw.select(
-        "*",
-        _ivf_scores(F.col("v"), n_centroids, dims).alias("_scores"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    corpus_feat = _ivf_corpus_features(n_centroids, dims)
+    base = (
+        spread_for_compute(emb)
+        .select(F.col(id_col), v.alias("v"))
+        .select("*", corpus_feat(F.col("v")).alias("_f"))
+        .select(F.col(id_col), "v",
+                F.col("_f.cell").alias("cell"), F.col("_f.nrm").alias("nrm"))
     )
-    base = scored.select(
-        F.col(id_col), "v", "nrm",
-        F.array_position(F.col("_scores"), F.array_min("_scores"))
-        .cast("int").alias("cell"),
-    ).persist()
-    queries = base.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        ivf_probe_cells(F.col("v"), n_centroids, dims, nprobe).alias("probes"))
-    probe = queries.select("query_id", "qv", "qn",
-                           F.explode("probes").alias("cell"))
+    query_feat = _ivf_query_features(n_centroids, dims, nprobe)
+    queries = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), v.alias("qv"))
+        .select("*", query_feat(F.col("qv")).alias("_f"))
+        .select("query_id", "qv", F.col("_f.nrm").alias("qn"),
+                F.explode("_f.probes").alias("cell"))
+    )
+    # candidate scoring stays a JVM expression: the candidate set repeats
+    # each query vector ~N·nprobe/n_centroids times, so an Arrow kernel
+    # would re-ship ~2 full vectors per candidate row (measured 150 MB of
+    # serde at sf0.1 — 4× slower than the interpreted one-dot-per-pair)
     sim = F.round(
         dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
-    cand = (base.join(F.broadcast(probe), "cell")
+    cand = (base.join(F.broadcast(queries), "cell")
             .where(F.col(id_col) != F.col("query_id"))
             .select("query_id", F.col(id_col).alias("neighbor_id"),
                     sim.alias("cosine_sim")))
