@@ -1,6 +1,9 @@
 """Manifest committer: rename-free commit protocol for object stores —
-versioned one-file manifests as the atomic commit point, immobile data
-dirs, version retirement."""
+one versioned commit-level manifest as the atomic commit point (covering
+every label of a push), create-exclusive publication, immobile data dirs,
+version retirement, corrupt-manifest-tolerant readers."""
+
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -18,11 +21,11 @@ from waimak_spark.operators.manifest_commit import (
 )
 
 
-def _commit_once(spark, tmp_path, out, value):
+def _commit_once(spark, tmp_path, out, value, label="t"):
     df = spark.createDataFrame([(1, value)], "id int, v string")
     (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
-     .add_input("t", df)
-     .commit("c", "t")
+     .add_input(label, df)
+     .commit("c", label)
      .push("c", ManifestParquetDataCommitter(out, keep_versions=2))
      .execute())
 
@@ -31,19 +34,19 @@ class TestManifestCommit:
     def test_commit_and_read_back(self, spark, tmp_path):
         out = str(tmp_path / "out")
         _commit_once(spark, tmp_path, out, "a")
-        got = read_manifest_table(spark, f"{out}/t").collect()
+        got = read_manifest_table(spark, out, "t").collect()
         assert [(r["id"], r["v"]) for r in got] == [(1, "a")]
-        assert current_version(FileOps(spark), f"{out}/t") == 0
+        assert current_version(FileOps(spark), out) == 0
 
     def test_versions_advance_and_old_reads_work(self, spark, tmp_path):
         out = str(tmp_path / "out")
         _commit_once(spark, tmp_path, out, "a")
         _commit_once(spark, tmp_path, out, "b")
         ops = FileOps(spark)
-        assert current_version(ops, f"{out}/t") == 1
-        assert read_manifest_table(spark, f"{out}/t").collect()[0]["v"] == "b"
+        assert current_version(ops, out) == 1
+        assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "b"
         # previous version still readable (time travel within keep window)
-        assert read_manifest_table(spark, f"{out}/t",
+        assert read_manifest_table(spark, out, "t",
                                    version=0).collect()[0]["v"] == "a"
 
     def test_retirement_deletes_old_data(self, spark, tmp_path):
@@ -51,16 +54,16 @@ class TestManifestCommit:
         for v in ["a", "b", "c", "d"]:  # keep_versions=2 → 0,1 retired
             _commit_once(spark, tmp_path, out, v)
         ops = FileOps(spark)
-        assert current_version(ops, f"{out}/t") == 3
+        assert current_version(ops, out) == 3
         with pytest.raises(Exception):
-            read_manifest_table(spark, f"{out}/t", version=0)
+            read_manifest_table(spark, out, "t", version=0)
         # newest still fine and only 2 data dirs remain
-        assert read_manifest_table(spark, f"{out}/t").collect()[0]["v"] == "d"
+        assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "d"
         assert len(ops.list_dirs(f"{out}/t/_data")) == 2
 
     def test_no_manifest_raises(self, spark, tmp_path):
         with pytest.raises(DataFlowException, match="No committed manifest"):
-            read_manifest_table(spark, str(tmp_path / "missing"))
+            read_manifest_table(spark, str(tmp_path / "missing"), "t")
 
     def test_empty_commit_rejected(self, spark, tmp_path):
         flow = (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
@@ -77,7 +80,7 @@ class TestManifestCommit:
          .commit("c", "t")
          .push("c", ManifestParquetDataCommitter(out))
          .execute())
-        assert read_manifest_table(spark, f"{out}/t").collect()[0]["v"] == "x"
+        assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "x"
 
     def test_partitioned_commit(self, spark, tmp_path):
         out = str(tmp_path / "out")
@@ -88,5 +91,79 @@ class TestManifestCommit:
          .commit("c", "t", partitions=["p"])
          .push("c", ManifestParquetDataCommitter(out))
          .execute())
-        got = read_manifest_table(spark, f"{out}/t")
+        got = read_manifest_table(spark, out, "t")
         assert got.where(F.col("p") == "p2").collect()[0]["v"] == "y"
+
+    def test_multi_label_commit_is_one_manifest(self, spark, tmp_path):
+        """All labels of a push land in ONE manifest file — multi-label
+        publication is all-or-nothing, no partial-label state."""
+        out = str(tmp_path / "out")
+        d1 = spark.createDataFrame([(1, "x")], "id int, v string")
+        d2 = spark.createDataFrame([(2, "y")], "id int, v string")
+        (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
+         .add_input("t1", d1).add_input("t2", d2)
+         .commit("c", "t1", "t2")
+         .push("c", ManifestParquetDataCommitter(out))
+         .execute())
+        ops = FileOps(spark)
+        assert current_version(ops, out) == 0
+        assert len(ops.list_files(f"{out}/_manifests")) == 1
+        assert read_manifest_table(spark, out, "t1").collect()[0]["v"] == "x"
+        assert read_manifest_table(spark, out, "t2").collect()[0]["v"] == "y"
+
+    def test_labels_carry_forward(self, spark, tmp_path):
+        """A later commit of only one label keeps the other label readable
+        at the newest version."""
+        out = str(tmp_path / "out")
+        _commit_once(spark, tmp_path, out, "x", label="t1")
+        _commit_once(spark, tmp_path, out, "y", label="t2")
+        ops = FileOps(spark)
+        assert current_version(ops, out) == 1
+        # newest manifest still resolves t1 (carried forward from v0)
+        assert read_manifest_table(spark, out, "t1").collect()[0]["v"] == "x"
+        assert read_manifest_table(spark, out, "t2").collect()[0]["v"] == "y"
+
+    def test_sequential_commit_after_foreign_version_takes_next_slot(
+            self, spark, tmp_path):
+        """A commit arriving AFTER another writer published version 1
+        simply targets version 2 — optimistic concurrency, no failure."""
+        out = str(tmp_path / "out")
+        _commit_once(spark, tmp_path, out, "a")
+        ops = FileOps(spark)
+        foreign = {"version": 1, "commit_uuid": "foreign", "commit_name": "w",
+                   "labels": {"t": {"data_path": f"{out}/t/_data/x",
+                                    "partitions": []}}}
+        ops.write_string(f"{out}/_manifests/manifest-0000000001.json",
+                         json.dumps(foreign))
+        _commit_once(spark, tmp_path, out, "b")
+        assert current_version(ops, out) == 2
+        assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "b"
+
+    def test_losing_racer_fails_and_never_overwrites(self, spark, tmp_path):
+        """If the target version's manifest file already EXISTS when the
+        loser publishes (a racing winner created it an instant earlier —
+        here simulated by a file that is not yet readable, so version
+        resolution still points the loser at the same slot), the
+        create-exclusive publish fails and the winner's file is untouched —
+        no exists()+rename TOCTOU overwrite."""
+        out = str(tmp_path / "out")
+        _commit_once(spark, tmp_path, out, "a")
+        ops = FileOps(spark)
+        # racing winner has CREATED version 1 but its content is still in
+        # flight → the loser also resolves "next version" to 1
+        ops.write_string(f"{out}/_manifests/manifest-0000000001.json",
+                         "in-flight")
+        with pytest.raises(DataFlowException, match="lost the race"):
+            _commit_once(spark, tmp_path, out, "b")
+        assert ops.read_string(
+            f"{out}/_manifests/manifest-0000000001.json") == "in-flight"
+
+    def test_reader_skips_inflight_garbage_manifest(self, spark, tmp_path):
+        """A manifest observed mid-write (created, content not yet flushed)
+        parses as garbage; readers fall back to the previous version."""
+        out = str(tmp_path / "out")
+        _commit_once(spark, tmp_path, out, "a")
+        ops = FileOps(spark)
+        ops.write_string(f"{out}/_manifests/manifest-0000000001.json", "")
+        assert current_version(ops, out) == 0
+        assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "a"

@@ -176,6 +176,30 @@ class TestCompaction:
         assert total_bytes_partitioner(100)(df, 0, 250) == 3
         assert total_bytes_partitioner(100)(df, 0, 0) == 1
 
+    def test_compact_never_finalizes_plan_via_rdd(self, ops, spark,
+                                                  monkeypatch):
+        """`.rdd` finalizes the physical plan, and under AQE that EXECUTES
+        upstream shuffle stages — with retain_history=False the compaction
+        data contains the dedup window, so the old
+        `data.rdd.getNumPartitions()` ran that shuffle once for the
+        partition count and again for the write. Lock the fix by making
+        any `.rdd` access during compaction fail loudly."""
+        from pyspark.sql import DataFrame
+
+        info = AuditTableInfo("persons", ["id"], {}, retain_history=False)
+        t = create_table(ops, info)
+        t, _ = t.append(_b1(spark), "updated", T0)
+        t, _ = t.append(_b2(spark), "updated", T1)
+
+        def boom(self):
+            raise AssertionError(
+                ".rdd accessed during compaction: plan finalization "
+                "executes shuffle stages under AQE")
+
+        monkeypatch.setattr(DataFrame, "rdd", property(boom))
+        t = t.compact(T2)
+        assert t.regions[0].count == 3
+
 
 class TestRegionInference:
     def test_reopen_uses_cache(self, ops, spark):
@@ -219,6 +243,25 @@ class TestRegionInference:
         assert [r.store_type for r in cold_only.regions] == [COLD_PARTITION]
         snap = {r["id"] for r in cold_only.snapshot(T2).collect()}
         assert snap == {1, 2}  # hot batch invisible
+
+    def test_partial_region_view_refuses_mutation(self, ops, spark):
+        """A handle opened with include_hot=False sees only cold regions:
+        deriving the next region id from that partial view would reuse an
+        existing hot region's id and silently overwrite its data — both
+        mutators must refuse."""
+        t = create_table(ops, INFO)
+        t, _ = t.append(_b1(spark), "updated", T0)
+        t = t.compact(T1, small_region_row_threshold=10)
+        t, _ = t.append(_b2(spark), "updated", T1)  # live hot region r1
+        tables, _ = open_tables(ops, ["persons"], include_hot=False)
+        cold_only = tables["persons"]
+        with pytest.raises(StorageException, match="include_hot"):
+            cold_only.append(_b2(spark), "updated", T2)
+        with pytest.raises(StorageException, match="include_hot"):
+            cold_only.compact(T2)
+        # the hot region's data is untouched
+        full, _ = open_tables(ops, ["persons"])
+        assert full["persons"].all_between(None, None).count() == 4
 
 
 class TestCompactionWindow:

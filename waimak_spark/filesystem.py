@@ -141,6 +141,26 @@ class FileOps:
         finally:
             out.close()
 
+    def write_string_exclusive(self, p: str, content: str) -> bool:
+        """Create-exclusive write: ``FileSystem.create(path,
+        overwrite=false)`` — namenode-arbitrated atomic no-overwrite
+        creation on HDFS (maps to a conditional PUT on object stores that
+        support it). Returns False when the path already exists, i.e. a
+        racing writer won. Unlike an exists()+rename pair this has no
+        TOCTOU window and cannot silently replace the winner's file
+        (RawLocalFileSystem's rename overwrites on POSIX)."""
+        fs = self._fs(p)
+        path = self._path(p)
+        try:
+            out = fs.create(path, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
     def read_string(self, p: str) -> str:
         fs = self._fs(p)
         stream = fs.open(self._path(p))

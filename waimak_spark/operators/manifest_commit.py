@@ -11,24 +11,30 @@ reduced to the engine's needs):
 * **stage** — write each label's Parquet straight into its final bucket at
   ``output_base/<label>/_data/<commit_uuid>/`` (data never moves again; an
   uncommitted data dir is invisible garbage, not a torn table);
-* **move** — the commit point: atomically publish a one-file manifest
-  ``_manifests/manifest-<version>.json`` naming that data dir. A
-  single-file no-overwrite rename is atomic on HDFS/local (and maps to a
-  conditional PUT on S3); two racing commits contend on the same version
-  number and exactly one wins;
-* **finish** — retire manifests beyond ``keep_versions`` and trash their
-  unreferenced data dirs.
+* **move** — the commit point: publish ONE commit-level manifest
+  ``output_base/_manifests/manifest-<version>.json`` naming every label's
+  data dir, via a **create-exclusive** write (``FileSystem.create`` with
+  ``overwrite=false`` — namenode-arbitrated on HDFS, a conditional PUT on
+  stores that support it). Two racing commits contend on the same version
+  number and exactly one create succeeds; there is no exists()+rename
+  TOCTOU window, and because ALL labels of a commit live in one manifest
+  file, multi-label publication is all-or-nothing — a reader can never see
+  label A at the new version and label B at the old one. Labels not part
+  of this commit are carried forward from the previous manifest;
+* **finish** — retire manifests beyond ``keep_versions`` and delete data
+  dirs referenced by no live manifest.
 
-Readers resolve the newest manifest and scan only the data dir it names
-(:func:`read_manifest_table`), so they always see exactly one committed
-version.
+Readers resolve the newest *readable* manifest and scan only the data dir
+it names (:func:`read_manifest_table`): a manifest file observed mid-write
+(created but not yet fully flushed — possible because create-exclusive
+publishes content non-atomically) parses as garbage and is skipped, so
+readers fall back to the previous committed version instead of failing.
 """
 
 from __future__ import annotations
 
 import json
 import re
-import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,8 +52,8 @@ def _manifest_name(version: int) -> str:
     return f"manifest-{version:010d}.json"
 
 
-def _list_versions(ops, table_path: str) -> list[int]:
-    mdir = f"{table_path}/{MANIFESTS_DIR}"
+def _list_versions(ops, output_base: str) -> list[int]:
+    mdir = f"{output_base}/{MANIFESTS_DIR}"
     if not ops.exists(mdir):
         return []
     out = []
@@ -58,33 +64,66 @@ def _list_versions(ops, table_path: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(ops, table_path: str, version: int) -> dict:
-    return json.loads(ops.read_string(
-        f"{table_path}/{MANIFESTS_DIR}/{_manifest_name(version)}"))
+def _try_read_manifest(ops, output_base: str, version: int) -> Optional[dict]:
+    """Manifest contents, or None when the file is unreadable/garbage —
+    i.e. a racing writer has created it but not finished flushing."""
+    try:
+        m = json.loads(ops.read_string(
+            f"{output_base}/{MANIFESTS_DIR}/{_manifest_name(version)}"))
+        return m if isinstance(m, dict) and "labels" in m else None
+    except Exception:
+        return None
 
 
-def current_version(ops, table_path: str) -> Optional[int]:
-    versions = _list_versions(ops, table_path)
-    return versions[-1] if versions else None
+def _read_manifest(ops, output_base: str, version: int) -> dict:
+    m = _try_read_manifest(ops, output_base, version)
+    if m is None:
+        raise DataFlowException(
+            f"No readable manifest version {version} under [{output_base}]")
+    return m
 
 
-def read_manifest_table(spark: SparkSession, table_path: str,
+def latest_manifest(ops, output_base: str) -> Optional[tuple[int, dict]]:
+    """Newest READABLE manifest (version, contents), skipping any version
+    whose file exists but does not parse (a commit in flight)."""
+    for v in reversed(_list_versions(ops, output_base)):
+        m = _try_read_manifest(ops, output_base, v)
+        if m is not None:
+            return v, m
+    return None
+
+
+def current_version(ops, output_base: str) -> Optional[int]:
+    found = latest_manifest(ops, output_base)
+    return found[0] if found else None
+
+
+def read_manifest_table(spark: SparkSession, output_base: str, label: str,
                         version: int | None = None) -> DataFrame:
-    """Load the table as of the newest (or a specific) manifest version."""
+    """Load one label as of the newest (or a specific) manifest version."""
     from ..filesystem import FileOps
 
     ops = FileOps(spark)
-    v = version if version is not None else current_version(ops, table_path)
-    if v is None:
-        raise DataFlowException(f"No committed manifest under [{table_path}]")
-    manifest = _read_manifest(ops, table_path, v)
-    return spark.read.parquet(manifest["data_path"])
+    if version is not None:
+        manifest = _read_manifest(ops, output_base, version)
+    else:
+        found = latest_manifest(ops, output_base)
+        if found is None:
+            raise DataFlowException(
+                f"No committed manifest under [{output_base}]")
+        manifest = found[1]
+    entry = manifest["labels"].get(label)
+    if entry is None:
+        raise DataFlowException(
+            f"Label [{label}] is not part of manifest version "
+            f"{manifest['version']} under [{output_base}]")
+    return spark.read.parquet(entry["data_path"])
 
 
 class ManifestParquetDataCommitter(DataCommitter):
-    """Object-store-safe committer: immobile data dirs + atomic one-file
-    manifest publication. Drop-in alternative to ``ParquetDataCommitter``
-    in ``push(name)(committer)``."""
+    """Object-store-safe committer: immobile data dirs + one atomic
+    commit-level manifest per push. Drop-in alternative to
+    ``ParquetDataCommitter`` in ``push(name)(committer)``."""
 
     def __init__(self, output_base: str, keep_versions: int = 3):
         if keep_versions < 1:
@@ -126,30 +165,33 @@ class ManifestParquetDataCommitter(DataCommitter):
 
         def body(_i, c):
             ops = c.file_ops
+            base = committer.output_base
+            ops.mkdirs(f"{base}/{MANIFESTS_DIR}")
+            prev = latest_manifest(ops, base)
+            version = (prev[0] + 1) if prev is not None else 0
+            # carry forward labels committed earlier but not in this push,
+            # so the newest manifest is always a complete table of contents
+            labels = dict(prev[1]["labels"]) if prev is not None else {}
             for e in entries:
-                table_path = f"{committer.output_base}/{e.label}"
-                mdir = f"{table_path}/{MANIFESTS_DIR}"
-                ops.mkdirs(mdir)
-                prev = current_version(ops, table_path)
-                version = (prev + 1) if prev is not None else 0
-                manifest = {
-                    "version": version,
-                    "commit_uuid": commit_uuid,
-                    "commit_name": commit_name,
-                    "label": e.label,
+                labels[e.label] = {
                     "data_path": committer._data_path(e.label, commit_uuid),
                     "partitions": list(e.partitions or []),
                 }
-                tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
-                ops.write_string(tmp, json.dumps(manifest))
-                final = f"{mdir}/{_manifest_name(version)}"
-                # no-overwrite single-file rename IS the commit point: a
-                # racing commit targeting the same version loses the rename
-                if ops.exists(final) or not ops.rename(tmp, final):
-                    ops.delete(tmp, recursive=False)
-                    raise DataFlowException(
-                        f"Commit [{commit_name}]: lost the race publishing "
-                        f"version {version} of [{e.label}]")
+            manifest = {
+                "version": version,
+                "commit_uuid": commit_uuid,
+                "commit_name": commit_name,
+                "labels": labels,
+            }
+            final = f"{base}/{MANIFESTS_DIR}/{_manifest_name(version)}"
+            # create-exclusive IS the commit point: of two racing commits
+            # targeting the same version number exactly one create
+            # succeeds, and since every label of this push is inside this
+            # ONE file, multi-label publication is all-or-nothing
+            if not ops.write_string_exclusive(final, json.dumps(manifest)):
+                raise DataFlowException(
+                    f"Commit [{commit_name}]: lost the race publishing "
+                    f"version {version} under [{base}]")
             return []
 
         return flow.add_action(SimpleAction(
@@ -161,21 +203,26 @@ class ManifestParquetDataCommitter(DataCommitter):
 
         def body(_i, c):
             ops = c.file_ops
-            for e in entries:
-                table_path = f"{committer.output_base}/{e.label}"
-                versions = _list_versions(ops, table_path)
-                retired = versions[:-committer.keep_versions] \
-                    if len(versions) > committer.keep_versions else []
-                live = [v for v in versions if v not in retired]
-                live_dirs = {_read_manifest(ops, table_path, v)["data_path"]
-                             for v in live}
-                for v in retired:
-                    data = _read_manifest(ops, table_path, v)["data_path"]
-                    if data not in live_dirs and ops.exists(data):
-                        ops.delete(data, recursive=True)
-                    ops.delete(
-                        f"{table_path}/{MANIFESTS_DIR}/{_manifest_name(v)}",
-                        recursive=False)
+            base = committer.output_base
+            versions = _list_versions(ops, base)
+            retired = versions[:-committer.keep_versions] \
+                if len(versions) > committer.keep_versions else []
+            live = [v for v in versions if v not in retired]
+            live_dirs = set()
+            for v in live:
+                m = _try_read_manifest(ops, base, v)
+                if m is not None:
+                    live_dirs.update(e["data_path"]
+                                     for e in m["labels"].values())
+            for v in retired:
+                m = _try_read_manifest(ops, base, v)
+                if m is not None:
+                    for e in m["labels"].values():
+                        data = e["data_path"]
+                        if data not in live_dirs and ops.exists(data):
+                            ops.delete(data, recursive=True)
+                ops.delete(f"{base}/{MANIFESTS_DIR}/{_manifest_name(v)}",
+                           recursive=False)
             return []
 
         return flow.add_action(SimpleAction(

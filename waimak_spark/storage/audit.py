@@ -81,10 +81,13 @@ class AuditTableFile:
 
     def __init__(self, table_info: AuditTableInfo,
                  regions: list[AuditTableRegionInfo],
-                 ops: FileStorageOps):
+                 ops: FileStorageOps, full_region_view: bool = True):
         self.table_info = table_info
         self.regions = list(regions)
         self.ops = ops
+        #: False when opened with include_hot=False — the in-memory region
+        #: list is then a PARTIAL view and must never drive mutation
+        self.full_region_view = full_region_view
         self._was_modified = False
         self.table_path = f"{ops.base_path}/{table_info.table_name}"
         self.hot_path = f"{self.table_path}/{STORE_TYPE_COLUMN}={HOT_PARTITION}"
@@ -117,6 +120,16 @@ class AuditTableFile:
         return f"r{nxt:020d}"
 
     def _mark_to_update(self) -> None:
+        if not self.full_region_view:
+            # a handle opened with include_hot=False sees only cold regions:
+            # _next_region_id would re-issue an existing HOT region's id and
+            # the staged write's move_overwrite_folder would silently
+            # replace that region's data — refuse instead of losing data
+            raise StorageException(
+                f"Table [{self.table_name}] was opened without hot regions "
+                "(include_hot=False) and cannot be mutated: the next region "
+                "id cannot be derived from a partial region view. Re-open "
+                "the table with include_hot=True to append or compact.")
         if self._was_modified:
             raise StorageException(
                 f"Table [{self.table_name}] can no longer be updated.")
@@ -141,7 +154,8 @@ class AuditTableFile:
 
     def update_table_info(self, info: AuditTableInfo) -> "AuditTableFile":
         self.ops.write_table_info(info)
-        return AuditTableFile(info, self.regions, self.ops)
+        return AuditTableFile(info, self.regions, self.ops,
+                              self.full_region_view)
 
     def _set_regions(self, regions: list[AuditTableRegionInfo]) -> "AuditTableFile":
         """Persist the region cache and return the new table state
@@ -149,7 +163,8 @@ class AuditTableFile:
         unlike the reference's append-mode Parquet we always rewrite it
         whole — same semantics, no Spark job."""
         self.ops.write_region_cache(self.table_name, regions)
-        return AuditTableFile(self.table_info, regions, self.ops)
+        return AuditTableFile(self.table_info, regions, self.ops,
+                              self.full_region_view)
 
     # -- kernels ----------------------------------------------------------------
     def append(self, df: DataFrame, last_updated: Column | str,
@@ -269,7 +284,8 @@ class AuditTableFile:
                          compact_ts: datetime,
                          partitioner: CompactionPartitioner) -> "AuditTableFile":
         if not to_compact:
-            return AuditTableFile(self.table_info, self.regions, self.ops)
+            return AuditTableFile(self.table_info, self.regions, self.ops,
+                                  self.full_region_view)
         ids = {r.store_region for r in to_compact}
         region_id = self._next_region_id()
         new_path = f"{self.cold_path}/{STORE_REGION_COLUMN}={region_id}"
@@ -289,7 +305,16 @@ class AuditTableFile:
             total_rows = sum(r.count for r in to_compact)
             total_bytes = sum(self.ops.fops.total_size(p) for p in paths)
             target = max(1, partitioner(data, total_rows, total_bytes))
-            current = data.rdd.getNumPartitions()
+            # partition count from driver-side file metadata, NOT
+            # data.rdd.getNumPartitions(): .rdd finalizes the physical plan
+            # and under AQE that EXECUTES upstream shuffle stages — with
+            # retain_history=False `data` contains the dedup window, so the
+            # compaction would run that shuffle once for the count and
+            # again for the write (two Spark jobs instead of one)
+            try:
+                current = len(data.inputFiles())
+            except Exception:
+                current = 0  # no file provenance → repartition (safe side)
             data = (data.repartition(target) if target > current
                     else data.coalesce(target))
             self.ops.atomic_write_and_cleanup(
@@ -301,7 +326,8 @@ class AuditTableFile:
                 self.table_name, COLD_PARTITION, region_id, compact_ts,
                 False, count, max_lu)
             return self._set_regions(remaining + [new_region])
-        return AuditTableFile(self.table_info, self.regions, self.ops)
+        return AuditTableFile(self.table_info, self.regions, self.ops,
+                              self.full_region_view)
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +356,8 @@ def open_tables(ops: FileStorageOps, table_names: Sequence[str],
     out = {}
     for t in exist:
         info = ops.read_table_info(t)
-        out[t] = AuditTableFile(info, by_table.get(t, []), ops)
+        out[t] = AuditTableFile(info, by_table.get(t, []), ops,
+                                full_region_view=include_hot)
     return out, missing
 
 
