@@ -242,3 +242,113 @@ class TestLogAndReturn:
         boom = lambda v: (_ for _ in ()).throw(AssertionError("built"))  # noqa: E731
         with caplog.at_level(logging.ERROR, logger="waimak_spark"):
             assert log_and_return(7, boom, level=logging.DEBUG) == 7
+
+
+class TestSecretProviders:
+    """Provider-builder registry + concrete secret stores (the pattern of
+    DatabricksSecretsPropertyProviderBuilder.scala:20-60, against public
+    infrastructure: env vars, secret files, properties files)."""
+
+    @dataclass(frozen=True)
+    class SecretConf:
+        api_token: str
+
+    def _ctx(self, spark, tmp_path):
+        from waimak_spark.dataflow.spark_flow import SparkFlowContext
+
+        return SparkFlowContext(spark, str(tmp_path / "tmp"))
+
+    def test_env_secrets_provider_chain(self, spark, tmp_path, monkeypatch):
+        from waimak_spark.app.config import (
+            ENV_SECRET_PREFIXES,
+            PROPERTY_PROVIDER_BUILDER_MODULES,
+        )
+
+        ctx = self._ctx(spark, tmp_path)
+        # the key "myapp.api_token" sanitizes to env-safe "myapp_api_token";
+        # the APP1_ prefix plays the role of a secret scope
+        monkeypatch.setenv("APP1_myapp_api_token", "s3cr3t")
+        spark.conf.set(PROPERTY_PROVIDER_BUILDER_MODULES,
+                       "waimak_spark.app.config."
+                       "EnvSecretsPropertyProviderBuilder")
+        spark.conf.set(ENV_SECRET_PREFIXES, "APP0_,APP1_")
+        try:
+            conf = parse_config(self.SecretConf, ctx, prefix="myapp.")
+            assert conf.api_token == "s3cr3t"
+        finally:
+            spark.conf.unset(PROPERTY_PROVIDER_BUILDER_MODULES)
+            spark.conf.unset(ENV_SECRET_PREFIXES)
+
+    def test_secret_files_provider(self, spark, tmp_path):
+        from waimak_spark.app.config import (
+            PROPERTY_PROVIDER_BUILDER_MODULES,
+            SECRET_FILES_DIR,
+        )
+
+        ctx = self._ctx(spark, tmp_path)
+        secrets = tmp_path / "secrets"
+        secrets.mkdir()
+        # "myapp.api_token" sanitizes to "myapp-api-token" (Databricks-style)
+        (secrets / "myapp-api-token").write_text("from-file\n")
+        spark.conf.set(PROPERTY_PROVIDER_BUILDER_MODULES,
+                       "waimak_spark.app.config."
+                       "SecretFilesPropertyProviderBuilder")
+        spark.conf.set(SECRET_FILES_DIR, str(secrets))
+        try:
+            conf = parse_config(self.SecretConf, ctx, prefix="myapp.")
+            assert conf.api_token == "from-file"
+        finally:
+            spark.conf.unset(PROPERTY_PROVIDER_BUILDER_MODULES)
+            spark.conf.unset(SECRET_FILES_DIR)
+
+    def test_properties_file_provider(self, spark, tmp_path):
+        from waimak_spark.app.config import (
+            PROPERTIES_FILE_URI,
+            PROPERTY_PROVIDER_BUILDER_MODULES,
+        )
+
+        ctx = self._ctx(spark, tmp_path)
+        pfile = tmp_path / "app.properties"
+        pfile.write_text("# comment\nmyapp.api_token = from-props\n")
+        spark.conf.set(PROPERTY_PROVIDER_BUILDER_MODULES,
+                       "waimak_spark.app.config."
+                       "PropertiesFilePropertyProviderBuilder")
+        spark.conf.set(PROPERTIES_FILE_URI, str(pfile))
+        try:
+            conf = parse_config(self.SecretConf, ctx, prefix="myapp.")
+            assert conf.api_token == "from-props"
+        finally:
+            spark.conf.unset(PROPERTY_PROVIDER_BUILDER_MODULES)
+            spark.conf.unset(PROPERTIES_FILE_URI)
+
+    def test_spark_conf_wins_over_providers(self, spark, tmp_path,
+                                            monkeypatch):
+        from waimak_spark.app.config import (
+            PROPERTY_PROVIDER_BUILDER_MODULES,
+        )
+
+        ctx = self._ctx(spark, tmp_path)
+        monkeypatch.setenv("myapp_api_token", "from-env")
+        spark.conf.set(PROPERTY_PROVIDER_BUILDER_MODULES,
+                       "waimak_spark.app.config."
+                       "EnvSecretsPropertyProviderBuilder")
+        spark.conf.set("myapp.api_token", "from-conf")
+        try:
+            conf = parse_config(self.SecretConf, ctx, prefix="myapp.")
+            assert conf.api_token == "from-conf"
+        finally:
+            spark.conf.unset(PROPERTY_PROVIDER_BUILDER_MODULES)
+            spark.conf.unset("myapp.api_token")
+
+    def test_unknown_builder_raises(self, spark, tmp_path):
+        from waimak_spark.app.config import (
+            PROPERTY_PROVIDER_BUILDER_MODULES,
+        )
+
+        ctx = self._ctx(spark, tmp_path)
+        spark.conf.set(PROPERTY_PROVIDER_BUILDER_MODULES, "no.such.Builder")
+        try:
+            with pytest.raises(ConfigException, match="no.such.Builder"):
+                parse_config(self.SecretConf, ctx, prefix="myapp.")
+        finally:
+            spark.conf.unset(PROPERTY_PROVIDER_BUILDER_MODULES)

@@ -137,3 +137,200 @@ class TestAlertRouting:
         _, final = _run(spark, tmp_path, _df(spark, GOOD),
                         uniqueness_check(["id"]), h)
         assert final.inputs.get("out").count() == 3
+
+
+class TestOutboundHandlers:
+    """Slack webhook + SMTP email handlers with stub transports
+    (TestAlert.scala / TestEmailQualityAlert.scala pattern)."""
+
+    def _alert(self, importance=AlertImportance.CRITICAL):
+        from waimak_spark.dataquality import DataQualityAlert
+
+        return DataQualityAlert("too many nulls", importance)
+
+    def test_slack_posts_colored_attachment(self):
+        import json
+
+        from waimak_spark.dataquality import SlackQualityAlert
+
+        posted = []
+
+        def transport(url, body, headers):
+            posted.append((url, body, headers))
+            return 200
+
+        h = SlackQualityAlert("https://hooks.example.test/T000/B000/XXX",
+                              transport=transport)
+        assert h.handle_alert(self._alert()) is None
+        url, body, headers = posted[0]
+        assert url.endswith("/XXX")
+        assert headers["Content-Type"] == "application/json"
+        msg = json.loads(body)
+        assert msg["attachments"][0]["title"] == "too many nulls"
+        assert msg["attachments"][0]["color"] == "danger"
+
+    def test_slack_color_per_importance(self):
+        import json
+
+        from waimak_spark.dataquality import SlackQualityAlert
+
+        h = SlackQualityAlert("u", transport=lambda *a: 200)
+        colors = {
+            imp: json.loads(h.to_json(self._alert(imp)))
+            ["attachments"][0]["color"]
+            for imp in AlertImportance
+        }
+        assert colors[AlertImportance.WARNING] == "warning"
+        assert colors[AlertImportance.GOOD] == "good"
+        assert colors[AlertImportance.INFORMATION] == "#439FE0"
+
+    def test_slack_failure_returned_not_raised(self):
+        from waimak_spark.dataquality import SlackQualityAlert
+
+        h = SlackQualityAlert("u", transport=lambda *a: 500)
+        err = h.handle_alert(self._alert())
+        assert isinstance(err, IOError)
+        assert "500" in str(err)
+
+    def test_email_builds_message_and_sends(self):
+        from waimak_spark.dataquality import (
+            EmailQualityAlert,
+            SMTPEmailSettings,
+        )
+
+        sent = []
+        settings = SMTPEmailSettings(
+            host="smtp.example.test", to=["a@example.test"],
+            cc=["b@example.test"], from_address="dq@example.test")
+        h = EmailQualityAlert(
+            settings, sender=lambda s, m: sent.append((s, m)))
+        assert h.handle_alert(self._alert(AlertImportance.WARNING)) is None
+        s, m = sent[0]
+        assert s.host == "smtp.example.test"
+        assert m["Subject"] == "Data Quality Alert: Warning"
+        assert m["To"] == "a@example.test"
+        assert m["Cc"] == "b@example.test"
+        assert "too many nulls" in m.get_content()
+
+    def test_email_failure_returned_not_raised(self):
+        from waimak_spark.dataquality import (
+            EmailQualityAlert,
+            SMTPEmailSettings,
+        )
+
+        def broken(_s, _m):
+            raise ConnectionError("smtp down")
+
+        h = EmailQualityAlert(SMTPEmailSettings(host="x"), sender=broken)
+        err = h.handle_alert(self._alert())
+        assert isinstance(err, ConnectionError)
+
+    def test_outbound_handlers_in_flow(self, spark, tmp_path):
+        """End-to-end: a failing check routes one alert to Slack AND email
+        stubs, and the flow still completes (no exception handlers)."""
+        from waimak_spark.dataquality import (
+            EmailQualityAlert,
+            SMTPEmailSettings,
+            SlackQualityAlert,
+        )
+
+        slack_posts, emails = [], []
+        slack = SlackQualityAlert(
+            "u", transport=lambda *a: slack_posts.append(a) or 200)
+        email = EmailQualityAlert(
+            SMTPEmailSettings(host="h"),
+            sender=lambda s, m: emails.append(m))
+        _run(spark, tmp_path, _df(spark, WITH_DUPES),
+             uniqueness_check(["id", "name"]), slack, email)
+        assert len(slack_posts) == 1
+        assert len(emails) == 1
+
+
+class TestComposableChecks:
+    """Deequ-style builder: chained constraints, one agg pass, mixed
+    levels (deequ/package.scala:63-76, DeequCheck.scala:48-95)."""
+
+    def test_chained_constraints_mixed_levels(self, spark, tmp_path):
+        from waimak_spark.dataquality import Check, CheckLevel, add_checks
+
+        df = _df(spark, [(1, "a"), (2, None), (2, "c")])
+        h = CollectingAlertHandler()
+        flow = (Waimak.spark_flow(spark, str(tmp_path / "tmp"))
+                .open("people", lambda c: df)
+                .alias("people", "out"))
+        flow = add_checks(
+            flow, "people",
+            Check(CheckLevel.ERROR, "critical checks")
+            .has_size(lambda n: n == 3)        # passes
+            .is_complete("name")               # fails -> Critical
+            .is_unique("id"),                  # fails -> Critical
+            Check(CheckLevel.WARNING, "warning checks")
+            .has_min("id", lambda v: v >= 2)   # fails -> Warning
+            .has_max("id", lambda v: v <= 2)   # passes
+            .satisfies("id > 0", "positive ids"),  # passes
+            handlers=[h])
+        flow.execute()
+        assert len(h.alerts) == 3
+        importances = sorted(a.importance.value for a in h.alerts)
+        assert importances == ["Critical", "Critical", "Warning"]
+        assert any("completeness(name)" in a.alert_message
+                   for a in h.alerts)
+        assert any("uniqueness(id)" in a.alert_message for a in h.alerts)
+        assert any("min(id)" in a.alert_message for a in h.alerts)
+
+    def test_all_passing_check_raises_nothing(self, spark, tmp_path):
+        from waimak_spark.dataquality import Check, CheckLevel, add_checks
+
+        df = _df(spark, GOOD)
+        h = CollectingAlertHandler()
+        flow = (Waimak.spark_flow(spark, str(tmp_path / "tmp"))
+                .open("people", lambda c: df)
+                .alias("people", "out"))
+        flow = add_checks(
+            flow, "people",
+            Check(CheckLevel.ERROR, "all good")
+            .has_size(lambda n: n == 3)
+            .is_complete("id").is_complete("name")
+            .is_unique("id")
+            .has_mean("id", lambda v: v == 2.0)
+            .has_sum("id", lambda v: v == 6)
+            .has_pattern("name", "^[a-z]$"),
+            handlers=[h])
+        flow.execute()
+        assert h.alerts == []
+
+    def test_composable_checks_merge_via_concat(self, spark, tmp_path):
+        """Two add_checks calls for the same (label, handlers) merge into
+        one ComposableCheck (DeequCheck.++ semantics)."""
+        from waimak_spark.dataquality import Check, CheckLevel, add_checks
+
+        df = _df(spark, WITH_DUPES)
+        h = CollectingAlertHandler()
+        flow = (Waimak.spark_flow(spark, str(tmp_path / "tmp"))
+                .open("people", lambda c: df)
+                .alias("people", "out"))
+        flow = add_checks(flow, "people",
+                          Check(CheckLevel.ERROR, "c1").is_unique("id"),
+                          handlers=[h])
+        flow = add_checks(flow, "people",
+                          Check(CheckLevel.WARNING, "c2")
+                          .has_size(lambda n: n == 99),
+                          handlers=[h])
+        flow.execute()
+        assert len(h.alerts) == 2
+        assert {a.importance for a in h.alerts} == \
+            {AlertImportance.CRITICAL, AlertImportance.WARNING}
+
+    def test_exception_level_mapping(self, spark, tmp_path):
+        from waimak_spark.dataquality import Check, CheckLevel, add_checks
+
+        df = _df(spark, WITH_DUPES)
+        flow = (Waimak.spark_flow(spark, str(tmp_path / "tmp"))
+                .open("people", lambda c: df)
+                .alias("people", "out"))
+        flow = add_checks(
+            flow, "people",
+            Check(CheckLevel.ERROR, "strict").is_unique("id"),
+            handlers=[ExceptionQualityAlert([AlertImportance.CRITICAL])])
+        with pytest.raises(Exception, match="uniqueness"):
+            flow.execute()

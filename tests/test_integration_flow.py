@@ -92,7 +92,7 @@ def test_everything_in_one_flow(spark, tmp_path):
     assert any("summary" in d for batch in connector.ran_ddls for d in batch)
 
     # manifest mirror readable
-    m = read_manifest_table(spark, f"{mout}/enriched")
+    m = read_manifest_table(spark, mout, "enriched")
     assert m.count() == orders.count()
 
     # audit table holds one hot region with the enriched rows

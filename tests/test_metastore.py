@@ -1,13 +1,20 @@
-"""Metastore DDL assertions via the dummy connector (the reference's
-TestHiveDBConnector pattern: capture instead of submit)."""
+"""Metastore DDL assertions via the dummy connectors (the reference's
+TestHiveDBConnector / TestImpalaDBConnector pattern: capture instead of
+submit)."""
+
+from datetime import date, datetime
 
 import pytest
 
 from waimak_spark.dataflow.spark_flow import Waimak
 from waimak_spark.operators.commit import ParquetDataCommitter
 from waimak_spark.operators.metastore import (
-    HiveDummyConnector,
     FORCE_RECREATE_TABLES,
+    HiveDummyConnector,
+    ImpalaDummyConnector,
+    ImpalaJDBCConnector,
+    amend_data_types_for_impala,
+    standardize_name_for_impala,
 )
 
 
@@ -87,6 +94,104 @@ class TestDDLGeneration:
         con = HiveDummyConnector(ctx, "testdb")
         with pytest.raises(DataFlowException, match="Could not find parquet"):
             con.create_table_from_parquet_ddl("ghost", str(tmp_path / "ghost"))
+
+
+class TestImpalaDDLGeneration:
+    """Mirrors TestImpalaDBConnector.scala: unqualified table names,
+    like-parquet creates, recover partitions, file:-qualified paths."""
+
+    def test_drop_table(self, ctx):
+        con = ImpalaDummyConnector(ctx)
+        assert con.drop_table_ddl("testTable") == \
+            "drop table if exists testTable"
+
+    def test_update_table_location_qualifies_path(self, ctx):
+        con = ImpalaDummyConnector(ctx)
+        assert con.update_table_location_ddl("testTable", "/path") == \
+            "alter table testTable set location 'file:/path'"
+
+    def test_create_non_partitioned_like_parquet(self, ctx, people_parquet):
+        con = ImpalaDummyConnector(ctx)
+        ddls = con.create_table_from_parquet_ddl("people", people_parquet)
+        assert len(ddls) == 1
+        assert ddls[0].startswith(
+            "create external table if not exists people like parquet "
+            "'file:")
+        assert f"stored as parquet location 'file:{people_parquet}'" \
+            in ddls[0]
+        # Impala infers the schema server-side — no inlined column list
+        assert "(id int" not in ddls[0]
+
+    def test_create_partitioned_recovers_partitions(self, ctx, spark,
+                                                    tmp_path):
+        df = spark.createDataFrame([(1, "a", "x")],
+                                   "id int, name string, part string")
+        path = str(tmp_path / "parted")
+        df.write.partitionBy("part").parquet(path)
+        con = ImpalaDummyConnector(ctx)
+        ddls = con.create_table_from_parquet_ddl(
+            "parted", path, partition_columns=["part"])
+        assert "like parquet 'file:" in ddls[0]
+        assert "/part=x/" in ddls[0]  # schema file from inside a partition
+        assert "partitioned by (part string)" in ddls[0]
+        assert ddls[1] == "alter table parted recover partitions"
+
+    def test_jdbc_connector_builds_ddls_and_submits_via_hook(
+            self, ctx, people_parquet):
+        submitted = []
+
+        class StubJDBC(ImpalaJDBCConnector):
+            def _run_queries(self, ddls):
+                submitted.append(list(ddls))
+
+        con = StubJDBC(ctx, "jdbc:hive2://impala:21050/default")
+        con.update_table_location("default", "people", people_parquet)
+        assert len(submitted) == 1
+        assert any("like parquet" in d for d in submitted[0])
+        assert submitted[0][-1].startswith(
+            "alter table people set location 'file:")
+
+    def test_commit_finish_submits_impala_ddls(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a")], "id int, name string")
+        out = str(tmp_path / "out")
+        flow = (Waimak.spark_flow(spark, str(tmp_path / "tmp"))
+                .open("people", lambda c: df)
+                .commit("c1", "people"))
+        connector = ImpalaDummyConnector(flow.context)
+        flow = flow.push("c1", ParquetDataCommitter(
+            out, snapshot_folder="snap=1",
+            metastore_connector=connector, metastore_db="default"))
+        flow.execute()
+        assert len(connector.ran_ddls) == 1
+        ddls = connector.ran_ddls[0]
+        assert any(d.startswith(
+            "create external table if not exists people like parquet")
+            for d in ddls)
+        assert ddls[-1] == (
+            f"alter table people set location 'file:{out}/people/snap=1'")
+
+
+class TestImpalaTypeAmendment:
+    """ImpalaUtils.scala:16-58 semantics, as native expressions."""
+
+    def test_name_standardization(self):
+        assert standardize_name_for_impala(" My Col-1 ") == "my_col_1"
+        assert standardize_name_for_impala("rate%") == "rate_perc"
+        assert standardize_name_for_impala("a'b.c/d") == "ab_c_d"
+
+    def test_dates_cast_and_out_of_range_clamped(self, spark):
+        df = spark.createDataFrame(
+            [(date(2020, 1, 2), datetime(1200, 1, 1), datetime(2020, 6, 1),
+              None)],
+            "d date, early timestamp, ok timestamp, missing timestamp")
+        out = amend_data_types_for_impala(df)
+        assert [f.dataType.simpleString() for f in out.schema.fields] == \
+            ["timestamp"] * 4
+        row = out.collect()[0]
+        assert row["d"] == datetime(2020, 1, 2)
+        assert row["early"] == datetime(1400, 1, 1)  # clamped to low bound
+        assert row["ok"] == datetime(2020, 6, 1)
+        assert row["missing"] is None
 
 
 class TestCommitIntegration:

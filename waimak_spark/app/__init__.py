@@ -10,9 +10,14 @@ the multi-app runner.
 
 from .config import (
     ConfigException,
+    EnvSecretsPropertyProviderBuilder,
     JavaPropertiesPropertyProvider,
+    PropertiesFilePropertyProviderBuilder,
     PropertyProvider,
+    PropertyProviderBuilder,
+    SecretFilesPropertyProviderBuilder,
     parse_config,
+    resolve_property_providers,
     separator,
 )
 from .env import BaseEnv, HiveEnv
@@ -21,6 +26,9 @@ from .runner import MultiAppRunner, execute_app
 
 __all__ = [
     "ConfigException", "PropertyProvider", "JavaPropertiesPropertyProvider",
-    "parse_config", "separator", "BaseEnv", "HiveEnv", "SparkApp",
+    "PropertyProviderBuilder", "PropertiesFilePropertyProviderBuilder",
+    "EnvSecretsPropertyProviderBuilder", "SecretFilesPropertyProviderBuilder",
+    "parse_config", "resolve_property_providers", "separator",
+    "BaseEnv", "HiveEnv", "SparkApp",
     "WaimakApp", "MultiAppRunner", "execute_app",
 ]

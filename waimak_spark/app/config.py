@@ -8,6 +8,16 @@ lookup order is additionalConf → spark conf → property providers (with
 retries); a missing key without a dataclass default raises. Reflection on
 Scala companions becomes plain ``dataclasses.fields`` + ``typing``
 introspection.
+
+Property providers can be registered declaratively via the
+``spark.waimak.config.propertyProviderBuilderObjects`` conf (a comma
+list of dotted ``module.ClassName`` paths, the
+CONFIG_PROPERTY_PROVIDER_BUILDER_MODULES mechanism of
+CaseClassConfigParser.scala:159-166). Concrete secret-store providers
+ship for environment variables and mounted secret files — the
+public-infrastructure equivalents of the reference's Databricks secret
+scopes (DatabricksSecretsPropertyProviderBuilder.scala:20-60), with the
+same key-sanitization and scope-search behavior.
 """
 
 from __future__ import annotations
@@ -24,6 +34,17 @@ PROPERTY_PROVIDER_GET_TIMEOUT_MS_DEFAULT = 10_000
 PROPERTY_PROVIDER_GET_RETRIES = (
     f"{CONFIG_PARAM_PREFIX}.propertyProviderGetRetries")
 PROPERTY_PROVIDER_GET_RETRIES_DEFAULT = 3
+PROPERTY_PROVIDER_BUILDER_MODULES = (
+    f"{CONFIG_PARAM_PREFIX}.propertyProviderBuilderObjects")
+PROPERTIES_FILE_URI = f"{CONFIG_PARAM_PREFIX}.propertiesFileURI"
+#: comma list of env-var prefixes to try (empty → the bare key only)
+ENV_SECRET_PREFIXES = f"{CONFIG_PARAM_PREFIX}.envSecretPrefixes"
+#: directory whose files are secrets (key → file name, value → contents)
+SECRET_FILES_DIR = f"{CONFIG_PARAM_PREFIX}.secretFilesDir"
+#: replace non [a-zA-Z0-9-] characters in keys before secret lookup
+REPLACE_SPECIAL_CHARACTERS_IN_KEY = (
+    f"{CONFIG_PARAM_PREFIX}.replaceSpecialCharactersInKey")
+REPLACE_SPECIAL_CHARACTERS_IN_KEY_DEFAULT = True
 
 T = TypeVar("T")
 
@@ -65,6 +86,139 @@ class JavaPropertiesPropertyProvider(PropertyProvider):
         return self.properties.get(key)
 
 
+# ---------------------------------------------------------------------------
+# provider builders (PropertyProviderBuilder trait +
+# CONFIG_PROPERTY_PROVIDER_BUILDER_MODULES, CaseClassConfigParser.scala:159-166)
+# ---------------------------------------------------------------------------
+
+
+class PropertyProviderBuilder:
+    """Constructs a :class:`PropertyProvider` from the flow context —
+    registered by dotted class path in the
+    ``propertyProviderBuilderObjects`` Spark conf."""
+
+    def get_property_provider(self, context) -> PropertyProvider:
+        raise NotImplementedError
+
+
+def _spark_conf_get(context, key: str, default: Optional[str] = None):
+    if context is None:
+        return default
+    return context.spark.conf.get(key, default)
+
+
+def _sanitize_key(context, key: str, replacement: str = "-") -> str:
+    """Replace characters secret stores commonly reject
+    (DatabricksSecretsPropertyProviderBuilder.replaceSpecialKeyCharacters)."""
+    raw = _spark_conf_get(context, REPLACE_SPECIAL_CHARACTERS_IN_KEY)
+    enabled = (REPLACE_SPECIAL_CHARACTERS_IN_KEY_DEFAULT if raw is None
+               else raw.lower() == "true")
+    if not enabled:
+        return key
+    import re
+
+    return re.sub(r"[^a-zA-Z0-9-]", replacement, key)
+
+
+class PropertiesFilePropertyProviderBuilder(PropertyProviderBuilder):
+    """java-style ``.properties`` file named by the ``propertiesFileURI``
+    conf (PropertiesFilePropertyProviderBuilder of the reference)."""
+
+    def get_property_provider(self, context) -> PropertyProvider:
+        uri = _spark_conf_get(context, PROPERTIES_FILE_URI)
+        if not uri:
+            raise ConfigException(
+                f"{PROPERTIES_FILE_URI} must be set to use "
+                "PropertiesFilePropertyProviderBuilder")
+        props: dict[str, str] = {}
+        content = context.file_ops.read_string(uri)
+        for line in content.splitlines():
+            line = line.strip()
+            if not line or line.startswith(("#", "!")):
+                continue
+            for sep in ("=", ":"):
+                if sep in line:
+                    k, v = line.split(sep, 1)
+                    props[k.strip()] = v.strip()
+                    break
+        return JavaPropertiesPropertyProvider(props)
+
+
+class EnvSecretsPropertyProviderBuilder(PropertyProviderBuilder):
+    """Environment-variable-backed secrets — the public-infrastructure
+    stand-in for the reference's Databricks secret scopes
+    (DatabricksSecretsPropertyProviderBuilder.scala:20-60): optional
+    prefixes play the role of scopes (searched in order), and keys are
+    sanitized to the character set env vars allow (``_`` instead of the
+    Databricks ``-``)."""
+
+    def get_property_provider(self, context) -> PropertyProvider:
+        prefixes_raw = _spark_conf_get(context, ENV_SECRET_PREFIXES, "")
+        prefixes = [p.strip() for p in prefixes_raw.split(",") if p.strip()] \
+            or [""]
+        sanitized = lambda key: _sanitize_key(context, key, "_").replace(
+            "-", "_")
+
+        class _EnvProvider(PropertyProvider):
+            def get(self, key: str) -> Optional[str]:
+                import os
+
+                name = sanitized(key)
+                for prefix in prefixes:
+                    val = os.environ.get(f"{prefix}{name}")
+                    if val is not None:
+                        return val
+                return None
+
+        return _EnvProvider()
+
+
+class SecretFilesPropertyProviderBuilder(PropertyProviderBuilder):
+    """Mounted-secret-files directory (the Kubernetes/HashiCorp pattern):
+    ``secretFilesDir`` names a directory where each secret is one file —
+    file name = sanitized key, file contents = value."""
+
+    def get_property_provider(self, context) -> PropertyProvider:
+        base = _spark_conf_get(context, SECRET_FILES_DIR)
+        if not base:
+            raise ConfigException(
+                f"{SECRET_FILES_DIR} must be set to use "
+                "SecretFilesPropertyProviderBuilder")
+        ctx = context
+
+        class _FileProvider(PropertyProvider):
+            def get(self, key: str) -> Optional[str]:
+                path = f"{base.rstrip('/')}/{_sanitize_key(ctx, key)}"
+                if not ctx.file_ops.exists(path):
+                    return None
+                return ctx.file_ops.read_string(path).strip()
+
+        return _FileProvider()
+
+
+def resolve_property_providers(context) -> list[PropertyProvider]:
+    """Instantiate the builders named (dotted paths) in the
+    ``propertyProviderBuilderObjects`` conf and collect their providers
+    (CaseClassConfigParser.getPropertyProviders, :159-166)."""
+    raw = _spark_conf_get(context, PROPERTY_PROVIDER_BUILDER_MODULES, "")
+    providers = []
+    for dotted in (s.strip() for s in raw.split(",") if s.strip()):
+        import importlib
+
+        module_name, _, cls_name = dotted.rpartition(".")
+        try:
+            cls = getattr(importlib.import_module(module_name), cls_name)
+        except (ImportError, AttributeError, ValueError) as e:
+            raise ConfigException(
+                f"Could not load property provider builder [{dotted}]: {e}")
+        builder = cls()
+        if not isinstance(builder, PropertyProviderBuilder):
+            raise ConfigException(
+                f"[{dotted}] is not a PropertyProviderBuilder")
+        providers.append(builder.get_property_provider(context))
+    return providers
+
+
 def _coerce(raw: str, tpe: Any, sep: str) -> Any:
     origin = typing.get_origin(tpe)
     if origin is typing.Union:  # Optional[X]
@@ -104,6 +258,9 @@ def parse_config(cls: Type[T], context=None, prefix: str = "",
         retries = int(context.spark.conf.get(
             PROPERTY_PROVIDER_GET_RETRIES,
             str(PROPERTY_PROVIDER_GET_RETRIES_DEFAULT)))
+        # conf-registered secret-store providers come AFTER any explicitly
+        # passed ones (CaseClassConfigParser.scala:203 ordering)
+        providers = list(providers) + resolve_property_providers(context)
     hints = typing.get_type_hints(cls)
     kwargs: dict[str, Any] = {}
     for f in dataclasses.fields(cls):

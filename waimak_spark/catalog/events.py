@@ -147,16 +147,54 @@ RUNNING_ORACLE = """
 
 
 # --------------------------------------------------------------------------
-# approx aggregates — rows-only check (approximation isn't oracle-stable)
+# approx aggregates — BOUNDS-CHECK oracle: approximate answers can't be
+# value-compared across engines, so the query returns per-group verdicts
+# of a documented bounds rule and the oracle asserts every verdict holds:
+# * approx_count_distinct (HLL++, rsd 0.05) within 5% relative error of
+#   the exact distinct count (computed in the same Spark job);
+# * percentile_approx(value, 0.5) sits within rank tolerance: the fraction
+#   of values <= the reported p50 must land in [0.45, 0.55].
+# A broken approx implementation (or a broken exact aggregate) flips a
+# boolean and the hash comparison fails.
 # --------------------------------------------------------------------------
+
+APPROX_USERS_REL_TOL = 0.05
+P50_RANK_LO, P50_RANK_HI = 0.45, 0.55
+
 
 def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
-    return df.groupBy("event_type").agg(
+    stats = df.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", F.lit(0.5)).alias("p50"),
         F.count("*").alias("n"),
     )
+    # second narrow pass ranks the reported p50 against the raw values
+    # (an aggregate can't reference a peer aggregate's result in-plan);
+    # the stats side is one row per event_type — broadcast
+    joined = df.select("event_type", "value").join(
+        F.broadcast(stats), "event_type")
+    return (joined.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.abs(F.max("approx_users") - F.max("exact_users"))
+         <= F.max("exact_users") * APPROX_USERS_REL_TOL)
+        .alias("users_within_tol"),
+        F.avg((F.col("value") <= F.col("p50")).cast("double"))
+        .alias("_frac_le_p50"))
+        .select("event_type", "n", "users_within_tol",
+                F.col("_frac_le_p50").between(P50_RANK_LO, P50_RANK_HI)
+                .alias("p50_within_tol")))
+
+
+APPROX_STATS_ORACLE = """
+    select event_type,
+           count(*) as n,
+           true as users_within_tol,
+           true as p50_within_tol
+    from events
+    group by event_type
+"""
 
 
 ENTRIES = {
@@ -167,5 +205,6 @@ ENTRIES = {
     "sessions_per_user": {"fn": sessions_per_user, "oracle": SESSIONS_ORACLE},
     "running_value_per_user": {"fn": running_value_per_user,
                                "oracle": RUNNING_ORACLE},
-    "approx_event_stats": {"fn": approx_event_stats, "oracle": None},
+    "approx_event_stats": {"fn": approx_event_stats,
+                           "oracle": APPROX_STATS_ORACLE},
 }

@@ -24,6 +24,17 @@ from .core import (
     SimpleDatasetCheck,
     add_data_quality_check,
 )
+from .alerts import (
+    EmailQualityAlert,
+    SMTPEmailSettings,
+    SlackQualityAlert,
+)
+from .checks import (
+    Check,
+    CheckLevel,
+    ComposableCheck,
+    add_checks,
+)
 from .prefab import (
     completeness_check,
     generic_sql_check,
@@ -36,6 +47,8 @@ __all__ = [
     "DataQualityAlertHandler", "DataQualityCheck", "DatasetChecks",
     "SimpleDatasetCheck", "DataQualityMetadataExtension",
     "ExceptionQualityAlert", "LoggingQualityAlert", "CollectingAlertHandler",
+    "SlackQualityAlert", "EmailQualityAlert", "SMTPEmailSettings",
+    "Check", "CheckLevel", "ComposableCheck", "add_checks",
     "add_data_quality_check", "completeness_check", "uniqueness_check",
     "recent_timestamp_check", "generic_sql_check",
 ]

@@ -1,0 +1,200 @@
+"""Composable check builder — the reference's Deequ surface
+(waimak-deequ/.../deequ/package.scala:30-99, DeequCheck.scala:23-95)
+re-expressed natively, without the Deequ library.
+
+A :class:`Check` is a chainable list of constraints at one severity
+level (``CheckLevel.ERROR`` → Critical alerts, ``CheckLevel.WARNING`` →
+Warning, mirroring DeequCheck.getAlertImportance); a
+:class:`ComposableCheck` bundles many Checks into a
+``DataQualityCheck`` that plugs into ``add_data_quality_check`` /
+``DataQualityMetadataExtension`` like any other check.
+
+Spark-first evaluation: every scalar constraint (size, completeness,
+min/max/mean/sum, satisfies-fraction, pattern-fraction, approx distinct)
+across ALL bundled checks is computed in ONE ``df.agg`` pass over the
+cached label; only uniqueness constraints need their own grouped pass
+(same two-phase shape Deequ uses). Constraint assertions run driver-side
+on the one collected metrics row.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .core import (
+    AlertImportance,
+    DataQualityAlert,
+    DataQualityCheck,
+    DataQualityAlertHandler,
+)
+
+
+class CheckLevel(enum.Enum):
+    ERROR = AlertImportance.CRITICAL
+    WARNING = AlertImportance.WARNING
+
+
+@dataclass(frozen=True)
+class _Constraint:
+    description: str
+    #: scalar aggregate expression, or None for grouped (uniqueness)
+    metric: object  # Column | None
+    assertion: Callable[[object], bool]
+    #: columns for the grouped uniqueness pass (when metric is None)
+    group_cols: tuple[str, ...] = ()
+
+
+class Check:
+    """A chainable set of constraints evaluated at one severity level —
+    the VerificationRunBuilder ``Check`` equivalent. All builders return
+    a NEW Check (immutabile chaining, like the reference's case class)."""
+
+    def __init__(self, level: CheckLevel, description: str,
+                 constraints: Sequence[_Constraint] = ()):
+        self.level = level
+        self.description = description
+        self.constraints = list(constraints)
+
+    def _with(self, c: _Constraint) -> "Check":
+        return Check(self.level, self.description, self.constraints + [c])
+
+    # -- constraint builders (Deequ Check.* equivalents) ----------------------
+    def has_size(self, assertion: Callable[[int], bool]) -> "Check":
+        return self._with(_Constraint(
+            "size", F.count(F.lit(1)), assertion))
+
+    def is_complete(self, column: str) -> "Check":
+        return self.has_completeness(column, lambda v: v == 1.0)
+
+    def has_completeness(self, column: str,
+                         assertion: Callable[[float], bool]) -> "Check":
+        return self._with(_Constraint(
+            f"completeness({column})",
+            F.coalesce(F.avg(F.col(column).isNotNull().cast("double")),
+                       F.lit(1.0)),
+            assertion))
+
+    def has_min(self, column: str, assertion) -> "Check":
+        return self._with(_Constraint(
+            f"min({column})", F.min(column), assertion))
+
+    def has_max(self, column: str, assertion) -> "Check":
+        return self._with(_Constraint(
+            f"max({column})", F.max(column), assertion))
+
+    def has_mean(self, column: str, assertion) -> "Check":
+        return self._with(_Constraint(
+            f"mean({column})", F.avg(column), assertion))
+
+    def has_sum(self, column: str, assertion) -> "Check":
+        return self._with(_Constraint(
+            f"sum({column})", F.sum(column), assertion))
+
+    def has_approx_count_distinct(self, column: str, assertion) -> "Check":
+        return self._with(_Constraint(
+            f"approxCountDistinct({column})",
+            F.approx_count_distinct(column), assertion))
+
+    def satisfies(self, predicate: str, name: str,
+                  assertion: Callable[[float], bool] = lambda v: v == 1.0
+                  ) -> "Check":
+        """Fraction of rows satisfying a SQL predicate (Deequ
+        ``satisfies``); default assertion requires every row."""
+        return self._with(_Constraint(
+            f"satisfies({name})",
+            F.coalesce(
+                F.avg(F.when(F.expr(predicate), 1.0).otherwise(0.0)),
+                F.lit(1.0)),
+            assertion))
+
+    def has_pattern(self, column: str, regex: str,
+                    assertion: Callable[[float], bool] = lambda v: v == 1.0
+                    ) -> "Check":
+        return self._with(_Constraint(
+            f"pattern({column}, {regex})",
+            F.coalesce(
+                F.avg(F.when(F.col(column).rlike(regex), 1.0).otherwise(0.0)),
+                F.lit(1.0)),
+            assertion))
+
+    def is_unique(self, *columns: str) -> "Check":
+        return self.has_uniqueness(columns, lambda v: v == 1.0)
+
+    def has_uniqueness(self, columns: Sequence[str],
+                       assertion: Callable[[float], bool]) -> "Check":
+        """Fraction of (columns)-combinations occurring exactly once —
+        needs its own grouped pass (two-phase, as in Deequ)."""
+        return self._with(_Constraint(
+            f"uniqueness({','.join(columns)})", None, assertion,
+            tuple(columns)))
+
+
+class ComposableCheck(DataQualityCheck):
+    """Bundle of :class:`Check` objects behaving as one
+    ``DataQualityCheck`` — the ``DeequCheck`` equivalent. ``concat``
+    composes builder chains exactly like ``DeequCheck.++``."""
+
+    def __init__(self, checks: Sequence[Check] = ()):
+        self.checks = list(checks)
+
+    def concat(self, other: "DataQualityCheck") -> "ComposableCheck":
+        if not isinstance(other, ComposableCheck):
+            raise TypeError(
+                "Can only combine ComposableCheck with ComposableCheck")
+        return ComposableCheck(self.checks + other.checks)
+
+    def validate_check(self) -> None:
+        for c in self.checks:
+            if not c.constraints:
+                raise ValueError(
+                    f"Check [{c.description}] declares no constraints")
+
+    def get_alerts(self, label: str, df: DataFrame) -> list[DataQualityAlert]:
+        flat: list[tuple[Check, _Constraint]] = [
+            (c, k) for c in self.checks for k in c.constraints]
+        scalar = [(i, c, k) for i, (c, k) in enumerate(flat)
+                  if k.metric is not None]
+        grouped = [(i, c, k) for i, (c, k) in enumerate(flat)
+                   if k.metric is None]
+        values: dict[int, object] = {}
+        if scalar:
+            row = df.agg(*[k.metric.alias(f"m{i}")
+                           for i, _c, k in scalar]).collect()[0]
+            for i, _c, _k in scalar:
+                values[i] = row[f"m{i}"]
+        for i, _c, k in grouped:
+            stats = (df.groupBy(*k.group_cols).count()
+                     .agg(F.count(F.when(F.col("count") == 1, 1))
+                          .alias("unique"),
+                          F.sum("count").alias("rows")).collect()[0])
+            rows = stats["rows"] or 0
+            values[i] = (stats["unique"] / rows) if rows else 1.0
+        alerts = []
+        for i, (check, k) in enumerate(flat):
+            value = values[i]
+            try:
+                ok = bool(k.assertion(value))
+            except Exception:
+                ok = False  # assertion crashed (e.g. None min) → failure
+            if not ok:
+                importance = check.level.value
+                alerts.append(DataQualityAlert(
+                    f"{importance.value} alert for label {label}: check "
+                    f"[{check.description}] constraint [{k.description}] "
+                    f"failed (value: {value!r})", importance))
+        return alerts
+
+
+def add_checks(flow, label: str, check: Check, *more: Check,
+               handlers: Sequence[DataQualityAlertHandler] = ()):
+    """``addDeequCheck`` equivalent (deequ/package.scala:63-76): attach
+    one or more composable Checks to a label with the given handlers."""
+    from .core import add_data_quality_check
+
+    return add_data_quality_check(
+        flow, label, ComposableCheck([check, *more]), *handlers)

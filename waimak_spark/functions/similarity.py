@@ -315,6 +315,67 @@ def embedding_cosine_dedup(emb: DataFrame, min_cosine: float = 0.0,
                     .alias("canonical_id")))
 
 
+def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
+                                max_iters: int = 20) -> DataFrame:
+    """Connected-component canonical assignment by min-label propagation:
+    every id's canonical converges to the MINIMUM id of its duplicate
+    component, however long the chain (A~B, B~C ⇒ all three map to A).
+
+    ``ids`` has one column ``id``; ``pairs`` has ``id_a``/``id_b`` edges.
+    Each iteration is one join+groupBy over the EDGE SUBGRAPH only (ids
+    that appear in at least one duplicate pair — typically a tiny fraction
+    of the corpus), materialized with ``localCheckpoint`` to cut lineage;
+    propagation converges in O(component diameter) iterations with an
+    early exit when no label changes. This is the standard big-data CC
+    iteration (what GraphFrames' connectedComponents does under the hood),
+    bounded by ``max_iters`` as a pathological-chain guard."""
+    edges = pairs.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("peer")),
+        F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("peer")),
+    )).alias("e")).select("e.id", "e.peer").localCheckpoint(eager=True)
+    labels = (edges.select("id").distinct()
+              .withColumn("canonical", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        neigh = (edges.join(labels.select(F.col("id").alias("peer"),
+                                          F.col("canonical").alias("pc")),
+                            "peer")
+                 .groupBy("id").agg(F.min("pc").alias("nmin")))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id",
+                              F.least(F.col("canonical"),
+                                      F.coalesce("nmin", F.col("canonical")))
+                              .alias("canonical"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.canonical") != F.col("o.canonical"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (ids.join(labels, "id", "left")
+            .select(F.col("id"),
+                    F.coalesce("canonical", F.col("id"))
+                    .alias("canonical_id")))
+
+
+def embedding_cosine_dedup_fixpoint(emb: DataFrame, min_cosine: float = 0.0,
+                                    n_planes: int = DEFAULT_PLANES,
+                                    dims: int = 64, id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    max_iters: int = 20) -> DataFrame:
+    """Chain-resolving variant of :func:`embedding_cosine_dedup`: the
+    canonical id is the minimum of the whole duplicate COMPONENT, not just
+    the direct neighbors — use when near-dup chains (A~B~C with A≁C)
+    must collapse to one canonical."""
+    pairs = lsh_ann_pairs(emb, n_planes, dims, min_cosine,
+                          id_col=id_col, vec_col=vec_col)
+    ids = emb.select(F.col(id_col).alias("id"))
+    out = resolve_duplicates_fixpoint(ids, pairs, max_iters)
+    return out.select(F.col("id").alias(id_col), "canonical_id")
+
+
 def embedding_cosine_dedup_sql(min_cosine: float = 0.0,
                                n_planes: int = DEFAULT_PLANES,
                                dims: int = 64) -> str:

@@ -1,13 +1,22 @@
 """Metastore DDL sync for committed Parquet tables.
 
-Re-expresses the reference's HadoopDBConnector / HiveDBConnector
-(waimak-core/.../metastore/MetastoreUtils.scala:137-199,
-waimak-hive/.../HiveDBConnector.scala:16-112): on commit-finish, each
+Re-expresses the reference's HadoopDBConnector / HiveDBConnector /
+ImpalaDBConnector (waimak-core/.../metastore/MetastoreUtils.scala:137-199,
+waimak-hive/.../HiveDBConnector.scala:16-112,
+waimak-impala/.../ImpalaDBConnector.scala:17-104): on commit-finish, each
 committed label's table is created (schema inferred from a Parquet
 footer) or repointed at the new snapshot location. The natural PySpark
 path is ``spark.sql`` against the session's built-in Hive metastore
 (``HiveSparkSQLConnector``, HiveDBConnector.scala:94-112); the dummy
-connector collects DDL strings for tests or manual submission.
+connectors collect DDL strings for tests or manual submission.
+
+The Impala dialect differs from Hive in three ways (ImpalaDBConnector
+.scala:18-40): tables are created ``like parquet '<file>'`` (Impala
+infers the schema from the footer server-side, so no column list is
+inlined), partitions are discovered with ``alter table ... recover
+partitions`` instead of ``msck repair table``, and paths are fully
+qualified against the FileSystem URI. Table names are unqualified — the
+database is part of the JDBC connection, not the DDL.
 """
 
 from __future__ import annotations
@@ -37,6 +46,12 @@ class HadoopDBConnector:
         return self.context.get_boolean(FORCE_RECREATE_TABLES,
                                         FORCE_RECREATE_TABLES_DEFAULT)
 
+    # -- naming ----------------------------------------------------------------
+    def _qualified_name(self, table_name: str) -> str:
+        """How the dialect spells the table in DDL: Hive qualifies with the
+        database; Impala leaves it to the JDBC connection."""
+        return f"{self.database}.{table_name}"
+
     # -- schema inference (HiveDBConnector.getSchema, :56-64) ------------------
     def _find_parquet_file(self, path: str,
                            partition_columns: Sequence[str]) -> str:
@@ -61,7 +76,7 @@ class HadoopDBConnector:
                                       external: bool = True,
                                       partition_columns: Sequence[str] = (),
                                       if_not_exists: bool = True) -> list[str]:
-        qualified = f"{self.database}.{table_name}"
+        qualified = self._qualified_name(table_name)
         parquet_file = self._find_parquet_file(path, partition_columns)
         schema = self._schema_string(parquet_file)
         ine = "if not exists " if if_not_exists else ""
@@ -78,10 +93,10 @@ class HadoopDBConnector:
 
     def drop_table_ddl(self, table_name: str, if_exists: bool = True) -> str:
         opt = " if exists " if if_exists else " "
-        return f"drop table{opt}{self.database}.{table_name}"
+        return f"drop table{opt}{self._qualified_name(table_name)}"
 
     def update_table_location_ddl(self, table_name: str, path: str) -> str:
-        return (f"alter table {self.database}.{table_name} "
+        return (f"alter table {self._qualified_name(table_name)} "
                 f"set location '{path}'")
 
     def recreate_table_ddls(self, table_name: str, path: str,
@@ -144,3 +159,147 @@ class HiveDummyConnector(HadoopDBConnector):
 
     def submit_ddls(self, ddls: Sequence[str]) -> None:
         self.ran_ddls.append(list(ddls))
+
+
+# ---------------------------------------------------------------------------
+# Impala dialect (waimak-impala/.../ImpalaDBConnector.scala:17-104)
+# ---------------------------------------------------------------------------
+
+
+class ImpalaDBConnector(HadoopDBConnector):
+    """Impala-dialect DDL generation (ImpalaDBConnector.scala:17-40):
+    ``create ... like parquet '<file>'`` (server-side schema inference
+    from the footer — no inlined column list), ``alter table ... recover
+    partitions``, fully-qualified FileSystem paths, unqualified table
+    names (the database lives in the JDBC connection string)."""
+
+    def _qualified_name(self, table_name: str) -> str:
+        return table_name
+
+    def _qualify_path(self, path: str) -> str:
+        """Qualify against the FileSystem URI + working dir, as the
+        reference does with ``Path.makeQualified`` — Impala requires
+        absolute qualified locations (e.g. ``hdfs://nn/...``)."""
+        fops = self.context.file_ops
+        p = fops._path(path)
+        fs = fops._fs(path)
+        return p.makeQualified(fs.getUri(), fs.getWorkingDirectory()).toString()
+
+    def create_table_from_parquet_ddl(self, table_name: str, path: str,
+                                      external: bool = True,
+                                      partition_columns: Sequence[str] = (),
+                                      if_not_exists: bool = True) -> list[str]:
+        qualified_path = self._qualify_path(path)
+        parquet_file = self._qualify_path(
+            self._find_parquet_file(path, partition_columns))
+        ine = "if not exists " if if_not_exists else ""
+        ext = "external " if external else ""
+        name = self._qualified_name(table_name)
+        if not partition_columns:
+            return [f"create {ext}table {ine}{name} like parquet "
+                    f"'{parquet_file}' stored as parquet "
+                    f"location '{qualified_path}'"]
+        parts = ", ".join(f"{c} string" for c in partition_columns)
+        return [
+            f"create {ext}table {ine}{name} like parquet '{parquet_file}' "
+            f"partitioned by ({parts}) stored as parquet "
+            f"location '{qualified_path}'",
+            f"alter table {name} recover partitions",
+        ]
+
+    def update_table_location_ddl(self, table_name: str, path: str) -> str:
+        return (f"alter table {self._qualified_name(table_name)} "
+                f"set location '{self._qualify_path(path)}'")
+
+
+class ImpalaDummyConnector(ImpalaDBConnector):
+    """Collects Impala DDLs instead of submitting them
+    (ImpalaDBConnector.scala:97-104)."""
+
+    def __init__(self, context, database: str = "default",
+                 force_recreate_tables: Optional[bool] = None):
+        super().__init__(context, database, force_recreate_tables)
+        self.ran_ddls: list[list[str]] = []
+
+    def submit_ddls(self, ddls: Sequence[str]) -> None:
+        self.ran_ddls.append(list(ddls))
+
+
+class ImpalaJDBCConnector(ImpalaDBConnector):
+    """Submit Impala DDLs over a JDBC connection via the JVM
+    ``DriverManager`` (ImpalaDBConnector.scala:74-91,
+    MetastoreUtils.scala:62-131). The Hive JDBC driver must be on the
+    Spark driver's classpath; tests stub :meth:`_run_queries`."""
+
+    driver_name = "org.apache.hive.jdbc.HiveDriver"
+
+    def __init__(self, context, jdbc_string: str,
+                 properties: Optional[dict[str, str]] = None,
+                 database: str = "default",
+                 force_recreate_tables: Optional[bool] = None):
+        super().__init__(context, database, force_recreate_tables)
+        self.jdbc_string = jdbc_string
+        self.properties = dict(properties or {})
+
+    def _run_queries(self, ddls: Sequence[str]) -> None:
+        jvm = self.context.spark._jvm
+        jvm.java.lang.Class.forName(self.driver_name)
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.jdbc_string, props)
+        try:
+            stmt = conn.createStatement()
+            for ddl in ddls:
+                stmt.execute(ddl)
+        finally:
+            conn.close()
+
+    def submit_ddls(self, ddls: Sequence[str]) -> None:
+        self._run_queries(list(ddls))
+
+
+# ---------------------------------------------------------------------------
+# Impala type constraints (waimak-impala/.../ImpalaUtils.scala:16-58) —
+# re-expressed as native expressions (the reference uses a row-at-a-time
+# UDF; when/otherwise keeps the clamp inside whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+IMPALA_TIMESTAMP_LOW = "1400-01-01"
+IMPALA_TIMESTAMP_HIGH = "9999-12-31"
+
+
+def standardize_name_for_impala(name: str) -> str:
+    """Lower-case and replace characters Impala rejects in identifiers
+    (ImpalaUtils.standardizeName, :58)."""
+    out = name.strip().lower().replace("'", "")
+    for ch in (" ", "-", "\\", "/", ".", "#", "&"):
+        out = out.replace(ch, "_")
+    return out.replace("%", "_perc")
+
+
+def amend_data_types_for_impala(df):
+    """Lower-case/sanitize all column names, cast Date columns to
+    Timestamp, and clamp timestamps outside Impala's supported range
+    [1400-01-01, 9999-12-31] UTC down to the low bound
+    (ImpalaUtils.amendDataTypesForImpala, :44-54)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, TimestampType
+
+    low = F.to_timestamp(F.lit(IMPALA_TIMESTAMP_LOW))
+    high = F.to_timestamp(F.lit(IMPALA_TIMESTAMP_HIGH))
+
+    def clamp(col):
+        return F.when(col.isNull(), None) \
+            .when((col > low) & (col < high), col).otherwise(low)
+
+    cols = []
+    for f in df.schema.fields:
+        c = df[f.name]
+        if isinstance(f.dataType, DateType):
+            c = clamp(c.cast(TimestampType()))
+        elif isinstance(f.dataType, TimestampType):
+            c = clamp(c)
+        cols.append(c.alias(standardize_name_for_impala(f.name)))
+    return df.select(*cols)
