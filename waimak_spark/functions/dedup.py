@@ -126,17 +126,19 @@ def shingle_base(df: DataFrame, text_col: str = "text",
     are equal and Spark's cache manager serves them all from ONE
     materialization of the tokenize→shingle→distinct pipeline.
 
-    The token array is projected in its OWN select step before shingling:
-    interpreted higher-order expressions get no common-subexpression
-    elimination, so inlining ``tokens(text)`` into ``shingles`` re-runs the
-    whole split+filter once per ``element_at`` reference — i.e. 3× per
-    shingle, O(tokens²) per row. The two-step projection turns those into
-    bound-reference lookups (measured 10× faster at sf0.1)."""
+    The tokenize→shingle→distinct pipeline runs as ONE Arrow-batched
+    kernel (functions/text.py:distinct_shingle_kernel) — string semantics
+    are exact across engines, and the interpreted higher-order expression
+    form (kept as ``tokens``/``shingles`` for SQL-expressible composition)
+    measured ~5× slower because HOFs get no codegen and no
+    common-subexpression elimination."""
+    from .text import distinct_shingle_kernel
+
     df = spread_for_compute(df)
-    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    return tracked_persist(tk.select(
+    kernel = distinct_shingle_kernel(n)
+    return tracked_persist(df.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col("_t"), n)).alias("_sh"),
+        kernel(F.col(text_col)).alias("_sh"),
     ))
 
 
