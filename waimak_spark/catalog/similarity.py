@@ -29,6 +29,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_cosine_dedup(emb, min_cosine=0.0)
 
 
+def dedup_embedding_cosine_fixpoint(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embedding_cosine_dedup_fixpoint(emb, min_cosine=0.0)
+
+
 ENTRIES = {
     "ann_brute_force_topk": {
         "fn": ann_brute_force_topk,
@@ -45,5 +51,9 @@ ENTRIES = {
     "dedup_embedding_cosine": {
         "fn": dedup_embedding_cosine,
         "oracle": S.embedding_cosine_dedup_sql(min_cosine=0.0),
+    },
+    "dedup_embedding_cosine_fixpoint": {
+        "fn": dedup_embedding_cosine_fixpoint,
+        "oracle": S.embedding_cosine_dedup_fixpoint_sql(min_cosine=0.0),
     },
 }

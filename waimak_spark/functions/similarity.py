@@ -376,6 +376,37 @@ def embedding_cosine_dedup_fixpoint(emb: DataFrame, min_cosine: float = 0.0,
     return out.select(F.col("id").alias(id_col), "canonical_id")
 
 
+def embedding_cosine_dedup_fixpoint_sql(min_cosine: float = 0.0,
+                                        n_planes: int = DEFAULT_PLANES,
+                                        dims: int = 64) -> str:
+    """Recursive-CTE oracle for the fixpoint resolution: transitive
+    closure over the symmetric duplicate edges (UNION-distinct recursion
+    terminates once no new (id, reachable-peer) rows appear), then the
+    component minimum per id — exactly what min-label propagation
+    converges to."""
+    return f"""
+        with recursive pairs as ({lsh_ann_pairs_sql(n_planes, dims,
+                                                    min_cosine)}),
+        edges as (
+            select id_a as id, id_b as peer from pairs
+            union all
+            select id_b as id, id_a as peer from pairs
+        ),
+        reach(id, peer) as (
+            select id, peer from edges
+            union
+            select e.id, r.peer
+            from edges e join reach r on r.id = e.peer
+            where e.id != r.peer
+        )
+        select v.vec_id,
+               coalesce(least(v.vec_id, min(r.peer)), v.vec_id)
+                   as canonical_id
+        from embeddings v left join reach r on r.id = v.vec_id
+        group by v.vec_id
+    """
+
+
 def embedding_cosine_dedup_sql(min_cosine: float = 0.0,
                                n_planes: int = DEFAULT_PLANES,
                                dims: int = 64) -> str:
