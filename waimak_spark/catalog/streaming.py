@@ -78,9 +78,80 @@ STREAMING_TUMBLING_ORACLE = """
 """
 
 
+SESSION_GAP_S = 1800
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` sessionization vs a gaps-and-islands
+    SQL oracle: per-user sessions merge events closer than 30 minutes;
+    ``session_end`` is last-event + gap (Spark session semantics — a new
+    session starts when the inter-event gap is >= the gap, since a window
+    starting exactly at the previous session's end does not overlap it).
+
+    Runs in COMPLETE mode over an ``availableNow`` backfill (session
+    windows reject update mode): at termination the sink holds every
+    session in its final merged state however many micro-batches the
+    backfill took, so the incremental operator is value-comparable to the
+    batch answer. (Unbounded production streams would use append mode +
+    watermark and only emit sessions the watermark has sealed; that
+    path's cross-batch state carry is covered by test_streaming.py.)"""
+    from .events import _events
+    from ..streaming.ops import sessionize_stream
+
+    schema = _events(spark, sf_dir).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    with_ts = src.withColumn(
+        "ts_ev", F.expr(f"timestamp_seconds(ts div {NANOS})"))
+    sess = sessionize_stream(with_ts, "ts_ev", f"{SESSION_GAP_S} seconds",
+                             ["user_id"], watermark="1 hour")
+    out = sess.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "n_events")
+    name = "stream_session_counts_sink"
+    spark.catalog.dropTempView(name)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_SESSION_ORACLE = f"""
+    with e as (
+        select user_id, (epoch_ns(ts) // 1000000000) as tsec from events
+    ), marked as (
+        select user_id, tsec,
+               case when lag(tsec) over w is null
+                         or tsec - lag(tsec) over w >= {SESSION_GAP_S}
+                    then 1 else 0 end as new_s
+        from e
+        window w as (partition by user_id order by tsec)
+    ), sess as (
+        select user_id, tsec,
+               sum(new_s) over (partition by user_id order by tsec
+                                rows unbounded preceding) as sid
+        from marked
+    )
+    select user_id,
+           min(tsec) as session_start,
+           max(tsec) + {SESSION_GAP_S} as session_end,
+           count(*) as n_events
+    from sess
+    group by user_id, sid
+"""
+
+
 ENTRIES = {
     "streaming_tumbling_counts": {
         "fn": streaming_tumbling_counts,
         "oracle": STREAMING_TUMBLING_ORACLE,
+    },
+    "streaming_session_counts": {
+        "fn": streaming_session_counts,
+        "oracle": STREAMING_SESSION_ORACLE,
     },
 }
