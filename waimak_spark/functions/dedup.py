@@ -119,26 +119,40 @@ SHINGLE_N = 3
 
 
 def shingle_base(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+                 id_col: str = "doc_id", n: int = SHINGLE_N,
+                 use_kernel: bool = False) -> DataFrame:
     """(id, _sh) with ``_sh`` = distinct n-word shingles, spread across the
     session's parallelism and persisted. Built identically by every
     shingle-consuming operator (MinHash, LSH, n-gram Jaccard) so the plans
     are equal and Spark's cache manager serves them all from ONE
     materialization of the tokenize→shingle→distinct pipeline.
 
-    The tokenize→shingle→distinct pipeline runs as ONE Arrow-batched
-    kernel (functions/text.py:distinct_shingle_kernel) — string semantics
-    are exact across engines, and the interpreted higher-order expression
-    form (kept as ``tokens``/``shingles`` for SQL-expressible composition)
-    measured ~5× slower because HOFs get no codegen and no
-    common-subexpression elimination."""
-    from .text import distinct_shingle_kernel
+    The token array is projected in its OWN select step before shingling:
+    interpreted higher-order expressions get no common-subexpression
+    elimination, so inlining ``tokens(text)`` into ``shingles`` re-runs the
+    whole split+filter once per ``element_at`` reference — i.e. 3× per
+    shingle, O(tokens²) per row. The two-step projection turns those into
+    bound-reference lookups (measured 10× faster at sf0.1).
 
+    ``use_kernel=True`` swaps in the Arrow-batched Python kernel
+    (functions/text.py:distinct_shingle_kernel, bit-identical —
+    property-locked by test_kernel_parity.py). Interleaved A/B at sf0.1
+    (~300-char docs) measured the expression form FASTER warm (Arrow
+    serde of the text+shingle arrays outweighs the interpreted-HOF cost
+    at this document size), so the expression form is the default; the
+    kernel wins when documents are long (many tokens per row)."""
     df = spread_for_compute(df)
-    kernel = distinct_shingle_kernel(n)
-    return tracked_persist(df.select(
+    if use_kernel:
+        from .text import distinct_shingle_kernel
+
+        return tracked_persist(df.select(
+            F.col(id_col),
+            distinct_shingle_kernel(n)(F.col(text_col)).alias("_sh"),
+        ))
+    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    return tracked_persist(tk.select(
         F.col(id_col),
-        kernel(F.col(text_col)).alias("_sh"),
+        F.array_distinct(shingles(F.col("_t"), n)).alias("_sh"),
     ))
 
 
