@@ -1,0 +1,126 @@
+"""Behavioral tests for the curation operators: sampling rates and
+determinism, split group-consistency, PII redaction per kind, repetition
+fractions on crafted docs, incremental corpus dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from waimak_spark.functions import curation as C
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, f"word{i % 7} " * (i % 5 + 1), f"g{i % 10}")
+            for i in range(2000)]
+    return spark.createDataFrame(rows, "id bigint, text string, grp string")
+
+
+class TestStratifiedSample:
+    def test_rate_within_binomial_bounds(self, spark, docs):
+        out = C.stratified_sample(
+            docs, key="id", stratum="grp",
+            fractions={"g0": 0.5}, default_fraction=0.1, seed=1)
+        g0 = out.where(F.col("grp") == "g0").count()
+        rest = out.where(F.col("grp") != "g0").count()
+        # n=200 per group; 5 sigma on binomial(200, .5) ~ 35, (1800, .1) ~ 64
+        assert abs(g0 - 100) < 40
+        assert abs(rest - 180) < 70
+
+    def test_deterministic_and_seed_sensitive(self, spark, docs):
+        kw = dict(key="id", stratum="grp", fractions={"g0": 0.5},
+                  default_fraction=0.1)
+        a = {r.id for r in C.stratified_sample(docs, seed=1, **kw).collect()}
+        b = {r.id for r in C.stratified_sample(docs, seed=1, **kw).collect()}
+        c = {r.id for r in C.stratified_sample(docs, seed=2, **kw).collect()}
+        assert a == b
+        assert a != c
+
+    def test_zero_and_full_fractions(self, spark, docs):
+        none = C.stratified_sample(docs, key="id", stratum="grp",
+                                   fractions={}, default_fraction=0.0)
+        assert none.count() == 0
+        full = C.stratified_sample(docs, key="id", stratum="grp",
+                                   fractions={}, default_fraction=1.0)
+        assert full.count() == 2000
+
+
+class TestAssignSplit:
+    def test_split_constant_within_group(self, spark, docs):
+        out = C.assign_split(docs, group="grp", train=80, val=10)
+        per_group = (out.groupBy("grp")
+                     .agg(F.countDistinct("split").alias("n"))
+                     .collect())
+        assert all(r.n == 1 for r in per_group)
+
+    def test_all_three_splits_reachable(self, spark):
+        many = spark.range(300).withColumn("grp", F.col("id").cast("string"))
+        out = C.assign_split(many, group="grp", train=60, val=20)
+        splits = {r.split for r in out.select("split").distinct().collect()}
+        assert splits == {"train", "val", "test"}
+
+    def test_deterministic(self, spark, docs):
+        a = C.assign_split(docs, group="grp").collect()
+        b = C.assign_split(docs, group="grp").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestRedactPII:
+    CASES = [
+        ("mail me at jo.smith+x@corp.example.co.uk today",
+         "mail me at <EMAIL> today"),
+        ("ssn 123-45-6789 end", "ssn <SSN> end"),
+        ("host 192.168.0.17 down", "host <IP> down"),
+        ("call +44 777 123 4567 now", "call <PHONE> now"),
+        ("clean text stays clean", "clean text stays clean"),
+    ]
+
+    def test_each_kind(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _) in enumerate(self.CASES)],
+            "id bigint, text string")
+        out = {r.id: r.red
+               for r in df.select(
+                   "id", C.redact_pii(F.col("text")).alias("red")).collect()}
+        for i, (_, expected) in enumerate(self.CASES):
+            assert out[i] == expected
+
+    def test_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a@b.co and c@d.io, ip 1.2.3.4")], "id bigint, text string")
+        cols = C.pii_counts(F.col("text"))
+        row = df.select(*[c.alias(n) for n, c in cols.items()]).first()
+        assert row.n_email == 2
+        assert row.n_ipv4 == 1
+        assert row.n_ssn == 0
+
+
+class TestDupFraction:
+    def test_crafted(self, spark):
+        df = spark.createDataFrame(
+            [(0, ["a", "a", "a", "a"]),     # 3 of 4 repeats
+             (1, ["a", "b", "c"]),          # none
+             (2, [])],                      # empty -> 0.0
+            "id bigint, arr array<string>")
+        out = {r.id: r.f for r in df.select(
+            "id", C.dup_fraction(F.col("arr")).alias("f")).collect()}
+        assert out[0] == pytest.approx(0.75)
+        assert out[1] == pytest.approx(0.0)
+        assert out[2] == pytest.approx(0.0)
+
+
+class TestDedupAgainstCorpus:
+    def test_removes_exact_matches_only(self, spark, sf_dir):
+        from waimak_spark.catalog.curation import (
+            CORPUS_SOURCES, dedup_against_corpus)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        new = docs.where(~F.col("source").isin(CORPUS_SOURCES))
+        out = dedup_against_corpus(spark, sf_dir)
+        assert out.count() <= new.count()
+        # survivors' texts are genuinely absent from the corpus
+        corpus_texts = {
+            r.text for r in
+            docs.where(F.col("source").isin(CORPUS_SOURCES)).collect()}
+        surv = (out.join(docs.select("doc_id", "text"), "doc_id")
+                .select("text").collect())
+        assert all(r.text not in corpus_texts for r in surv)

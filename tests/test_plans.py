@@ -74,3 +74,20 @@ class TestScanEfficiency:
     def test_ivf_probe_is_broadcast(self, spark, sf_dir):
         plan = plan_of("ann_ivf_topk", spark, sf_dir)
         assert "BroadcastHashJoin" in plan
+
+
+class TestCurationPlans:
+    MAP_ONLY = ["sample_stratified", "split_leakage_safe",
+                "pii_redaction", "repetition_metrics"]
+
+    @pytest.mark.parametrize("name", MAP_ONLY)
+    def test_map_only_no_shuffle(self, name, spark, sf_dir):
+        # sampling/splitting/redaction/quality are narrow projections —
+        # any Exchange here would be a 100-TB scale bug
+        plan = plan_of(name, spark, sf_dir)
+        assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+
+    def test_corpus_dedup_is_hash_anti_join(self, spark, sf_dir):
+        plan = plan_of("dedup_against_corpus", spark, sf_dir)
+        assert "LeftAnti" in plan
+        assert "BroadcastNestedLoopJoin" not in plan

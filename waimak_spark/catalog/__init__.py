@@ -12,6 +12,7 @@ rounded so value-hashes match across engines.
 
 from __future__ import annotations
 
+from .curation import ENTRIES as CURATION_ENTRIES
 from .events import ENTRIES as EVENT_ENTRIES
 from .joins import ENTRIES as JOIN_ENTRIES
 from .multimodal import ENTRIES as MULTIMODAL_ENTRIES
@@ -25,7 +26,8 @@ from .text import ENTRIES as TEXT_ENTRIES
 ALL_ENTRIES: dict[str, dict] = {}
 for part in (RELATIONAL_ENTRIES, EVENT_ENTRIES, TEXT_ENTRIES,
              SIMILARITY_ENTRIES, STORAGE_ENTRIES, RDBM_ENTRIES,
-             MULTIMODAL_ENTRIES, JOIN_ENTRIES, STREAMING_ENTRIES):
+             MULTIMODAL_ENTRIES, JOIN_ENTRIES, STREAMING_ENTRIES,
+             CURATION_ENTRIES):
     overlap = set(part) & set(ALL_ENTRIES)
     if overlap:
         raise ValueError(f"duplicate catalog entries: {overlap}")

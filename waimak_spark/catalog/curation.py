@@ -1,0 +1,231 @@
+"""Curation catalog entries over ``documents``: deterministic stratified
+sampling, leakage-safe splitting, PII redaction, repetition signals, and
+incremental dedup of a new batch against an existing corpus.
+
+Capability fills (SURVEY.md LLM-pipeline section) — the reference has no
+equivalent surface; these are the operations a 100-TB training-data
+pipeline runs between ingestion (reference's RDBM/storage layer) and
+training.  All map-only except the two that semantically need a shuffle
+(anti-join dedup, per-source rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import curation as C
+from ..functions import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sample: per-language keep rates
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.125}
+SAMPLE_DEFAULT = 0.2
+SAMPLE_SEED = 7
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = C.stratified_sample(_docs(spark, sf_dir), key="doc_id",
+                             stratum="lang", fractions=SAMPLE_FRACTIONS,
+                             default_fraction=SAMPLE_DEFAULT,
+                             seed=SAMPLE_SEED)
+    return df.select("doc_id", "lang", "source")
+
+
+SAMPLE_ORACLE = f"""
+    select doc_id, lang, source from documents
+    where {C.stratified_sample_sql('doc_id', 'lang', SAMPLE_FRACTIONS,
+                                   SAMPLE_DEFAULT, SAMPLE_SEED)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split: hash the SOURCE, not the row
+# ---------------------------------------------------------------------------
+
+SPLIT_SEED = 3
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = C.assign_split(_docs(spark, sf_dir), group="source",
+                        train=80, val=10, seed=SPLIT_SEED)
+    return df.select("doc_id", "source", "split")
+
+
+SPLIT_ORACLE = f"""
+    select doc_id, source,
+           {C.assign_split_sql('source', 80, 10, SPLIT_SEED)} as split
+    from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: inject deterministic synthetic PII, prove it comes out
+# ---------------------------------------------------------------------------
+#
+# The synthetic documents contain no real PII, so the entry appends a
+# deterministic per-doc suffix (email + phone + IP + SSN) and then redacts;
+# the audit counts and the md5 of the redacted text are compared against
+# DuckDB running the identical inject→count→redact chain.
+
+
+def _synth_pii(spark_side: bool):
+    if spark_side:
+        return F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 867 5309 ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789"),
+        )
+    return ("text || ' contact user' || doc_id::VARCHAR || "
+            "'@example.com or +1 555 867 5309 ip 10.0.' || "
+            "(doc_id % 256)::VARCHAR || '.7 ssn 123-45-6789'")
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("_synth", _synth_pii(True))
+    counts = C.pii_counts(F.col("_synth"))
+    return df.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(C.redact_pii(F.col("_synth"))).alias("redacted_md5"),
+        F.length(C.redact_pii(F.col("_synth"))).cast("bigint")
+        .alias("redacted_chars"),
+    )
+
+
+_pii_count_cols = ",\n           ".join(
+    f"{sql} as {name}"
+    for name, sql in C.pii_counts_sql("_synth").items()
+)
+
+PII_ORACLE = f"""
+    with synth as (
+        select doc_id, {_synth_pii(False)} as _synth from documents
+    )
+    select doc_id,
+           {_pii_count_cols},
+           md5({C.redact_pii_sql('_synth')}) as redacted_md5,
+           length({C.redact_pii_sql('_synth')})::BIGINT as redacted_chars
+    from synth
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition signals: Gopher-style duplicate n-gram fractions
+# ---------------------------------------------------------------------------
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged projections: interpreted higher-order expressions get no CSE,
+    # so tokens and shingles are materialised as column refs before the
+    # dup-fraction expressions reference them repeatedly
+    df = _docs(spark, sf_dir)
+    tk = df.select("doc_id", T.tokens(F.col("text")).alias("_t"))
+    sh = tk.select(
+        "doc_id", "_t",
+        T.shingles(F.col("_t"), 2).alias("_s2"),
+        T.shingles(F.col("_t"), 3).alias("_s3"),
+    )
+    return sh.select(
+        "doc_id",
+        C.dup_fraction(F.col("_t")).alias("dup_token_frac"),
+        C.dup_fraction(F.col("_s2")).alias("dup_bigram_frac"),
+        C.dup_fraction(F.col("_s3")).alias("dup_trigram_frac"),
+    )
+
+
+REPETITION_ORACLE = f"""
+    with tok as (
+        select doc_id, {T.TOKENS_SQL.format(col='text')} as t from documents
+    ), sh as (
+        select doc_id, t,
+               {T.shingles_sql('t', 2)} as s2,
+               {T.shingles_sql('t', 3)} as s3
+        from tok
+    )
+    select doc_id,
+           {C.dup_fraction_sql('t')} as dup_token_frac,
+           {C.dup_fraction_sql('s2')} as dup_bigram_frac,
+           {C.dup_fraction_sql('s3')} as dup_trigram_frac
+    from sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus (anti-join on hash)
+# ---------------------------------------------------------------------------
+
+CORPUS_SOURCES = [f"src{i}" for i in range(5)]
+
+
+def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs whose exact content is absent from the corpus.
+
+    One shuffle anti-join on a 32-bit content hash — text never crosses
+    the wire.  At 100 TB the corpus side is pre-hashed once and reused
+    across batches; Spark's runtime bloom filter prunes the probe side.
+    """
+    docs = _docs(spark, sf_dir)
+    is_corpus = F.col("source").isin(CORPUS_SOURCES)
+    corpus_h = docs.where(is_corpus).select(
+        T.md5_hash32(F.col("text")).alias("_h"))
+    new = docs.where(~is_corpus).select(
+        "doc_id", "source", T.md5_hash32(F.col("text")).alias("_h"))
+    return (new.join(corpus_h, "_h", "left_anti")
+            .select("doc_id", "source"))
+
+
+_corpus_list = "'" + "','".join(CORPUS_SOURCES) + "'"
+
+DEDUP_CORPUS_ORACLE = f"""
+    select n.doc_id, n.source from documents n
+    where n.source not in ({_corpus_list})
+      and not exists (
+        select 1 from documents c
+        where c.source in ({_corpus_list})
+          and {T.md5_hash32_sql('c.text')} = {T.md5_hash32_sql('n.text')}
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source curation report: one shuffle, partial aggregation
+# ---------------------------------------------------------------------------
+
+
+def source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+SOURCE_ROLLUP_ORACLE = """
+    select source, count(*) as n_docs,
+           round(avg(n_chars), 2) as avg_chars,
+           count(distinct lang) as n_langs
+    from documents
+    group by source
+"""
+
+
+ENTRIES = {
+    "sample_stratified": {"fn": sample_stratified, "oracle": SAMPLE_ORACLE},
+    "split_leakage_safe": {"fn": split_leakage_safe, "oracle": SPLIT_ORACLE},
+    "pii_redaction": {"fn": pii_redaction, "oracle": PII_ORACLE},
+    "repetition_metrics": {"fn": repetition_metrics,
+                           "oracle": REPETITION_ORACLE},
+    "dedup_against_corpus": {"fn": dedup_against_corpus,
+                             "oracle": DEDUP_CORPUS_ORACLE},
+    "source_rollup": {"fn": source_rollup, "oracle": SOURCE_ROLLUP_ORACLE},
+}

@@ -66,10 +66,18 @@ Q1_ORACLE = Q1_SPARK_SQL  # pure ANSI; DuckDB runs it verbatim
 
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = _read(spark, sf_dir, "customer", "orders", "lineitem")
+    # The selective mktsegment filter shrinks orders ~5x BEFORE the big
+    # lineitem shuffle join: broadcast the filtered customer keys into
+    # orders first, then join the fact table against the reduced orders.
+    # At 100 TB this cuts the orders-side shuffle write 5x and gives AQE a
+    # chance to broadcast the reduced orders outright.
+    cust = (customer.where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    ords = (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"))
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .where(F.col("c_mktsegment") == "BUILDING")
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))

