@@ -124,3 +124,33 @@ class TestDedupAgainstCorpus:
         surv = (out.join(docs.select("doc_id", "text"), "doc_id")
                 .select("text").collect())
         assert all(r.text not in corpus_texts for r in surv)
+
+
+class TestQuotaSample:
+    def test_exact_quota_per_stratum(self, spark, sf_dir):
+        from waimak_spark.catalog.curation import (
+            QUOTA_K, sample_quota_per_stratum)
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        avail = {r.lang: r.n for r in
+                 docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        got = {r.lang: r.n for r in
+               sample_quota_per_stratum(spark, sf_dir)
+               .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert got == {k: min(v, QUOTA_K) for k, v in avail.items()}
+
+
+class TestCurationPipeline:
+    def test_no_duplicate_texts_and_split_consistency(self, spark, sf_dir):
+        from waimak_spark.catalog.curation import curation_pipeline
+
+        out = curation_pipeline(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        joined = out.join(docs.select("doc_id", "text", "lang"), "doc_id")
+        rows = joined.collect()
+        texts = [r.text for r in rows]
+        assert len(texts) == len(set(texts)), "exact dup survived pipeline"
+        assert all(r.lang == "en" for r in rows)
+        per_source = (out.groupBy("source")
+                      .agg(F.countDistinct("split").alias("n")).collect())
+        assert all(r.n == 1 for r in per_source)

@@ -91,3 +91,11 @@ class TestCurationPlans:
         plan = plan_of("dedup_against_corpus", spark, sf_dir)
         assert "LeftAnti" in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_centroids_no_explode_single_shuffle(self, spark, sf_dir):
+        # fixed-dim centroid must be 64 avg aggregates (partial agg, one
+        # exchange on label), never a posexplode (64x shuffle volume)
+        plan = plan_of("embedding_centroids", spark, sf_dir)
+        assert "Generate" not in plan, "explode leaked into centroid plan"
+        assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read)
+        assert "HashAggregate" in plan

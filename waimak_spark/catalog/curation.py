@@ -219,6 +219,130 @@ SOURCE_ROLLUP_ORACLE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# per-label embedding centroids: fixed-dim aggregate, NO explode
+# ---------------------------------------------------------------------------
+#
+# posexplode would multiply the row count by the dimension (64x shuffle
+# volume at 100 TB); with a known dim the centroid is 64 plain avg
+# aggregates over element_at — single-pass partial aggregation, whole-stage
+# codegen, shuffle carries only (label, 64 doubles) per partition.
+
+EMB_DIM = 64
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    avgs = [
+        F.round(F.avg(F.col("embedding")[i].cast("double")), 4)
+        for i in range(EMB_DIM)
+    ]
+    return (emb.groupBy("label")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.array(*avgs).alias("centroid")))
+
+
+_centroid_elems = ", ".join(
+    f"round(avg(embedding[{i + 1}]::DOUBLE), 4)" for i in range(EMB_DIM)
+)
+
+CENTROIDS_ORACLE = f"""
+    select label, count(*) as n_vectors,
+           [{_centroid_elems}] as centroid
+    from embeddings
+    group by label
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic quota sampling: exactly k docs per stratum
+# ---------------------------------------------------------------------------
+#
+# Fraction sampling gives binomial-noisy stratum sizes; a quota needs a
+# total order. Ordering by an md5 prefix of the key (tie-broken by the key)
+# is a deterministic shuffle-once window — same quota on every engine and
+# every re-run, unlike rand()-ordered row_number.
+
+QUOTA_K = 10
+QUOTA_SEED = 5
+
+
+def sample_quota_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    df = _docs(spark, sf_dir)
+    order = F.substring(
+        F.md5(F.concat(F.lit(f"quota:{QUOTA_SEED}:"),
+                       F.col("doc_id").cast("string"))), 1, 8)
+    w = W.partitionBy("lang").orderBy(order, F.col("doc_id"))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= QUOTA_K)
+            .select("doc_id", "lang"))
+
+
+QUOTA_ORACLE = f"""
+    select doc_id, lang from (
+        select doc_id, lang,
+               row_number() over (
+                   partition by lang
+                   order by substr(md5('quota:{QUOTA_SEED}:' ||
+                                       doc_id::VARCHAR), 1, 8), doc_id
+               ) as rn
+        from documents
+    ) where rn <= {QUOTA_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# composite pipeline: quality gate -> exact dedup -> sample -> split
+# ---------------------------------------------------------------------------
+#
+# The end-to-end curation flow a training-data run executes: cheap map-side
+# gates first (length, language), then the one necessary shuffle (exact
+# dedup keep-min-doc_id), then map-only sampling and split assignment.
+# Filter order matters at 100 TB: everything that can drop rows before the
+# shuffle does.
+
+PIPE_MIN_TOKENS = 15
+PIPE_SAMPLE_FRACTION = 0.5
+PIPE_SEED = 11
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    gated = df.where(
+        (F.col("lang") == "en")
+        & (F.size(T.tokens(F.col("text"))) >= PIPE_MIN_TOKENS))
+    hashed = gated.select(
+        "doc_id", "source", T.md5_hash32(F.col("text")).alias("_h"))
+    keep = (hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id")))
+    deduped = hashed.join(keep, ["_h", "doc_id"]).select("doc_id", "source")
+    sampled = deduped.where(
+        C.sample_keep(F.col("doc_id"), PIPE_SAMPLE_FRACTION, PIPE_SEED))
+    return (C.assign_split(sampled, group="source", train=80, val=10,
+                           seed=PIPE_SEED)
+            .select("doc_id", "source", "split"))
+
+
+PIPELINE_ORACLE = f"""
+    with gated as (
+        select doc_id, source, {T.md5_hash32_sql('text')} as h
+        from documents
+        where lang = 'en'
+          and len({T.TOKENS_SQL.format(col='text')}) >= {PIPE_MIN_TOKENS}
+    ), keep as (
+        select h, min(doc_id) as doc_id from gated group by h
+    ), deduped as (
+        select g.doc_id, g.source from gated g
+        join keep k on g.h = k.h and g.doc_id = k.doc_id
+    )
+    select doc_id, source,
+           {C.assign_split_sql('source', 80, 10, PIPE_SEED)} as split
+    from deduped
+    where {C.sample_keep_sql('doc_id', PIPE_SAMPLE_FRACTION, PIPE_SEED)}
+"""
+
+
 ENTRIES = {
     "sample_stratified": {"fn": sample_stratified, "oracle": SAMPLE_ORACLE},
     "split_leakage_safe": {"fn": split_leakage_safe, "oracle": SPLIT_ORACLE},
@@ -228,4 +352,10 @@ ENTRIES = {
     "dedup_against_corpus": {"fn": dedup_against_corpus,
                              "oracle": DEDUP_CORPUS_ORACLE},
     "source_rollup": {"fn": source_rollup, "oracle": SOURCE_ROLLUP_ORACLE},
+    "embedding_centroids": {"fn": embedding_centroids,
+                            "oracle": CENTROIDS_ORACLE},
+    "sample_quota_per_stratum": {"fn": sample_quota_per_stratum,
+                                 "oracle": QUOTA_ORACLE},
+    "curation_pipeline": {"fn": curation_pipeline,
+                          "oracle": PIPELINE_ORACLE},
 }
