@@ -213,3 +213,61 @@ ENTRIES = {
     "approx_event_stats": {"fn": approx_event_stats,
                            "oracle": APPROX_STATS_ORACLE},
 }
+
+
+# --------------------------------------------------------------------------
+# skew-mitigation entries: results are EXACTLY the unsalted answers, so the
+# plain-SQL oracles double as proof that salting is distribution-only
+# --------------------------------------------------------------------------
+
+
+def skew_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via the two-stage spread form —
+    event_type has 5 hot keys carrying the whole table; the single-stage
+    countDistinct would buffer each key's full distinct set on one task."""
+    from ..functions.skew import spread_count_distinct
+
+    return spread_count_distinct(
+        _events(spark, sf_dir), ["event_type"], "user_id",
+        alias="n_users")
+
+
+SKEW_DISTINCT_ORACLE = """
+    select event_type, count(distinct user_id) as n_users
+    from events
+    group by event_type
+"""
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to a per-type dimension through the salted-join
+    helper (small side replicated n_salts times, big side spread by row
+    hash) — the demonstration dim is derived in-plan; production callers
+    pass any non-broadcastable skewed dim."""
+    from ..functions.skew import salted_join
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    dim = (ev.select("event_type").distinct()
+           .withColumn("type_tag", F.upper(F.col("event_type"))))
+    joined = salted_join(ev, dim, on="event_type", n_salts=8)
+    return (joined.groupBy("event_type", "type_tag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+SKEW_JOIN_ORACLE = """
+    select e.event_type, upper(e.event_type) as type_tag,
+           count(*) as n, round(sum(e.value), 4) as sum_value
+    from events e
+    join (select distinct event_type from events) d
+      on e.event_type = d.event_type
+    group by e.event_type
+"""
+
+
+ENTRIES.update({
+    "skew_count_distinct": {"fn": skew_count_distinct,
+                            "oracle": SKEW_DISTINCT_ORACLE},
+    "skew_salted_join": {"fn": skew_salted_join,
+                         "oracle": SKEW_JOIN_ORACLE},
+})

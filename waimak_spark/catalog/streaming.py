@@ -145,6 +145,42 @@ STREAMING_SESSION_ORACLE = f"""
 """
 
 
+def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful deduplication: first-seen (user_id, event_type)
+    pairs through ``dropDuplicates`` — the streaming form of exact dedup
+    (state keyed by the pair, one row emitted per key ever).
+
+    Only the KEY COLUMNS are returned: which concrete row "wins" per key
+    depends on micro-batch arrival order, but the emitted key set is the
+    distinct set regardless — deterministic, so it gets a real oracle.
+
+    Scale note: plain ``dropDuplicates`` keeps state per key forever —
+    right for a bounded backfill (this gate) or genuinely finite key
+    domains; an unbounded production stream bounds state with
+    ``dropDuplicatesWithinWatermark`` at the cost of re-emitting keys
+    that go quiet for longer than the watermark delay."""
+    from .events import _events
+
+    schema = _events(spark, sf_dir).schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    dd = (src.select("user_id", "event_type")
+          .dropDuplicates(["user_id", "event_type"]))
+    name = "stream_dedup_pairs_sink"
+    spark.catalog.dropTempView(name)
+    q = (dd.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_DEDUP_ORACLE = """
+    select distinct user_id, event_type from events
+"""
+
+
 ENTRIES = {
     "streaming_tumbling_counts": {
         "fn": streaming_tumbling_counts,
@@ -153,5 +189,9 @@ ENTRIES = {
     "streaming_session_counts": {
         "fn": streaming_session_counts,
         "oracle": STREAMING_SESSION_ORACLE,
+    },
+    "streaming_dedup_pairs": {
+        "fn": streaming_dedup_pairs,
+        "oracle": STREAMING_DEDUP_ORACLE,
     },
 }
