@@ -253,3 +253,25 @@ class TestCombineAndPartitionedCSV:
         back = (spark.read.options(header=True, inferSchema=True)
                 .csv(f"{out}/t"))
         assert back.count() == 3
+
+
+def test_json_roundtrip(base_flow, spark, tmp_path):
+    out = str(tmp_path / "jsonout")
+    flow = (
+        base_flow.transform("orders", output="small",
+                            fn=lambda df: df.select("o_orderkey", "o_orderstatus")
+                                            .limit(20))
+        .write_json(out, "small")
+    )
+    flow.execute()
+    # read back through the first-class JSON opener with an explicit schema
+    # (inference is a full extra pass — the opener supports both)
+    flow2 = (
+        Waimak.spark_flow(spark)
+        .open_file_json(f"{out}/small", "reloaded",
+                        schema="o_orderkey bigint, o_orderstatus string")
+    )
+    _, final = flow2.execute()
+    got = final.inputs.get("reloaded")
+    assert got.count() == 20
+    assert set(got.columns) == {"o_orderkey", "o_orderstatus"}

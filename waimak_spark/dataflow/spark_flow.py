@@ -175,6 +175,24 @@ class SparkDataFlow(DataFlow):
 
         return self.add_action(SimpleAction([], [label], body, name=f"openCSV:{label}"))
 
+    def open_file_json(self, path: str, label: str,
+                       options: dict[str, str] | None = None,
+                       schema: str | None = None):
+        """JSON lines source (single complete path, glob allowed).  Pass an
+        explicit ``schema`` DDL string at scale — schema inference is a
+        full extra pass over the data."""
+        _validate_label(label)
+        opts = options or {}
+
+        def body(_i: DataFlowEntities, c: SparkFlowContext):
+            reader = c.spark.read.options(**opts)
+            if schema is not None:
+                reader = reader.schema(schema)
+            return [reader.json(path)]
+
+        return self.add_action(
+            SimpleAction([], [label], body, name=f"openJSON:{label}"))
+
     def open_table(self, db_name: str, *table_names: str,
                    label_prefix: str | None = None):
         """Metastore tables via ``select * from db.table``."""
@@ -407,6 +425,20 @@ class SparkDataFlow(DataFlow):
 
         return self.write(label, pre, writer,
                           name=f"writePartitionedCSV:{label}")
+
+    def write_json(self, base_path: str, *labels: str,
+                   overwrite: bool = False, num_files: int = 1):
+        """JSON-lines sink, one folder per label."""
+        mode = "overwrite" if overwrite else "errorifexists"
+        flow = self
+        for label in labels:
+            flow = flow.write(
+                label,
+                (lambda df, n=num_files: df.repartition(n)) if num_files else None,
+                lambda w, l=label: w.mode(mode).json(f"{base_path}/{l}"),
+                name=f"writeJSON:{label}",
+            )
+        return flow
 
     def write_hive_managed_table(self, db_name: str, *labels: str,
                                  overwrite: bool = False):
