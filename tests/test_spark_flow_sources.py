@@ -80,3 +80,58 @@ class TestTables:
                       if d.startswith("part="))
         assert dirs == ["part=x", "part=y"]
         assert spark.read.parquet(f"{base}/t").count() == 3
+
+
+class TestBucketedTables:
+    def test_cobucketed_join_has_no_shuffle(self, spark):
+        """The point of bucketing: both sides bucketed on the join key with
+        the same bucket count -> the join plan contains NO Exchange (the
+        shuffle was paid once at write time)."""
+        import pyspark.sql.functions as F
+
+        facts = spark.createDataFrame(
+            [(i % 50, float(i)) for i in range(1000)], "k int, v double")
+        dims = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(50)], "k int, tag string")
+        spark.sql("create database if not exists wmk_bkt_db")
+        try:
+            (Waimak.spark_flow(spark)
+             .open("facts", lambda c: facts)
+             .open("dims", lambda c: dims)
+             .write_bucketed_table("wmk_bkt_db", "facts", ["k"], 4,
+                                   sort_cols=["k"], overwrite=True)
+             .write_bucketed_table("wmk_bkt_db", "dims", ["k"], 4,
+                                   sort_cols=["k"], overwrite=True)
+             .execute())
+            t_f = spark.table("wmk_bkt_db.facts")
+            t_d = spark.table("wmk_bkt_db.dims")
+            # disable broadcast so the join would otherwise shuffle both sides
+            with_conf = spark.conf
+            old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = t_f.join(t_d, "k")
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange" not in plan, plan
+                got = joined.groupBy("tag").agg(F.count("*").alias("n")).count()
+                assert got == 50
+            finally:
+                with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("drop database if exists wmk_bkt_db cascade")
+
+    def test_refuses_overwrite_when_exists(self, spark):
+        df = spark.createDataFrame([(1,)], "k int")
+        spark.sql("create database if not exists wmk_bkt_db2")
+        try:
+            mk = lambda: (Waimak.spark_flow(spark)  # noqa: E731
+                          .open("t", lambda c: df)
+                          .write_bucketed_table("wmk_bkt_db2", "t", ["k"], 2)
+                          .execute())
+            mk()
+            import pytest as _pt
+            from waimak_spark.dataflow.exceptions import ActionException
+            with _pt.raises(ActionException):
+                mk()
+        finally:
+            spark.sql("drop database if exists wmk_bkt_db2 cascade")
