@@ -134,3 +134,44 @@ class TestStatefulOperator:
                 finals[k] = (r["n_events"], r["total_value"])
         assert finals == {1: (3, 6.0), 2: (2, 12.0)}
         assert len(rows) > 2  # intermediate emissions prove multi-batch run
+
+
+class TestStreamToAuditTable:
+    def test_incremental_regions_and_snapshot(self, spark, tmp_path):
+        """Each availableNow run lands its new files as a hot region; the
+        checkpoint makes the second run append ONLY the new rows, and the
+        storage-layer snapshot dedups by PK across regions."""
+        from waimak_spark.dataflow.spark_flow import Waimak
+        from waimak_spark.storage.audit import AuditTableInfo, open_tables
+        from waimak_spark.storage.file_ops import FileStorageOps
+        from waimak_spark.streaming import write_stream_to_audit_table
+
+        src = str(tmp_path / "in3")
+        base = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt3")
+        meta = lambda t: AuditTableInfo(t, ["user_id"])  # noqa: E731
+
+        def run():
+            flow = Waimak.spark_flow(spark)
+            flow = open_file_stream(flow, "ev", src, schema=SCHEMA)
+            flow = write_stream_to_audit_table(
+                flow, "ev", base, "stream_events", ckpt, "ts",
+                metadata_retrieval=meta)
+            flow.execute()
+
+        _write_batch(spark, src, ROWS1)
+        run()
+        ops = FileStorageOps(spark, base)
+        tables, _ = open_tables(ops, ["stream_events"])
+        assert sum(r.count for r in tables["stream_events"].regions) == 3
+
+        _write_batch(spark, src, ROWS2)
+        run()
+        tables, _ = open_tables(ops, ["stream_events"])
+        t = tables["stream_events"]
+        assert sum(r.count for r in t.regions) == 5
+        assert len(t.regions) == 2  # one hot region per availableNow run
+        # snapshot: latest row per user_id by ts
+        snap = t.snapshot(datetime(2024, 1, 2))
+        got = {(r.user_id): r.value for r in snap.collect()}
+        assert got == {1: 3.0, 2: 7.0}

@@ -15,9 +15,11 @@ from .ops import (
     stateful_running_totals,
     watermarked_window_agg,
 )
-from .actions import open_file_stream, write_file_stream, write_memory_stream
+from .actions import (open_file_stream, write_file_stream,
+                      write_memory_stream, write_stream_to_audit_table)
 
 __all__ = [
     "watermarked_window_agg", "sessionize_stream", "stateful_running_totals",
     "open_file_stream", "write_file_stream", "write_memory_stream",
+    "write_stream_to_audit_table",
 ]

@@ -76,3 +76,52 @@ def write_memory_stream(flow, label: str, query_name: str,
 
     return flow.add_action(
         SimpleAction([label], [], body, name=f"writeMemoryStream:{label}"))
+
+
+def write_stream_to_audit_table(flow, label: str, storage_base_path: str,
+                                table_name: str, checkpoint: str,
+                                last_updated_col,
+                                metadata_retrieval=None,
+                                output_mode: str = "append",
+                                available_now: bool = True):
+    """Streaming ingestion into the hot/cold storage layer: every
+    micro-batch lands as one hot region via ``foreachBatch`` — the
+    streaming counterpart of ``extractToStorageFromRDBM`` (the reference's
+    storage layer is batch-only; this wires the same audit-table kernels
+    to a Structured Streaming source).
+
+    Per-batch the table handle is REOPENED: audit-table mutators are
+    single-shot per instance by design (AuditTableFile.scala:36-38), and
+    reopening also picks up regions a concurrent compaction may have
+    rewritten.  The checkpoint makes re-runs exactly-once at the
+    region level — a replayed batch re-appends only if it never
+    committed.  Hot-region proliferation (one per micro-batch) is the
+    storage layer's normal operating mode; the compaction window trigger
+    folds them into cold regions on schedule.
+    """
+
+    def body(i, _c):
+        df = i.get(label)
+
+        def handle_batch(batch_df, _batch_id):
+            if batch_df.isEmpty():
+                return
+            from ..storage.audit import get_or_create_tables
+            from ..storage.file_ops import FileStorageOps
+
+            ops = FileStorageOps(batch_df.sparkSession, storage_base_path)
+            [table] = get_or_create_tables(
+                ops, [table_name], metadata_retrieval)
+            table.append(batch_df, last_updated_col)
+
+        writer = (df.writeStream.foreachBatch(handle_batch)
+                  .outputMode(output_mode)
+                  .option("checkpointLocation", checkpoint))
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        return []
+
+    return flow.add_action(
+        SimpleAction([label], [], body,
+                     name=f"writeStreamToAuditTable:{table_name}"))
