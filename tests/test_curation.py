@@ -154,3 +154,24 @@ class TestCurationPipeline:
         per_source = (out.groupBy("source")
                       .agg(F.countDistinct("split").alias("n")).collect())
         assert all(r.n == 1 for r in per_source)
+
+
+class TestDecontamination:
+    def test_survivors_share_no_benchmark_shingle(self, spark, sf_dir):
+        from waimak_spark.catalog.curation import (
+            BENCHMARK_DOC_MAX, decontaminate_against_benchmark)
+        from waimak_spark.functions import text as T
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = docs.select(
+            "doc_id",
+            F.explode(T.shingles(T.tokens(F.col("text")), 3)).alias("s"))
+        bench = {r.s for r in
+                 sh.where(F.col("doc_id") <= BENCHMARK_DOC_MAX).collect()}
+        surv = decontaminate_against_benchmark(spark, sf_dir)
+        surv_sh = (surv.join(sh, "doc_id").select("s").collect())
+        assert all(r.s not in bench for r in surv_sh)
+        # and contamination actually fires: at least one non-benchmark doc
+        # was dropped (the synthetic corpus contains near-duplicates)
+        non_bench = docs.where(F.col("doc_id") > BENCHMARK_DOC_MAX).count()
+        assert surv.count() < non_bench

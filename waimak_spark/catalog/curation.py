@@ -343,6 +343,96 @@ PIPELINE_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination: drop docs sharing any n-gram with a benchmark
+# ---------------------------------------------------------------------------
+#
+# Test-set contamination removal: a training doc that contains any shingle
+# of a held-out benchmark is dropped (the standard n-gram-overlap rule;
+# production uses 13-grams — the synthetic docs are short, so the catalog
+# entry uses the corpus-wide 3-word shingles).  Unlike
+# ``dedup_against_corpus`` (whole-text hash equality) this matches on ANY
+# shared fragment.  Shape: the benchmark's distinct shingle hashes are a
+# small broadcast set; the corpus side streams through a left_anti join —
+# no shuffle of the corpus at all when the benchmark side broadcasts.
+
+BENCHMARK_DOC_MAX = 9  # doc_id <= 9 plays the held-out benchmark
+
+
+def decontaminate_against_benchmark(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") <= BENCHMARK_DOC_MAX
+    shingled = docs.select(
+        "doc_id", "source", is_bench.alias("_b"),
+        F.explode(
+            T.shingles(T.tokens(F.col("text")), 3)).alias("_s"))
+    hashed = shingled.select(
+        "doc_id", "source", "_b", T.md5_hash32(F.col("_s")).alias("_h"))
+    bench = hashed.where(F.col("_b")).select("_h").distinct()
+    contaminated = (hashed.where(~F.col("_b"))
+                    .join(F.broadcast(bench), "_h", "left_semi")
+                    .select("doc_id").distinct())
+    return (docs.where(~is_bench)
+            .join(contaminated, "doc_id", "left_anti")
+            .select("doc_id", "source"))
+
+
+DECONTAMINATE_ORACLE = f"""
+    with tok as (
+        select doc_id, source, {T.TOKENS_SQL.format(col='text')} as t
+        from documents
+    ), sh as (
+        select doc_id, source,
+               {T.md5_hash32_sql("unnest(" + T.shingles_sql('t', 3) + ")")} as h
+        from tok
+    ), bench as (
+        select distinct h from sh where doc_id <= {BENCHMARK_DOC_MAX}
+    )
+    select distinct d.doc_id, d.source from documents d
+    where d.doc_id > {BENCHMARK_DOC_MAX}
+      and not exists (
+        select 1 from sh join bench b on sh.h = b.h
+        where sh.doc_id = d.doc_id
+      )
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary: global token term/document frequencies
+# ---------------------------------------------------------------------------
+#
+# One explode + one groupBy on the token — the canonical big-agg over a
+# text corpus (partial aggregation makes the shuffle carry only distinct
+# tokens per partition).  Top-k with a deterministic tie-break so the
+# result is engine-stable.
+
+VOCAB_TOP_K = 100
+
+
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"))
+    return (freq.orderBy(F.desc("tf"), F.asc("token"))
+            .limit(VOCAB_TOP_K))
+
+
+VOCAB_ORACLE = f"""
+    select t as token, count(*) as tf, count(distinct doc_id) as df
+    from (
+        select doc_id, unnest({T.TOKENS_SQL.format(col='text')}) as t
+        from documents
+    )
+    group by t
+    order by tf desc, token asc
+    limit {VOCAB_TOP_K}
+"""
+
+
 ENTRIES = {
     "sample_stratified": {"fn": sample_stratified, "oracle": SAMPLE_ORACLE},
     "split_leakage_safe": {"fn": split_leakage_safe, "oracle": SPLIT_ORACLE},
@@ -358,4 +448,8 @@ ENTRIES = {
                                  "oracle": QUOTA_ORACLE},
     "curation_pipeline": {"fn": curation_pipeline,
                           "oracle": PIPELINE_ORACLE},
+    "decontaminate_against_benchmark": {
+        "fn": decontaminate_against_benchmark,
+        "oracle": DECONTAMINATE_ORACLE},
+    "corpus_vocabulary": {"fn": corpus_vocabulary, "oracle": VOCAB_ORACLE},
 }
