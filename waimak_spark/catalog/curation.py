@@ -359,23 +359,36 @@ PIPELINE_ORACLE = f"""
 BENCHMARK_DOC_MAX = 9  # doc_id <= 9 plays the held-out benchmark
 
 
+def _shingle_hashes(df: DataFrame) -> DataFrame:
+    # routed through shingle_base: the shared spread+persist pipeline is
+    # the collapse barrier — plain staged projections get merged back by
+    # CollapseProject, re-running tokens() per element_at (O(tokens²));
+    # distinct-per-doc shingles don't change membership semantics
+    from ..functions.dedup import shingle_base
+
+    base = shingle_base(df)
+    return (base.select("doc_id", F.explode("_sh").alias("_e"))
+            .select("doc_id", T.md5_hash32(F.col("_e")).alias("_h")))
+
+
 def decontaminate_against_benchmark(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     is_bench = F.col("doc_id") <= BENCHMARK_DOC_MAX
-    shingled = docs.select(
-        "doc_id", "source", is_bench.alias("_b"),
-        F.explode(
-            T.shingles(T.tokens(F.col("text")), 3)).alias("_s"))
-    hashed = shingled.select(
-        "doc_id", "source", "_b", T.md5_hash32(F.col("_s")).alias("_h"))
-    bench = hashed.where(F.col("_b")).select("_h").distinct()
-    contaminated = (hashed.where(~F.col("_b"))
+    # each side filters BEFORE shingling: the benchmark side shingles only
+    # the handful of held-out docs; the corpus side is spread for compute
+    # inside shingle_base (a single parquet file would otherwise cap the
+    # shingle pipeline at one partition)
+    bench = _shingle_hashes(docs.where(is_bench)).select("_h").distinct()
+    corpus_sh = _shingle_hashes(docs.where(~is_bench))
+    contaminated = (corpus_sh
                     .join(F.broadcast(bench), "_h", "left_semi")
                     .select("doc_id").distinct())
-    return (docs.where(~is_bench)
-            .join(contaminated, "doc_id", "left_anti")
-            .select("doc_id", "source"))
+    # anti-join carries only (doc_id, source) — the text never shuffles;
+    # the contaminated set is unbounded at scale, so no broadcast hint
+    # (AQE will broadcast it when it happens to be small)
+    return (docs.where(~is_bench).select("doc_id", "source")
+            .join(contaminated, "doc_id", "left_anti"))
 
 
 DECONTAMINATE_ORACLE = f"""
