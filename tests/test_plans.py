@@ -20,7 +20,10 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # - ann_brute_force_topk crosses the corpus with a ≤10-row query set
 # - dedup_ngram_jaccard crosses with a ONE-row count aggregate (the
 #   in-plan stop-shingle threshold that replaced the driver-side .count())
-CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard"}
+# - tfidf_top_terms crosses with the ONE-row corpus-count aggregate (the
+#   idf denominator), same in-plan pattern
+CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
+            "tfidf_top_terms"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))

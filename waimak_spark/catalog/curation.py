@@ -446,6 +446,60 @@ VOCAB_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+#
+# Shuffle chain: (doc, token) term counts -> per-token doc frequencies
+# (derived from the tf frame, so the token shuffle is reused) -> token join
+# -> per-doc window.  All partial-aggregated; the corpus count is an
+# in-plan 1-row broadcast (no driver .count()).  Scores are ROUNDED BEFORE
+# ranking: ln() may differ in the last ulp between engines, and ranking on
+# the rounded value keeps the top-k identical everywhere.
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.select(F.count("*").alias("_n"))
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log(F.col("_n") / F.col("df")), 4)))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TFIDF_TOP_K)
+            .select("doc_id", "token", "score", "rank"))
+
+
+TFIDF_ORACLE = f"""
+    with tok as (
+        select doc_id, unnest({T.TOKENS_SQL.format(col='text')}) as token
+        from documents
+    ), tf as (
+        select doc_id, token, count(*) as tf from tok group by 1, 2
+    ), dfreq as (
+        select token, count(*) as df from tf group by 1
+    ), n as (select count(*) as _n from documents)
+    select doc_id, token, score, rank from (
+        select tf.doc_id, tf.token,
+               round(tf.tf * ln(n._n::DOUBLE / dfreq.df), 4) as score,
+               row_number() over (
+                   partition by tf.doc_id
+                   order by round(tf.tf * ln(n._n::DOUBLE / dfreq.df), 4)
+                            desc, tf.token asc) as rank
+        from tf join dfreq using (token) cross join n
+    ) where rank <= {TFIDF_TOP_K}
+"""
+
+
 ENTRIES = {
     "sample_stratified": {"fn": sample_stratified, "oracle": SAMPLE_ORACLE},
     "split_leakage_safe": {"fn": split_leakage_safe, "oracle": SPLIT_ORACLE},
@@ -465,4 +519,5 @@ ENTRIES = {
         "fn": decontaminate_against_benchmark,
         "oracle": DECONTAMINATE_ORACLE},
     "corpus_vocabulary": {"fn": corpus_vocabulary, "oracle": VOCAB_ORACLE},
+    "tfidf_top_terms": {"fn": tfidf_top_terms, "oracle": TFIDF_ORACLE},
 }
