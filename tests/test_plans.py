@@ -102,3 +102,13 @@ class TestCurationPlans:
         assert "Generate" not in plan, "explode leaked into centroid plan"
         assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read)
         assert "HashAggregate" in plan
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ENTRIES))
+def test_no_row_at_a_time_python_udfs(name, spark, sf_dir):
+    # row-at-a-time Python UDFs (BatchEvalPython) serialize per row — the
+    # 10-100x slow path. Arrow-batched nodes (ArrowEvalPython /
+    # MapInPandas / FlatMapGroupsInPandas) are the sanctioned Python
+    # escape hatch and stay allowed.
+    plan = plan_of(name, spark, sf_dir)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
