@@ -175,3 +175,20 @@ class TestDecontamination:
         # was dropped (the synthetic corpus contains near-duplicates)
         non_bench = docs.where(F.col("doc_id") > BENCHMARK_DOC_MAX).count()
         assert surv.count() < non_bench
+
+
+class TestDupFractionNulls:
+    def test_null_elements_match_duckdb_semantics(self, spark):
+        import duckdb
+
+        df = spark.createDataFrame(
+            [(0, ["a", "a", None, "b"]), (1, [None, None])],
+            "id bigint, arr array<string>")
+        got = {r.id: r.f for r in df.select(
+            "id", C.dup_fraction(F.col("arr")).alias("f")).collect()}
+        for i, arr in [(0, "['a','a',NULL,'b']"), (1, "[NULL,NULL]")]:
+            want = duckdb.sql(
+                "select round(case when len(x) > 0 then "
+                "1.0 - len(list_distinct(x))::DOUBLE / len(x) "
+                f"else 0.0 end, 4) from (select {arr} as x)").fetchone()[0]
+            assert got[i] == pytest.approx(want), (i, got[i], want)

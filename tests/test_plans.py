@@ -27,8 +27,15 @@ CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))
-def test_no_catastrophic_joins(name, spark, sf_dir):
+def test_no_catastrophic_joins_or_row_udfs(name, spark, sf_dir):
+    # one plan build per entry covers both locks (plan_of EXECUTES the
+    # streaming entries, so building plans twice would double suite time):
+    # no scale-killer join strategies, and no row-at-a-time Python UDFs
+    # (BatchEvalPython serializes per row — the 10-100x slow path;
+    # Arrow-batched nodes like ArrowEvalPython / MapInPandas remain the
+    # sanctioned Python escape hatch).
     plan = plan_of(name, spark, sf_dir)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
     if name in CROSS_OK:
         return
     for bad in NEVER_ACCEPTABLE:
@@ -104,11 +111,3 @@ class TestCurationPlans:
         assert "HashAggregate" in plan
 
 
-@pytest.mark.parametrize("name", sorted(ALL_ENTRIES))
-def test_no_row_at_a_time_python_udfs(name, spark, sf_dir):
-    # row-at-a-time Python UDFs (BatchEvalPython) serialize per row — the
-    # 10-100x slow path. Arrow-batched nodes (ArrowEvalPython /
-    # MapInPandas / FlatMapGroupsInPandas) are the sanctioned Python
-    # escape hatch and stay allowed.
-    plan = plan_of(name, spark, sf_dir)
-    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"

@@ -71,3 +71,22 @@ class TestSpreadCountDistinct:
             salted_join(big, dim, "k", how="right")
         with _pt.raises(ValueError, match="inner/left"):
             salted_join(big, dim, "k", how="full")
+
+    def test_null_values_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 2.0), ("b", None)],
+            "k string, v double")
+        got = {r.k: r.n_distinct_v for r in
+               spread_count_distinct(df, ["k"], "v").collect()}
+        # matches count(distinct v) exactly: NULLs never counted, and an
+        # all-NULL key still appears with count 0
+        assert got == {"a": 2, "b": 0}
+
+    def test_salt_column_collision_rejected(self, spark):
+        import pytest as _pt
+
+        big = spark.createDataFrame([(1, "a", 0)],
+                                    f"id bigint, k string, {SALT_COL} int")
+        dim = _dim(spark)
+        with _pt.raises(ValueError, match="reserves"):
+            salted_join(big, dim, "k")

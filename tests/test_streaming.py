@@ -175,3 +175,38 @@ class TestStreamToAuditTable:
         snap = t.snapshot(datetime(2024, 1, 2))
         got = {(r.user_id): r.value for r in snap.collect()}
         assert got == {1: 3.0, 2: 7.0}
+
+    def test_replayed_batch_is_skipped_by_marker(self, spark, tmp_path):
+        """Crash-replay simulation: wiping the checkpoint makes the next
+        run reprocess everything under the SAME batch ids — the per-batch
+        marker must turn that replay into a no-op instead of a duplicate
+        hot region."""
+        import shutil
+
+        from waimak_spark.dataflow.spark_flow import Waimak
+        from waimak_spark.storage.audit import AuditTableInfo, open_tables
+        from waimak_spark.storage.file_ops import FileStorageOps
+        from waimak_spark.streaming import write_stream_to_audit_table
+
+        src = str(tmp_path / "in4")
+        base = str(tmp_path / "store4")
+        ckpt = str(tmp_path / "ckpt4")
+        meta = lambda t: AuditTableInfo(t, ["user_id"])  # noqa: E731
+
+        def run():
+            flow = Waimak.spark_flow(spark)
+            flow = open_file_stream(flow, "ev", src, schema=SCHEMA)
+            flow = write_stream_to_audit_table(
+                flow, "ev", base, "replay_events", ckpt, "ts",
+                metadata_retrieval=meta)
+            flow.execute()
+
+        _write_batch(spark, src, ROWS1)
+        run()
+        shutil.rmtree(ckpt)  # lose the stream's own progress
+        run()                # replays batch 0 with the same rows
+        ops = FileStorageOps(spark, base)
+        tables, _ = open_tables(ops, ["replay_events"])
+        t = tables["replay_events"]
+        assert sum(r.count for r in t.regions) == 3
+        assert len(t.regions) == 1

@@ -190,11 +190,19 @@ def pii_counts_sql(expr: str) -> dict[str, str]:
 
 
 def dup_fraction(arr: Column) -> Column:
-    """Fraction of array elements that are repeats of an earlier element."""
+    """Fraction of array elements that are repeats of an earlier element.
+
+    NULL elements are excluded from the distinct count (every NULL beyond
+    the first counts as a repeat): DuckDB's ``list_distinct`` drops NULLs
+    while Spark's ``array_distinct`` keeps one, so the Spark side filters
+    NULLs before distinct to keep the paired SQL fragment bit-identical.
+    """
     n = F.size(arr)
+    distinct_non_null = F.size(
+        F.array_distinct(F.filter(arr, lambda x: x.isNotNull())))
     return F.when(
         n > 0,
-        F.round(1.0 - F.size(F.array_distinct(arr)) / n, 4),
+        F.round(1.0 - distinct_non_null / n, 4),
     ).otherwise(F.lit(0.0))
 
 

@@ -42,6 +42,12 @@ def salted_join(big: DataFrame, small: DataFrame, on: str | list[str],
         raise ValueError(
             f"salted_join supports inner/left-flavored joins only, got {how}")
     keys = [on] if isinstance(on, str) else list(on)
+    if SALT_COL in big.columns or SALT_COL in small.columns:
+        # withColumn would silently REPLACE the user's column and the
+        # final drop would remove it from the result
+        raise ValueError(
+            f"salted_join reserves the column name {SALT_COL!r}; rename it "
+            "on the input first")
     # xxhash64 over all big-side columns spreads rows of the SAME join key
     # across salts; any distribution works for correctness, uniform-ish is
     # best for balance
@@ -63,7 +69,12 @@ def spread_count_distinct(df: DataFrame, keys: list[str], col: str,
     hot key in one aggregation buffer; at 100 TB a key with 10^9 distinct
     values is an OOM.  Here no task ever holds more than one partition of
     (key, value) pairs, and the second-stage counts are just longs.
+
+    NULL semantics match ``count(distinct col)`` exactly: the second-stage
+    ``count(col)`` skips the surviving (key, NULL) row — so NULLs never
+    inflate a count, and a key whose values are ALL NULL still appears
+    with a count of 0 (a pre-filter would drop the group entirely).
     """
     alias = alias or f"n_distinct_{col}"
     return (df.select(*keys, col).distinct()
-            .groupBy(*keys).agg(F.count("*").alias(alias)))
+            .groupBy(*keys).agg(F.count(col).alias(alias)))

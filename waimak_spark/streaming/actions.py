@@ -43,17 +43,22 @@ def write_file_stream(flow, label: str, path: str, checkpoint: str,
     available input is processed, then the query stops — the incremental
     batch pattern; checkpoints make re-runs process only NEW files."""
 
+    if not available_now:
+        # a flow action can neither babysit a live query nor hand it back
+        # through an (empty) output list — refusing beats a silent no-op
+        raise NotImplementedError(
+            "write_file_stream supports only available_now=True inside a "
+            "flow; start live queries directly with df.writeStream")
+
     def body(i, _c):
         df = i.get(label)
         writer = (df.writeStream.format(fmt)
                   .outputMode(output_mode)
                   .option("path", path)
                   .option("checkpointLocation", checkpoint))
-        if available_now:
-            q = writer.trigger(availableNow=True).start()
-            q.awaitTermination()
-            return []
-        return []  # non-blocking live queries are started by the caller
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return []
 
     return flow.add_action(
         SimpleAction([label], [], body, name=f"writeFileStream:{label}"))
@@ -93,33 +98,51 @@ def write_stream_to_audit_table(flow, label: str, storage_base_path: str,
     Per-batch the table handle is REOPENED: audit-table mutators are
     single-shot per instance by design (AuditTableFile.scala:36-38), and
     reopening also picks up regions a concurrent compaction may have
-    rewritten.  The checkpoint makes re-runs exactly-once at the
-    region level — a replayed batch re-appends only if it never
-    committed.  Hot-region proliferation (one per micro-batch) is the
+    rewritten.  Hot-region proliferation (one per micro-batch) is the
     storage layer's normal operating mode; the compaction window trigger
     folds them into cold regions on schedule.
+
+    Delivery guarantee: ``foreachBatch`` is AT-LEAST-ONCE — Spark may
+    replay a batch whose handler ran but whose checkpoint commit did not.
+    A per-batch marker file (written exclusively AFTER the append) makes
+    replays of fully-committed batches no-ops; a crash in the window
+    between append and marker still duplicates one hot region on replay.
+    For PK-keyed tables ``snapshot`` dedups that case; exact-count
+    consumers (``loadAll``/``allBetween``) must tolerate it or dedup
+    downstream.
     """
+    import hashlib
+
+    if not available_now:
+        raise NotImplementedError(
+            "write_stream_to_audit_table supports only available_now=True "
+            "inside a flow; start live queries directly with df.writeStream")
+    ckpt_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
     def body(i, _c):
         df = i.get(label)
 
-        def handle_batch(batch_df, _batch_id):
+        def handle_batch(batch_df, batch_id):
             if batch_df.isEmpty():
                 return
             from ..storage.audit import get_or_create_tables
             from ..storage.file_ops import FileStorageOps
 
             ops = FileStorageOps(batch_df.sparkSession, storage_base_path)
+            marker = (f"{storage_base_path}/{table_name}/.stream_batches/"
+                      f"{ckpt_id}-{batch_id}")
+            if ops.fops.exists(marker):
+                return  # replay of a fully-committed batch
             [table] = get_or_create_tables(
                 ops, [table_name], metadata_retrieval)
             table.append(batch_df, last_updated_col)
+            ops.fops.write_string_exclusive(marker, "done")
 
-        writer = (df.writeStream.foreachBatch(handle_batch)
-                  .outputMode(output_mode)
-                  .option("checkpointLocation", checkpoint))
-        if available_now:
-            q = writer.trigger(availableNow=True).start()
-            q.awaitTermination()
+        q = (df.writeStream.foreachBatch(handle_batch)
+             .outputMode(output_mode)
+             .option("checkpointLocation", checkpoint)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
         return []
 
     return flow.add_action(
