@@ -90,3 +90,25 @@ class TestSpreadCountDistinct:
         dim = _dim(spark)
         with _pt.raises(ValueError, match="reserves"):
             salted_join(big, dim, "k")
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                min_size=0, max_size=40),
+       st.lists(st.integers(0, 5), min_size=0, max_size=6),
+       st.integers(1, 5))
+def test_salted_join_property_equals_plain(spark, big_rows, dim_keys, n_salts):
+    big = spark.createDataFrame(
+        [(k, v) for k, v in big_rows] or [(None, None)],
+        "k int, v int").where(F.col("k").isNotNull())
+    dim = spark.createDataFrame(
+        [(k, f"t{k}") for k in set(dim_keys)] or [(None, None)],
+        "k int, tag string").where(F.col("k").isNotNull())
+    plain = sorted(map(tuple, big.join(dim, "k").collect()))
+    salted = sorted(map(tuple,
+                        salted_join(big, dim, "k", n_salts=n_salts).collect()))
+    assert salted == plain

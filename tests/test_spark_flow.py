@@ -275,3 +275,18 @@ def test_json_roundtrip(base_flow, spark, tmp_path):
     got = final.inputs.get("reloaded")
     assert got.count() == 20
     assert set(got.columns) == {"o_orderkey", "o_orderstatus"}
+
+
+def test_orc_roundtrip(base_flow, spark, tmp_path):
+    out = str(tmp_path / "orcout")
+    (base_flow.transform("orders", output="small",
+                         fn=lambda df: df.select("o_orderkey", "o_totalprice")
+                                         .limit(15))
+     .write_orc(out, "small")
+     .execute())
+    flow2 = (Waimak.spark_flow(spark)
+             .open_file_orc(f"{out}/small", "reloaded"))
+    _, final = flow2.execute()
+    got = final.inputs.get("reloaded")
+    assert got.count() == 15
+    assert set(got.columns) == {"o_orderkey", "o_totalprice"}

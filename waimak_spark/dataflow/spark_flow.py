@@ -193,6 +193,18 @@ class SparkDataFlow(DataFlow):
         return self.add_action(
             SimpleAction([], [label], body, name=f"openJSON:{label}"))
 
+    def open_file_orc(self, path: str, label: str,
+                      options: dict[str, str] | None = None):
+        """ORC source (single complete path, glob allowed)."""
+        _validate_label(label)
+        opts = options or {}
+
+        def body(_i: DataFlowEntities, c: SparkFlowContext):
+            return [c.spark.read.options(**opts).orc(path)]
+
+        return self.add_action(
+            SimpleAction([], [label], body, name=f"openORC:{label}"))
+
     def open_table(self, db_name: str, *table_names: str,
                    label_prefix: str | None = None):
         """Metastore tables via ``select * from db.table``."""
@@ -437,6 +449,19 @@ class SparkDataFlow(DataFlow):
                 (lambda df, n=num_files: df.repartition(n)) if num_files else None,
                 lambda w, l=label: w.mode(mode).json(f"{base_path}/{l}"),
                 name=f"writeJSON:{label}",
+            )
+        return flow
+
+    def write_orc(self, base_path: str, *labels: str,
+                  overwrite: bool = False):
+        """ORC sink, one folder per label."""
+        mode = "overwrite" if overwrite else "errorifexists"
+        flow = self
+        for label in labels:
+            flow = flow.write(
+                label, None,
+                lambda w, l=label: w.mode(mode).orc(f"{base_path}/{l}"),
+                name=f"writeORC:{label}",
             )
         return flow
 
