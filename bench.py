@@ -18,9 +18,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # EVERY catalog query is benched (VERDICT r1: "bench everything you
 # claim") — the list is derived from the catalog so a new operator can't
-# silently dodge the bench. Catalog insertion order keeps cheap shared
-# pipelines (e.g. minhash signature before LSH banding) warming caches for
-# their consumers, mirroring how a real flow would reuse them.
+# silently dodge the bench. Queries run ISOLATED (all operator-internal
+# caches released between runs — see the loop below), so ordering carries
+# no cache-warm-up effects; each number is a cold-cache steady state.
 def headline_queries() -> list[str]:
     from waimak_spark.catalog import ALL_ENTRIES
 

@@ -352,3 +352,27 @@ class TestSecretProviders:
                 parse_config(self.SecretConf, ctx, prefix="myapp.")
         finally:
             spark.conf.unset(PROPERTY_PROVIDER_BUILDER_MODULES)
+
+
+class TestPropertiesSeparators:
+    def test_first_separator_wins(self, spark, tmp_path):
+        """java.util.Properties splits at the FIRST '=' or ':' — a ':'
+        line whose value contains '=' must not be split at the '='."""
+        from waimak_spark.app.config import (
+            PROPERTIES_FILE_URI, PropertiesFilePropertyProviderBuilder)
+        from waimak_spark.dataflow.spark_flow import Waimak
+
+        f = tmp_path / "app.properties"
+        f.write_text("endpoint: https://host/path?a=b\n"
+                     "plain=value\n"
+                     "weird=colon:in:value\n")
+        flow = Waimak.spark_flow(spark)
+        ctx = flow.context
+        ctx.spark.conf.set(PROPERTIES_FILE_URI, str(f))
+        try:
+            p = PropertiesFilePropertyProviderBuilder().get_property_provider(ctx)
+            assert p.get("endpoint") == "https://host/path?a=b"
+            assert p.get("plain") == "value"
+            assert p.get("weird") == "colon:in:value"
+        finally:
+            ctx.spark.conf.unset(PROPERTIES_FILE_URI)

@@ -139,22 +139,27 @@ class TestManifestCommit:
         assert current_version(ops, out) == 2
         assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "b"
 
-    def test_losing_racer_fails_and_never_overwrites(self, spark, tmp_path):
-        """If the target version's manifest file already EXISTS when the
-        loser publishes (a racing winner created it an instant earlier —
-        here simulated by a file that is not yet readable, so version
-        resolution still points the loser at the same slot), the
-        create-exclusive publish fails and the winner's file is untouched —
-        no exists()+rename TOCTOU overwrite."""
+    def test_inflight_winner_untouched_and_next_slot_used(self, spark,
+                                                          tmp_path):
+        """A winner's still-in-flight manifest at version 1 must never be
+        overwritten; a commit arriving after it resolves to the NEXT slot
+        (version 2) instead of retrying slot 1 forever. The slot-level
+        no-overwrite guarantee itself lives in write_string_exclusive:
+        of two writers that both resolved the same version, exactly one
+        create succeeds."""
         out = str(tmp_path / "out")
         _commit_once(spark, tmp_path, out, "a")
         ops = FileOps(spark)
-        # racing winner has CREATED version 1 but its content is still in
-        # flight → the loser also resolves "next version" to 1
         ops.write_string(f"{out}/_manifests/manifest-0000000001.json",
                          "in-flight")
-        with pytest.raises(DataFlowException, match="lost the race"):
-            _commit_once(spark, tmp_path, out, "b")
+        _commit_once(spark, tmp_path, out, "b")  # lands at version 2
+        assert ops.read_string(
+            f"{out}/_manifests/manifest-0000000001.json") == "in-flight"
+        assert current_version(ops, out) == 2
+        # the create-exclusive primitive is what loses a REAL same-slot
+        # race: it must refuse an existing destination
+        assert ops.write_string_exclusive(
+            f"{out}/_manifests/manifest-0000000001.json", "loser") is False
         assert ops.read_string(
             f"{out}/_manifests/manifest-0000000001.json") == "in-flight"
 
@@ -167,3 +172,19 @@ class TestManifestCommit:
         ops.write_string(f"{out}/_manifests/manifest-0000000001.json", "")
         assert current_version(ops, out) == 0
         assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "a"
+
+
+class TestCrashedWriterRecovery:
+    def test_garbage_manifest_burns_version_instead_of_wedging(
+            self, spark, tmp_path):
+        """A writer that died between create-exclusive and flush leaves an
+        unreadable manifest at version N; subsequent commits must target
+        N+1 (burning N) rather than retrying N forever."""
+        out = str(tmp_path / "out")
+        _commit_once(spark, tmp_path, out, "v1")  # publishes version 0
+        # simulate the crash: an empty (unparseable) manifest-1
+        ops = FileOps(spark)
+        ops.write_string(f"{out}/_manifests/manifest-{1:010d}.json", "")
+        _commit_once(spark, tmp_path, out, "v2")  # must not wedge
+        assert read_manifest_table(spark, out, "t").collect()[0]["v"] == "v2"
+        assert current_version(ops, out) == 2

@@ -212,3 +212,26 @@ class TestCommitIntegration:
                    in d for d in ddls)
         assert ddls[-1] == (
             f"alter table proddb.people set location '{out}/people/snap=1'")
+
+
+class TestImpalaTimestampBounds:
+    def test_last_day_and_low_bound_survive(self, spark):
+        """9999-12-31 (any time of day) and exactly 1400-01-01 00:00 are
+        inside Impala's supported range and must NOT be clamped; true
+        out-of-range values clamp to the low bound."""
+        from datetime import datetime
+
+        from waimak_spark.operators.metastore import (
+            amend_data_types_for_impala)
+
+        df = spark.createDataFrame(
+            [(1, datetime(9999, 12, 31, 12, 0, 0)),
+             (2, datetime(1400, 1, 1, 0, 0, 0)),
+             (3, datetime(1200, 1, 1, 0, 0, 0)),
+             (4, None)],
+            "id int, ts timestamp")
+        got = {r.id: r.ts for r in amend_data_types_for_impala(df).collect()}
+        assert got[1] == datetime(9999, 12, 31, 12, 0, 0)
+        assert got[2] == datetime(1400, 1, 1, 0, 0, 0)
+        assert got[3] == datetime(1400, 1, 1, 0, 0, 0)
+        assert got[4] is None

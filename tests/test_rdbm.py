@@ -65,9 +65,12 @@ class TestSelectQuery:
 
 class TestSplitPoints:
     def test_split_points_query_with_watermark(self):
+        # _row_num travels with the point so the client can restore PK
+        # order numerically (derived-table row order is engine-dependent;
+        # an ORDER BY here would be illegal on SQL Server)
         assert split_points_query(META, TS, 15, escape_sqlserver) == (
             "(\n"
-            "select split_point from (\n"
+            "select split_point, _row_num from (\n"
             "select [table_a_pk] as split_point, "
             "row_number() over (order by [table_a_pk]) as _row_num\n"
             f"from [dbo].[table_a] where [table_a_last_updated] > '{TS}'\n"
@@ -208,9 +211,13 @@ class _StubExtractor(SQLServerExtractor):
         self.queries.append(table_or_query)
         self.predicates = predicates
         if "split_point" in table_or_query:
+            # deliver the points in REVERSED order: derived-table row order
+            # is engine-dependent, and the extractor must restore PK order
+            # via the numeric _row_num, not the arrival order
+            pts = [(str(v), i + 1)
+                   for i, v in enumerate(self._split_values)]
             return self._frame.sparkSession.createDataFrame(
-                [(str(v),) for v in self._split_values],
-                "split_point string")
+                list(reversed(pts)), "split_point string, _row_num long")
         if "sys.tables" in table_or_query or "pg_class" in table_or_query:
             return self._pk_rows
         return self._frame

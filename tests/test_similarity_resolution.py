@@ -66,3 +66,57 @@ class TestOneHopContract:
         out = S.embedding_cosine_dedup_fixpoint(emb)
         got = {r["vec_id"]: r["canonical_id"] for r in out.collect()}
         assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestInvalidEmbeddings:
+    """NULL / ragged / non-finite vectors must be dropped at the operator
+    boundary, never crash the Arrow kernels (np.array of a ragged list
+    raises) and never propagate engine-dependent NaN ordering."""
+
+    def _emb(self, spark):
+        import math
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, None),                        # NULL vector
+            (4, [1.0, 2.0]),                  # ragged
+            (5, [float("nan"), 0.0, 0.0, 0.0]),   # NaN component
+            (6, [math.inf, 0.0, 0.0, 0.0]),   # Inf component
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_lsh_pairs_drop_invalid(self, spark):
+        from waimak_spark.functions.similarity import lsh_ann_pairs
+
+        out = lsh_ann_pairs(self._emb(spark), n_planes=4, dims=4,
+                            min_cosine=0.5).collect()
+        ids = {i for r in out for i in (r.id_a, r.id_b)}
+        assert ids <= {1, 2}
+
+    def test_ivf_topk_drop_invalid(self, spark):
+        from waimak_spark.functions.similarity import ivf_topk
+
+        out = ivf_topk(self._emb(spark), query_ids=[1], k=3,
+                       n_centroids=2, nprobe=2, dims=4).collect()
+        assert {r.neighbor_id for r in out} <= {2}
+
+    def test_brute_force_drop_invalid(self, spark):
+        from waimak_spark.functions.similarity import brute_force_topk
+
+        out = brute_force_topk(self._emb(spark), query_ids=[1], k=5,
+                               dims=4).collect()
+        assert {r.neighbor_id for r in out} == {2}
+
+    def test_fixpoint_keeps_invalid_ids_as_self(self, spark):
+        from waimak_spark.functions.similarity import (
+            embedding_cosine_dedup_fixpoint)
+
+        out = {r.vec_id: r.canonical_id
+               for r in embedding_cosine_dedup_fixpoint(
+                   self._emb(spark), min_cosine=0.5, n_planes=4,
+                   dims=4).collect()}
+        # invalid vectors can never be duplicates — canonical = self
+        for i in (3, 4, 5, 6):
+            assert out[i] == i
+        assert out[2] == 1  # the one real near-dup pair resolves

@@ -136,11 +136,14 @@ class PropertiesFilePropertyProviderBuilder(PropertyProviderBuilder):
             line = line.strip()
             if not line or line.startswith(("#", "!")):
                 continue
-            for sep in ("=", ":"):
-                if sep in line:
-                    k, v = line.split(sep, 1)
-                    props[k.strip()] = v.strip()
-                    break
+            # split at the FIRST separator of either kind, like
+            # java.util.Properties — preferring '=' regardless of position
+            # would split `endpoint: https://h/p?a=b` at the '=' inside
+            # the value and register the wrong key
+            cut = min((i for i in (line.find("="), line.find(":"))
+                       if i >= 0), default=-1)
+            if cut >= 0:
+                props[line[:cut].strip()] = line[cut + 1:].strip()
         return JavaPropertiesPropertyProvider(props)
 
 

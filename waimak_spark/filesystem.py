@@ -153,8 +153,15 @@ class FileOps:
         path = self._path(p)
         try:
             out = fs.create(path, False)
-        except Exception:
-            return False
+        except Exception as ex:
+            # only an existing destination means "a racing writer won" —
+            # swallowing IO errors (permissions, quota, transient 5xx)
+            # here would misdiagnose them as lost races
+            msg = str(ex)
+            if ("FileAlreadyExistsException" in msg
+                    or "already exists" in msg.lower()):
+                return False
+            raise
         try:
             out.write(bytearray(content.encode("utf-8")))
         finally:

@@ -16,9 +16,12 @@ output to drop all operator-internal cache blocks in one call.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_CALLBACKS: list[Callable[[], None]] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -28,8 +31,16 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_release(fn: Callable[[], None]) -> None:
+    """Register an arbitrary cleanup callable (e.g. freeing
+    ``localCheckpoint`` RDD blocks, which ``unpersist`` on the DataFrame
+    cache manager does not touch) to run at ``release_tracked()``."""
+    _CALLBACKS.append(fn)
+
+
 def release_tracked() -> int:
-    """Unpersist every tracked frame (blocking=False); returns how many."""
+    """Unpersist every tracked frame and run every registered cleanup
+    (blocking=False); returns how many were released."""
     n = 0
     while _LIVE:
         df = _LIVE.pop()
@@ -38,4 +49,11 @@ def release_tracked() -> int:
             n += 1
         except Exception:
             pass  # session may already be stopped
+    while _CALLBACKS:
+        fn = _CALLBACKS.pop()
+        try:
+            fn()
+            n += 1
+        except Exception:
+            pass
     return n

@@ -48,6 +48,25 @@ def as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def valid_embeddings(emb: DataFrame, dims: int,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Keep only rows whose vector is non-NULL, exactly ``dims`` wide, and
+    all-finite.  Every similarity operator routes its input through this
+    choke point: the Arrow kernels would raise on NULL/ragged rows
+    (``np.array`` of a ragged list), and NaN ordering DIFFERS between
+    engines (Spark SQL sorts NaN greater than every number, NumPy
+    comparisons return False, DuckDB follows IEEE) — so a vector carrying
+    a non-finite component has no engine-stable bucket/cell/rank and is
+    treated as invalid input rather than propagated inconsistently."""
+    v = F.col(vec_col)
+    finite = F.forall(
+        as_double(v),
+        lambda x: x.isNotNull() & ~F.isnan(x)
+        & (F.abs(x) != F.lit(float("inf"))),
+    )
+    return emb.where(v.isNotNull() & (F.size(v) == dims) & finite)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -162,7 +181,8 @@ LSH_ANN_MAX_BUCKET = 200  # frequent-bucket pruning (bounds collect + pairs)
 
 def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     dims: int = 64) -> DataFrame:
     """Exact top-k cosine neighbours for the given query ids (broadcast the
     query side; corpus side is a single scan).
 
@@ -176,6 +196,7 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
     from .dedup import spread_for_compute
 
+    emb = valid_embeddings(emb, dims, vec_col)
     v = as_double(F.col(vec_col))
     base = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
     # carry each vector's norm so the per-candidate expression does one dot
@@ -249,6 +270,7 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
 
     from ..functions.dedup import pairs_of, spread_for_compute
 
+    emb = valid_embeddings(emb, dims, vec_col)
     v = as_double(F.col(vec_col))
     feat = _lsh_features(n_planes, dims)
     base = (
@@ -329,6 +351,16 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     early exit when no label changes. This is the standard big-data CC
     iteration (what GraphFrames' connectedComponents does under the hood),
     bounded by ``max_iters`` as a pathological-chain guard."""
+    from .cache_registry import track_release
+
+    def _free_ckpt(df: DataFrame) -> None:
+        # localCheckpoint blocks live in the RDD block manager — the
+        # DataFrame cache manager (clearCache/unpersist) never frees them
+        try:
+            df.rdd.unpersist(False)
+        except Exception:
+            pass
+
     edges = pairs.select(F.explode(F.array(
         F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("peer")),
         F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("peer")),
@@ -351,9 +383,14 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.canonical") != F.col("o.canonical"))
                    .count())
+        _free_ckpt(labels)  # superseded generation: free blocks in-loop
         labels = new_labels
         if changed == 0:
             break
+    # edges and the FINAL labels feed the lazy return frame — they are
+    # freed with the other operator-internal state at release_tracked()
+    track_release(lambda e=edges: _free_ckpt(e))
+    track_release(lambda l=labels: _free_ckpt(l))
     return (ids.join(labels, "id", "left")
             .select(F.col("id"),
                     F.coalesce("canonical", F.col("id"))
@@ -548,6 +585,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
     from .dedup import spread_for_compute
 
+    emb = valid_embeddings(emb, dims, vec_col)
     v = as_double(F.col(vec_col))
     corpus_feat = _ivf_corpus_features(n_centroids, dims)
     base = (

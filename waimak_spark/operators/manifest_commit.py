@@ -168,7 +168,15 @@ class ManifestParquetDataCommitter(DataCommitter):
             base = committer.output_base
             ops.mkdirs(f"{base}/{MANIFESTS_DIR}")
             prev = latest_manifest(ops, base)
-            version = (prev[0] + 1) if prev is not None else 0
+            # next version counts EVERY manifest file, readable or not: a
+            # writer that crashed between create-exclusive and flush leaves
+            # unreadable garbage at its version — deriving from the latest
+            # READABLE version would retarget that slot forever ("lost the
+            # race" on every retry, permanent wedge). Burning the garbage
+            # version number instead keeps commits live; readers skip it
+            # and finish() retires it with age like any other version.
+            all_versions = _list_versions(ops, base)
+            version = (all_versions[-1] + 1) if all_versions else 0
             # carry forward labels committed earlier but not in this push,
             # so the newest manifest is always a complete table of contents
             labels = dict(prev[1]["labels"]) if prev is not None else {}

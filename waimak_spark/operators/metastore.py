@@ -282,17 +282,24 @@ def standardize_name_for_impala(name: str) -> str:
 def amend_data_types_for_impala(df):
     """Lower-case/sanitize all column names, cast Date columns to
     Timestamp, and clamp timestamps outside Impala's supported range
-    [1400-01-01, 9999-12-31] UTC down to the low bound
-    (ImpalaUtils.amendDataTypesForImpala, :44-54)."""
+    [1400-01-01, 9999-12-31 23:59:59] UTC down to the low bound
+    (ImpalaUtils.amendDataTypesForImpala, :44-54).
+
+    Deliberate deviation from the reference: ImpalaUtils.scala:35 tests
+    ``after(low) && before(high)`` with ``high`` = MIDNIGHT 9999-12-31,
+    which rewrites any timestamp on the last supported day (e.g. the
+    common end-of-time sentinel 9999-12-31 12:00) — and even exactly
+    1400-01-01 00:00 — to 1400-01-01. Impala supports the whole last day,
+    so the bounds here are inclusive over the full supported range."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import DateType, TimestampType
 
     low = F.to_timestamp(F.lit(IMPALA_TIMESTAMP_LOW))
-    high = F.to_timestamp(F.lit(IMPALA_TIMESTAMP_HIGH))
+    high = F.to_timestamp(F.lit(f"{IMPALA_TIMESTAMP_HIGH} 23:59:59"))
 
     def clamp(col):
         return F.when(col.isNull(), None) \
-            .when((col > low) & (col < high), col).otherwise(low)
+            .when((col >= low) & (col <= high), col).otherwise(low)
 
     cols = []
     for f in df.schema.fields:

@@ -140,12 +140,14 @@ class RDBMExtractor:
                                   ) -> Optional[list[str]]:
         q = split_points_query(meta, last_updated, max_rows_per_partition,
                                self.escape_keyword)
-        # Preserve the DB-returned order: the split-points query is already
-        # ordered by the PK in the DB's native collation
-        # (RDBMExtractor.scala:247-253). Re-sorting the *stringified* points
-        # here (e.g. numeric PKs 5,9,10 -> '10','5','9') would produce
-        # overlapping predicates and silently duplicate rows.
-        points = [str(r[0]) for r in self._read_jdbc_query(q).collect()]
+        # Sort by the DB-computed _row_num, NOT the stringified point:
+        # derived-table row order is engine-dependent (parallel scans), and
+        # lexicographic re-sorting of stringified numeric PKs (5,9,10 ->
+        # '10','5','9') would both produce overlapping predicates that
+        # silently duplicate rows. _row_num is the PK rank in the DB's own
+        # collation (RDBMExtractor.scala:247-253).
+        rows = self._read_jdbc_query(q).collect()
+        points = [str(r[0]) for r in sorted(rows, key=lambda r: r[1])]
         return split_points_to_predicates(points, meta,
                                           self.escape_keyword)
 

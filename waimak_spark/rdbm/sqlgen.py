@@ -140,9 +140,15 @@ def split_points_query(meta: TableExtractionMetadata,
     order, via ``row_number() % N = 0`` — pushed down so only the split
     points travel back."""
     pks = ",".join(escape(c) for c in meta.pk_cols)
+    # _row_num is exposed so the CLIENT can sort the points into PK order:
+    # row_number() orders only the window computation, not the result rows
+    # (parallel scans return derived-table rows in any order), and an
+    # ORDER BY here would be rejected by SQL Server inside a derived
+    # table. Unordered points would make split_points_to_predicates build
+    # overlapping ranges that silently duplicate rows.
     return (
         "(\n"
-        "select split_point from (\n"
+        "select split_point, _row_num from (\n"
         f"select {split_point_col(meta, escape)} as split_point, "
         f"row_number() over (order by {pks}) as _row_num\n"
         f"{from_query_part(meta, last_updated, escape)}\n"
