@@ -1,0 +1,104 @@
+"""Reproduces the PARITY.md "Measured scaling" table.
+
+Builds a 10x perturbed replica of the sf0.1 documents/embeddings/events
+tables under /tmp/scale10 (ids offset; text gets a per-copy suffix token
+and vectors a 1e-4 shift so replicas are near-dups, keeping the dedup
+candidate distribution realistic instead of pathological), then times
+each listed catalog operator warmed and cache-isolated at 1x and 10x on
+the same cores. Ideal linear scaling = ratio 10; candidate generators
+should come in well under despite the replicated corpus inflating the
+true pair count by ~1000x.
+
+Usage: python tools/scale_check.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/scale10"
+
+DOC_QUERIES = [
+    "dedup_exact", "dedup_minhash_signature", "dedup_lsh_candidates",
+    "dedup_simhash", "dedup_simhash_near_dups", "dedup_ngram_jaccard",
+    "ann_lsh_pairs", "dedup_embedding_cosine", "text_quality",
+    "doc_fingerprint", "sample_stratified", "pii_redaction",
+    "dedup_against_corpus", "decontaminate_against_benchmark",
+    "tfidf_top_terms", "corpus_vocabulary",
+]
+EVENT_QUERIES = [
+    "latest_event_per_user_type", "tumbling_window_counts",
+    "sessions_per_user", "running_value_per_user", "approx_event_stats",
+    "skew_count_distinct", "skew_salted_join",
+]
+
+
+def build_replica() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+    copy (
+      select doc_id + i * 1000000 as doc_id,
+             text || ' rep' || i::varchar as text,
+             lang, source, n_chars
+      from '{BASE}/documents.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/documents.parquet' (format parquet)
+    """)
+    con.execute(f"""
+    copy (
+      select vec_id + i * 1000000 as vec_id,
+             list_transform(embedding, x -> x + i * 1e-4)::FLOAT[] as embedding,
+             label
+      from '{BASE}/embeddings.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/embeddings.parquet' (format parquet)
+    """)
+    # events: nanos must stay integer (the catalog reads TIMESTAMP(NANOS)
+    # as raw longs under the legacy conf; DuckDB would downcast to micros)
+    con.execute(f"""
+    copy (
+      select event_id + i * 10000000 as event_id,
+             epoch_ns(ts) as ts,
+             user_id + i * 1000 as user_id, event_type, value, props
+      from '{BASE}/events.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/events.parquet' (format parquet)
+    """)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from waimak_spark.catalog import ALL_ENTRIES
+    from waimak_spark.functions.cache_registry import release_tracked
+
+    build_replica()
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        release_tracked()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = ALL_ENTRIES[name]["fn"](spark, sf_dir).count()
+        return time.time() - t0, n
+
+    print(f"{'query':34} {'1x(s)':>7} {'10x(s)':>7} {'ratio':>6}  rows 1x/10x")
+    for name in DOC_QUERIES + EVENT_QUERIES:
+        run(name, BASE)  # JIT/scan warmup
+        t1, n1 = run(name, BASE)
+        t10, n10 = run(name, OUT)
+        print(f"{name:34} {t1:7.2f} {t10:7.2f} {t10 / t1:6.1f}  {n1}/{n10}")
+
+
+if __name__ == "__main__":
+    main()
