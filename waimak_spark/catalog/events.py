@@ -18,21 +18,49 @@ NANOS = 1_000_000_000
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+# tz-free wall-clock epoch: timestampdiff on TIMESTAMP_NTZ operands never
+# consults the session timezone, so this matches DuckDB's epoch_ns() (which
+# treats naive timestamps as UTC) bit-for-bit on any driver session
+_EPOCH_NANOS_SQL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+    "cast({col} as timestamp_ntz)) * 1000"
+)
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read it as raw nanos (legacy conf) and keep all time
-    arithmetic in integer nanoseconds — exact, tz-free, and matched on the
-    oracle side by DuckDB's ``epoch_ns``.
 
-    The conf belongs at session construction (bench.py / tests set it
-    there); this defensive idempotent set exists only because the
-    correctness driver owns its own SparkSession — it never *changes* an
+def epoch_nanos_expr(dtype: str, col: str = "ts") -> str:
+    """SQL expression turning an event-time column of ANY physical flavor
+    (epoch-nanos bigint from TIMESTAMP(NANOS)+legacy conf, timestamp[us]
+    read as TIMESTAMP_NTZ, or plain TIMESTAMP) into epoch nanoseconds."""
+    if dtype == "bigint":
+        return col
+    return _EPOCH_NANOS_SQL.format(col=col)
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with its on-disk schema — the streaming entries
+    need this (a file-stream's declared schema must match the files).
+
+    Historical note: the generator has shipped ``ts`` as TIMESTAMP(NANOS)
+    (unreadable by the vectorized reader without the nanos-as-long legacy
+    conf) and as timestamp[us]; the defensive conf set keeps the nanos
+    flavor readable and is a no-op for the others. It never *changes* an
     already-correct session, so repeated query builds are side-effect-free.
     """
     if spark.conf.get(NANOS_CONF, "false") != "true":
         spark.conf.set(NANOS_CONF, "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to epoch NANOSECONDS (bigint),
+    whatever the physical parquet type — all downstream time arithmetic
+    stays in integer nanos: exact, tz-free, and matched on the oracle side
+    by DuckDB's ``epoch_ns``."""
+    df = _events_raw(spark, sf_dir)
+    expr = epoch_nanos_expr(dict(df.dtypes).get("ts", ""))
+    if expr == "ts":
+        return df
+    return df.withColumn("ts", F.expr(expr).cast("bigint"))
 
 
 # --------------------------------------------------------------------------

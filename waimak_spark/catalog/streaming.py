@@ -25,25 +25,42 @@ from ..streaming.ops import watermarked_window_agg
 NANOS = 1_000_000_000
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table with its RAW on-disk schema (a
+    stream's declared schema must match the files — normalization happens
+    inside the streaming plan, see ``_ts_ev``)."""
+    from .events import _events_raw
+
+    schema = _events_raw(spark, sf_dir).schema
+    # the file-stream source wants a directory: stream the sf dir filtered
+    # down to the events file
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir))
+
+
+def _ts_ev(src: DataFrame) -> F.Column:
+    """Event-time column (second precision TIMESTAMP) from whatever
+    physical flavor ``ts`` arrived in, truncation-exact vs the nanos
+    arithmetic the batch queries use."""
+    from .events import epoch_nanos_expr
+
+    nanos = epoch_nanos_expr(dict(src.dtypes).get("ts", ""))
+    return F.expr(f"timestamp_seconds(({nanos}) div {NANOS})")
+
+
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming replica of the batch ``tumbling_window_counts`` query —
     the oracle is the SAME SQL, proving the incremental path computes the
     identical answer.
 
-    ``ts`` is stored as epoch nanos (long); integer-div to seconds before
+    ``ts`` is normalized to epoch nanos; integer-div to seconds before
     the timestamp cast so bucket assignment is exact (floor(ns/300e9) ==
     floor((ns div 1e9)/300) — truncation composes)."""
-    from .events import _events
-
-    # _events sets the nanos-as-long parquet conf before reading
-    schema = _events(spark, sf_dir).schema
-    # the file-stream source wants a directory: stream the sf dir filtered
-    # down to the events file
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    with_ts = src.withColumn(
-        "ts_ev", F.expr(f"timestamp_seconds(ts div {NANOS})"))
+    # the file-stream's declared schema must match the files, so take the
+    # RAW on-disk schema and normalize ts inside the streaming plan
+    src = _events_stream(spark, sf_dir)
+    with_ts = src.withColumn("ts_ev", _ts_ev(src))
     windowed = watermarked_window_agg(
         with_ts, "ts_ev", "5 minutes", "10 minutes",
         aggs=[F.count("*").alias("n"),
@@ -95,15 +112,10 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch answer. (Unbounded production streams would use append mode +
     watermark and only emit sessions the watermark has sealed; that
     path's cross-batch state carry is covered by test_streaming.py.)"""
-    from .events import _events
     from ..streaming.ops import sessionize_stream
 
-    schema = _events(spark, sf_dir).schema
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    with_ts = src.withColumn(
-        "ts_ev", F.expr(f"timestamp_seconds(ts div {NANOS})"))
+    src = _events_stream(spark, sf_dir)
+    with_ts = src.withColumn("ts_ev", _ts_ev(src))
     sess = sessionize_stream(with_ts, "ts_ev", f"{SESSION_GAP_S} seconds",
                              ["user_id"], watermark="1 hour")
     out = sess.select(
@@ -159,12 +171,7 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     domains; an unbounded production stream bounds state with
     ``dropDuplicatesWithinWatermark`` at the cost of re-emitting keys
     that go quiet for longer than the watermark delay."""
-    from .events import _events
-
-    schema = _events(spark, sf_dir).schema
-    src = (spark.readStream.schema(schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
+    src = _events_stream(spark, sf_dir)
     dd = (src.select("user_id", "event_type")
           .dropDuplicates(["user_id", "event_type"]))
     name = "stream_dedup_pairs_sink"
