@@ -22,8 +22,10 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   in-plan stop-shingle threshold that replaced the driver-side .count())
 # - tfidf_top_terms crosses with the ONE-row corpus-count aggregate (the
 #   idf denominator), same in-plan pattern
+# - q22_wealthy_inactive crosses with the ONE-row global-average aggregate
+#   (the scalar subquery expressed as an in-plan broadcast, no collect)
 CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
-            "tfidf_top_terms"}
+            "tfidf_top_terms", "q22_wealthy_inactive"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))

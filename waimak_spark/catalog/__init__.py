@@ -18,13 +18,14 @@ from .joins import ENTRIES as JOIN_ENTRIES
 from .multimodal import ENTRIES as MULTIMODAL_ENTRIES
 from .rdbm import ENTRIES as RDBM_ENTRIES
 from .relational import ENTRIES as RELATIONAL_ENTRIES
+from .relational_ext import ENTRIES as RELATIONAL_EXT_ENTRIES
 from .similarity import ENTRIES as SIMILARITY_ENTRIES
 from .storage import ENTRIES as STORAGE_ENTRIES
 from .streaming import ENTRIES as STREAMING_ENTRIES
 from .text import ENTRIES as TEXT_ENTRIES
 
 ALL_ENTRIES: dict[str, dict] = {}
-for part in (RELATIONAL_ENTRIES, EVENT_ENTRIES, TEXT_ENTRIES,
+for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES, EVENT_ENTRIES, TEXT_ENTRIES,
              SIMILARITY_ENTRIES, STORAGE_ENTRIES, RDBM_ENTRIES,
              MULTIMODAL_ENTRIES, JOIN_ENTRIES, STREAMING_ENTRIES,
              CURATION_ENTRIES):
