@@ -97,6 +97,61 @@ class TestFileStreamFlow:
         assert len(got) == 4
 
 
+class TestStreamStreamIntervalJoin:
+    LEFT = [(1, T(2024, 1, 1, 10, 5, 0), 100.0),
+            (1, T(2024, 1, 1, 10, 20, 0), 101.0),
+            (2, T(2024, 1, 1, 10, 5, 0), 102.0)]
+    RIGHT = [(1, T(2024, 1, 1, 10, 1, 0), 0.5),   # 4 min before trade 1
+             (1, T(2024, 1, 1, 10, 4, 0), 0.6),   # 1 min before trade 1
+             (1, T(2024, 1, 1, 10, 12, 0), 0.7),  # 8 min before trade 2
+             (2, T(2024, 1, 1, 10, 6, 0), 0.8)]   # AFTER user-2 trade
+
+    def _sides(self, spark, as_stream, tmp_path=None):
+        from waimak_spark.streaming import stream_stream_interval_join
+
+        def prep(rows, prefix, sub):
+            if as_stream:
+                path = str(tmp_path / sub)
+                _write_batch(spark, path, rows)
+                df = spark.readStream.schema(SCHEMA).parquet(path)
+            else:
+                df = spark.createDataFrame(rows, SCHEMA)
+            return df.select(
+                "user_id", F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_v"))
+
+        return stream_stream_interval_join(
+            prep(self.LEFT, "l", "l"), prep(self.RIGHT, "r", "r"),
+            ["user_id"], "l_ts", "r_ts",
+            lower="5 minutes", upper="0 seconds", watermark="10 minutes")
+
+    EXPECTED = {(1, 100.0, 0.5), (1, 100.0, 0.6)}
+
+    def test_batch_semantics(self, spark):
+        got = {(r.user_id, r.l_v, r.r_v)
+               for r in self._sides(spark, as_stream=False).collect()}
+        assert got == self.EXPECTED
+
+    def test_stream_matches_batch(self, spark, tmp_path):
+        joined = self._sides(spark, as_stream=True, tmp_path=tmp_path)
+        q = (joined.writeStream.format("memory").queryName("ssj_tbl")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+        got = {(r.user_id, r.l_v, r.r_v)
+               for r in spark.sql("select * from ssj_tbl").collect()}
+        assert got == self.EXPECTED
+
+    def test_rejects_colliding_columns(self, spark):
+        from waimak_spark.streaming import stream_stream_interval_join
+
+        df = spark.createDataFrame(self.LEFT, SCHEMA)
+        with pytest.raises(ValueError, match="rename"):
+            stream_stream_interval_join(df, df, ["user_id"], "ts", "ts",
+                                        lower="1 minutes", upper="0 seconds",
+                                        watermark="1 minutes")
+
+
 class TestSessionWindows:
     def test_sessionize_batch_semantics(self, spark):
         df = spark.createDataFrame(ROWS1 + ROWS2, SCHEMA)

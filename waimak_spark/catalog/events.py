@@ -299,3 +299,67 @@ ENTRIES.update({
     "skew_salted_join": {"fn": skew_salted_join,
                          "oracle": SKEW_JOIN_ORACLE},
 })
+
+
+# --------------------------------------------------------------------------
+# funnel analysis: ordered view → click → purchase conversion — the
+# sequential-constraint aggregation every product-analytics pipeline needs.
+# Each stage is "earliest qualifying event STRICTLY AFTER the previous
+# stage's time", computed as conditional min-aggregations chained through
+# keys-sized joins (users-count frames — AQE broadcasts them back).
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (_events(spark, sf_dir)
+          .where(F.col("event_type").isin(*_FUNNEL_STEPS))
+          .select("user_id", "event_type", "ts"))
+    s1, s2, s3 = _FUNNEL_STEPS
+    t1 = (ev.where(F.col("event_type") == s1)
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (ev.where(F.col("event_type") == s2)
+          .join(t1, "user_id")
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (ev.where(F.col("event_type") == s3)
+          .join(t2, "user_id")
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (t1
+            .join(t2.select("user_id", "t2"), "user_id", "left")
+            .join(t3.select("user_id", "t3"), "user_id", "left")
+            .agg(F.count("t1").alias("n_step1"),
+                 F.count("t2").alias("n_step2"),
+                 F.count("t3").alias("n_step3")))
+
+
+FUNNEL_ORACLE = f"""
+    with e as (
+        select user_id, event_type, epoch_ns(ts) as ts from events
+        where event_type in ('{_FUNNEL_STEPS[0]}', '{_FUNNEL_STEPS[1]}',
+                             '{_FUNNEL_STEPS[2]}')
+    ), t1 as (
+        select user_id, min(ts) as t1 from e
+        where event_type = '{_FUNNEL_STEPS[0]}' group by user_id
+    ), t2 as (
+        select e.user_id, min(e.ts) as t2
+        from e join t1 on e.user_id = t1.user_id
+        where e.event_type = '{_FUNNEL_STEPS[1]}' and e.ts > t1.t1
+        group by e.user_id
+    ), t3 as (
+        select e.user_id, min(e.ts) as t3
+        from e join t2 on e.user_id = t2.user_id
+        where e.event_type = '{_FUNNEL_STEPS[2]}' and e.ts > t2.t2
+        group by e.user_id
+    )
+    select count(t1.t1) as n_step1, count(t2.t2) as n_step2,
+           count(t3.t3) as n_step3
+    from t1
+    left join t2 on t1.user_id = t2.user_id
+    left join t3 on t1.user_id = t3.user_id
+"""
+
+
+ENTRIES["event_funnel"] = {"fn": event_funnel, "oracle": FUNNEL_ORACLE}

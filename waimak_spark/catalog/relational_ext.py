@@ -392,6 +392,40 @@ SETOPS_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# analytic-window breadth: lag delta, ntile, percent_rank, cume_dist in one
+# pass — all over a UNIQUE total order (tiebreak on o_orderkey) so every
+# rank-family value is deterministic across engines and partitionings
+# --------------------------------------------------------------------------
+
+def order_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    (orders,) = _read(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice")
+                - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cume_dist"),
+    )
+
+
+WINDOW_STATS_ORACLE = """
+    select o_custkey, o_orderkey,
+           round(o_totalprice - lag(o_totalprice) over w, 2) as price_delta,
+           ntile(4) over wp as price_quartile,
+           round(percent_rank() over wp, 6) as price_pct_rank,
+           round(cume_dist() over wp, 6) as price_cume_dist
+    from orders
+    window w  as (partition by o_custkey order by o_orderdate, o_orderkey),
+           wp as (partition by o_custkey order by o_totalprice, o_orderkey)
+"""
+
+
 ENTRIES = {
     "q4_priority_exists": {"fn": q4_priority_exists, "oracle": Q4_ORACLE},
     "q7_nation_volume": {"fn": q7_nation_volume, "oracle": Q7_ORACLE},
@@ -406,4 +440,6 @@ ENTRIES = {
                              "oracle": Q22_ORACLE},
     "status_custkey_setops": {"fn": status_custkey_setops,
                               "oracle": SETOPS_ORACLE},
+    "order_window_stats": {"fn": order_window_stats,
+                           "oracle": WINDOW_STATS_ORACLE},
 }

@@ -188,6 +188,61 @@ STREAMING_DEDUP_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# stream-stream interval join: trades (every 3rd event) joined to the
+# quotes stream within a 5-minute lookback, per user — the two-sided
+# stateful join class (state bounded by watermark + interval width).
+# Inner joins emit on match (the watermark only evicts state), so the
+# availableNow backfill emits the complete pair set and the batch join is
+# an exact oracle.
+# --------------------------------------------------------------------------
+
+_SSJ_LOOKBACK_S = 300
+
+
+def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ops import stream_stream_interval_join
+
+    def side(trades: bool) -> DataFrame:
+        src = _events_stream(spark, sf_dir)
+        pred = (F.col("event_id") % 3 == 0 if trades
+                else F.col("event_id") % 3 != 0)
+        name = "trade" if trades else "quote"
+        return (src.where(pred)
+                .withColumn(f"{name}_ts", _ts_ev(src))
+                .select(F.col("user_id"),
+                        F.col("event_id").alias(f"{name}_id"),
+                        f"{name}_ts"))
+
+    joined = stream_stream_interval_join(
+        side(True), side(False), ["user_id"],
+        "trade_ts", "quote_ts",
+        lower=f"{_SSJ_LOOKBACK_S} seconds", upper="0 seconds",
+        watermark="10 minutes")
+    out = joined.select("user_id", "trade_id", "quote_id")
+    name = "stream_trade_quote_join_sink"
+    spark.catalog.dropTempView(name)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+STREAMING_SSJ_ORACLE = f"""
+    with e as (
+        select user_id, event_id, epoch_ns(ts) // 1000000000 as tsec
+        from events
+    )
+    select t.user_id, t.event_id as trade_id, q.event_id as quote_id
+    from (select * from e where event_id % 3 = 0) t
+    join (select * from e where event_id % 3 != 0) q
+      on t.user_id = q.user_id
+     and q.tsec >= t.tsec - {_SSJ_LOOKBACK_S}
+     and q.tsec <= t.tsec
+"""
+
+
 ENTRIES = {
     "streaming_tumbling_counts": {
         "fn": streaming_tumbling_counts,
@@ -200,5 +255,9 @@ ENTRIES = {
     "streaming_dedup_pairs": {
         "fn": streaming_dedup_pairs,
         "oracle": STREAMING_DEDUP_ORACLE,
+    },
+    "streaming_trade_quote_join": {
+        "fn": streaming_trade_quote_join,
+        "oracle": STREAMING_SSJ_ORACLE,
     },
 }

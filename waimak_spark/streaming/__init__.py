@@ -13,6 +13,7 @@ as ordinary DataFrame ops (streaming frames compose through ``transform``/
 from .ops import (
     sessionize_stream,
     stateful_running_totals,
+    stream_stream_interval_join,
     watermarked_window_agg,
 )
 from .actions import (open_file_stream, write_file_stream,
@@ -20,6 +21,7 @@ from .actions import (open_file_stream, write_file_stream,
 
 __all__ = [
     "watermarked_window_agg", "sessionize_stream", "stateful_running_totals",
+    "stream_stream_interval_join",
     "open_file_stream", "write_file_stream", "write_memory_stream",
     "write_stream_to_audit_table",
 ]

@@ -60,6 +60,46 @@ def sessionize_stream(df: DataFrame, ts_col: str, gap: str,
                     "n_events"))
 
 
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key_cols: Sequence[str],
+                                left_ts: str, right_ts: str,
+                                lower: str, upper: str,
+                                watermark: str) -> DataFrame:
+    """Stream-stream INNER join on equality keys plus an event-time
+    interval: right rows within ``[left_ts - lower, left_ts + upper]``.
+
+    Both sides carry the watermark; with the time-range condition that
+    bounds each side's join state to the interval width + watermark delay
+    (without it, stream-stream state grows forever). Inner joins emit a
+    pair as soon as both rows are present — the watermark only evicts
+    state — so an ``availableNow`` backfill emits the complete pair set,
+    value-comparable to the batch join (the catalog oracle relies on
+    this).
+
+    ``lower``/``upper`` are SQL interval strings ('5 minutes'). Works on
+    batch frames too (watermark is a no-op there), keeping one code path
+    for replay and live."""
+    overlap = (set(left.columns) - set(key_cols)) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"non-key columns shared by both sides: {sorted(overlap)} — "
+            "rename before joining")
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = (right.withWatermark(right_ts, watermark)
+         if right.isStreaming else right)
+    key_eq = [l[c] == r[c] for c in key_cols]
+    cond = key_eq + [
+        r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lower}"),
+        r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"),
+    ]
+    joined = l.join(r, cond, "inner")
+    # project the left side's key columns once (both sides carry them)
+    dup = set(key_cols)
+    return joined.select(*[l[c] for c in key_cols],
+                         *[l[c] for c in left.columns if c not in dup],
+                         *[r[c] for c in right.columns if c not in dup])
+
+
 RUNNING_TOTALS_OUTPUT = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),
