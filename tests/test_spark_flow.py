@@ -255,6 +255,44 @@ class TestCombineAndPartitionedCSV:
         assert back.count() == 3
 
 
+def test_clustered_parquet_layout(base_flow, spark, sf_dir, tmp_path):
+    out = str(tmp_path / "clustered")
+    (base_flow.write_clustered_parquet(out, "orders",
+                                       cluster_cols=["o_orderkey"],
+                                       num_partitions=4)
+     .execute())
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{out}/orders/part-*.parquet"))
+    assert len(files) >= 2
+    # cluster-by contract: per-file key ranges must not overlap, so a
+    # point/range scan on the cluster key can skip whole files off
+    # parquet min/max statistics
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # o_orderkey is first
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping cluster ranges: {ranges}"
+    # data survives intact
+    back = spark.read.parquet(f"{out}/orders")
+    assert back.count() == spark.read.parquet(
+        f"{sf_dir}/orders.parquet").count()
+
+    from waimak_spark.dataflow.exceptions import DataFlowException
+
+    with pytest.raises(DataFlowException, match="cluster column"):
+        base_flow.write_clustered_parquet(out, "orders", cluster_cols=[])
+
+
 def test_json_roundtrip(base_flow, spark, tmp_path):
     out = str(tmp_path / "jsonout")
     flow = (

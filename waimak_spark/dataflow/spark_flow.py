@@ -396,6 +396,39 @@ class SparkDataFlow(DataFlow):
 
         return self.write(label, pre, writer, name=f"writePartitionedParquet:{label}")
 
+    def write_clustered_parquet(self, base_path: str, label: str,
+                                cluster_cols: Sequence[str],
+                                num_partitions: int | None = None,
+                                overwrite: bool = False):
+        """Range-partition by ``cluster_cols`` then sort within partitions
+        before writing — the CLUSTER BY layout: each output file covers a
+        narrow, non-overlapping range of the cluster key, so parquet
+        row-group min/max statistics let later range/point scans on that
+        key skip whole files. At 100 TB this is the difference between a
+        full-table scan and touching a handful of files for a keyed or
+        time-range read; it's the layout the storage layer's compaction
+        also wants for its `_de_last_updated` reads.
+
+        One range shuffle (with a sampling pass to pick balanced
+        boundaries) + an in-partition sort — no global sort."""
+        mode = "overwrite" if overwrite else "errorifexists"
+        cols = list(cluster_cols)
+        if not cols:
+            raise DataFlowException("write_clustered_parquet needs >=1 "
+                                    "cluster column")
+
+        def pre(df: DataFrame) -> DataFrame:
+            key = [df[c] for c in cols]
+            ranged = (df.repartitionByRange(num_partitions, *key)
+                      if num_partitions else df.repartitionByRange(*key))
+            return ranged.sortWithinPartitions(*key)
+
+        def writer(w) -> None:
+            w.mode(mode).parquet(f"{base_path}/{label}")
+
+        return self.write(label, pre, writer,
+                          name=f"writeClusteredParquet:{label}")
+
     def write_csv(self, base_path: str, *labels: str,
                   options: dict[str, str] | None = None,
                   overwrite: bool = False, num_files: int = 1):
