@@ -73,7 +73,10 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chance to broadcast the reduced orders outright.
     cust = (customer.where(F.col("c_mktsegment") == "BUILDING")
             .select("c_custkey"))
-    ords = (orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # no broadcast hint: customer SCALES with the fact tables (a forced
+    # broadcast of a scaling side OOMs at 100 TB); AQE broadcasts the
+    # filtered key set whenever its runtime size actually fits
+    ords = (orders.join(cust, orders.o_custkey == cust.c_custkey)
             .select("o_orderkey", "o_orderdate", "o_orderpriority"))
     return (
         lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
@@ -113,8 +116,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier),
+        # customer/supplier scale with the data — no forced broadcast
+        # (AQE picks broadcast when the runtime size fits); nation/region
+        # are CONSTANT-size (25/5 rows) so the hint is always safe
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier,
               (lineitem.l_suppkey == supplier.s_suppkey)
               & (customer.c_nationkey == supplier.s_nationkey))
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)

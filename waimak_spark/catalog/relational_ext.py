@@ -15,6 +15,11 @@ Scale notes (100 TB posture):
   driver collect.
 * Every limit-k query carries a total tiebreak order so results are
   deterministic across engines and partitionings.
+* Broadcast hints only on provably-bounded sides (nation: 25 rows; 1-row
+  scalar aggregates). customer/supplier/part SCALE with the data — a
+  forced broadcast OOMs at 100 TB, so those joins are left to AQE, which
+  broadcasts them whenever the runtime size actually fits (it does at
+  every test SF, keeping the plans identical here).
 """
 
 from __future__ import annotations
@@ -73,8 +78,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation").isin(*_Q7_NATIONS)
@@ -118,10 +123,10 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
               - F.col("p_retailprice") * 0.1 * F.col("l_quantity"))
     return (
         lineitem
-        .join(F.broadcast(part.where(F.col("p_size") < 30)
-                          .select("p_partkey", "p_retailprice")),
+        .join(part.where(F.col("p_size") < 30)
+              .select("p_partkey", "p_retailprice"),
               lineitem.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.round(F.sum(profit), 2).alias("sum_profit"),
@@ -159,9 +164,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .join(F.broadcast(customer.select("c_custkey", "c_name",
-                                          F.round("c_acctbal", 2)
-                                          .alias("acctbal"))),
+        .join(customer.select("c_custkey", "c_name",
+                              F.round("c_acctbal", 2).alias("acctbal")),
               F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -223,7 +227,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = (
         lineitem.where((F.col("l_shipdate") >= "1996-01-01")
                        & (F.col("l_shipdate") < "1996-04-01"))
-        .join(F.broadcast(part.select("p_partkey", "p_type")),
+        .join(part.select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(F.round(F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
                            .otherwise(F.lit(0.0))), 2).alias("promo_rev"),
@@ -300,7 +304,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("total_qty") > _Q18_QTY))
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        .join(customer.select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "l_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
