@@ -32,7 +32,7 @@ DOC_QUERIES = [
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",
     "sessions_per_user", "running_value_per_user", "approx_event_stats",
-    "skew_count_distinct", "skew_salted_join",
+    "skew_count_distinct", "skew_salted_join", "event_funnel",
 ]
 
 

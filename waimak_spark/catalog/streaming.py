@@ -24,6 +24,34 @@ from ..streaming.ops import watermarked_window_agg
 
 NANOS = 1_000_000_000
 
+# streaming state-store partition count for the catalog's bounded
+# backfills: each stateful operator creates one state store PER shuffle
+# partition per side, and every micro-batch commits a delta file to each —
+# at 32 shuffle partitions the stream-stream join pays 64+ store commits
+# for a pair set of a few thousand rows. 8 keeps plenty of parallelism for
+# the gate's data while cutting store I/O 4x; a production deployment
+# sizes this to key cardinality instead.
+_STREAM_SHUFFLE_PARTITIONS = 8
+
+
+class _stream_state_sizing:
+    """Scoped shuffle-partition override for a streaming query start —
+    the conf is read at first micro-batch planning and baked into the
+    checkpoint, so it only needs to hold across start()+awaitTermination;
+    the session value is restored for everything after."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions",
+                            str(_STREAM_SHUFFLE_PARTITIONS))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events table with its RAW on-disk schema (a
@@ -78,10 +106,11 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stopped (awaitTermination + stop below) so the name is free to reuse
     name = "stream_tumbling_counts_sink"
     spark.catalog.dropTempView(name)
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    q.stop()
+    with _stream_state_sizing(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
@@ -125,10 +154,11 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events")
     name = "stream_session_counts_sink"
     spark.catalog.dropTempView(name)
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    q.stop()
+    with _stream_state_sizing(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
@@ -176,10 +206,11 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           .dropDuplicates(["user_id", "event_type"]))
     name = "stream_dedup_pairs_sink"
     spark.catalog.dropTempView(name)
-    q = (dd.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    q.stop()
+    with _stream_state_sizing(spark):
+        q = (dd.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
@@ -222,10 +253,11 @@ def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select("user_id", "trade_id", "quote_id")
     name = "stream_trade_quote_join_sink"
     spark.catalog.dropTempView(name)
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
-    q.stop()
+    with _stream_state_sizing(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
 
 
