@@ -25,6 +25,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def headline_queries() -> list[str]:
     from waimak_spark.catalog import ALL_ENTRIES
 
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = set(names) - set(ALL_ENTRIES)
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+        return names
     return list(ALL_ENTRIES)
 
 
@@ -42,7 +49,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -82,7 +89,7 @@ def main() -> None:
     # same JVM maturity — the old per-query-consecutive-runs scheme gave
     # queries early in catalog order systematically colder JITs (measured
     # 3-5x penalty on the first few queries vs their steady state).
-    N_TIMED_LAPS = 2
+    N_TIMED_LAPS = int(os.environ.get("SPARK_GRAFT_LAPS", "3"))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {name: [] for name in headline_queries()}
 
@@ -101,6 +108,11 @@ def main() -> None:
         # does full data-scale work — laps warm the JVM, never the data
         release_tracked()
         spark.catalog.clearCache()
+        # forced GC OUTSIDE the timed window: 200+ query executions in one
+        # JVM otherwise accumulate old-gen garbage until multi-second full
+        # GCs land INSIDE random queries' timings (measured 10s+ spikes on
+        # whichever query the collector happened to hit)
+        spark._jvm.System.gc()
         return dt
 
     for lap in range(N_TIMED_LAPS + 1):
