@@ -88,12 +88,18 @@ def main() -> None:
     def run(name: str, sf_dir: str) -> tuple[float, int]:
         release_tracked()
         spark.catalog.clearCache()
+        # same GC hygiene as bench.py: collect OUTSIDE the timed window so
+        # pauses from the replicated corpus's churn don't land in a timing
+        spark._jvm.System.gc()
         t0 = time.time()
         n = ALL_ENTRIES[name]["fn"](spark, sf_dir).count()
         return time.time() - t0, n
 
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    names = ([n.strip() for n in subset.split(",") if n.strip()] if subset
+             else DOC_QUERIES + EVENT_QUERIES)
     print(f"{'query':34} {'1x(s)':>7} {'10x(s)':>7} {'ratio':>6}  rows 1x/10x")
-    for name in DOC_QUERIES + EVENT_QUERIES:
+    for name in names:
         run(name, BASE)  # JIT/scan warmup
         t1, n1 = run(name, BASE)
         t10, n10 = run(name, OUT)
