@@ -73,15 +73,11 @@ def main() -> None:
     from waimak_spark.functions.cache_registry import release_tracked
 
     # Isolation (VERDICT r2 task 10): operator-internal persisted frames
-    # and any other cached blocks are dropped BETWEEN queries, so each
+    # and any other cached blocks are dropped BETWEEN runs, so each
     # timing is attributable to that query alone — no cross-query warm
-    # caches, no session-state accumulation skewing later queries. Each
-    # query runs twice under that isolation and the headline number is
-    # the MIN of the runs (steady-state): both runs do full work over
-    # released caches, and the min removes one-time plan-compile/JIT/GC
-    # noise that measured ±6 s run-to-run on the 38-query total while
-    # being irrelevant to data-scale behavior. Both raw runs are reported
-    # under "runs" so per-query variance stays visible.
+    # caches, no session-state accumulation skewing later queries. All
+    # raw runs are reported under "runs" so per-query variance stays
+    # visible; the headline is the per-query MIN over the timed laps.
     # Lap structure: one UNTIMED warmup lap over every query (pays JIT
     # compilation, parquet footer reads, codegen caches — one-time JVM
     # costs that are session setup, not data-scale work), then N timed
@@ -89,7 +85,7 @@ def main() -> None:
     # same JVM maturity — the old per-query-consecutive-runs scheme gave
     # queries early in catalog order systematically colder JITs (measured
     # 3-5x penalty on the first few queries vs their steady state).
-    N_TIMED_LAPS = int(os.environ.get("SPARK_GRAFT_LAPS", "3"))
+    N_TIMED_LAPS = max(1, int(os.environ.get("SPARK_GRAFT_LAPS", "3")))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {name: [] for name in headline_queries()}
 

@@ -57,12 +57,14 @@ def build_replica() -> None:
       from '{BASE}/embeddings.parquet', generate_series(0, 9) g(i)
     ) to '{OUT}/embeddings.parquet' (format parquet)
     """)
-    # events: nanos must stay integer (the catalog reads TIMESTAMP(NANOS)
-    # as raw longs under the legacy conf; DuckDB would downcast to micros)
+    # events: copy ts through UNCHANGED (timestamp[us], like the base) so
+    # the 1x and 10x runs pay the identical decode/normalization path —
+    # a bigint replica would skip the timestampdiff normalization at 10x
+    # and bias the measured ratios low
     con.execute(f"""
     copy (
       select event_id + i * 10000000 as event_id,
-             epoch_ns(ts) as ts,
+             ts,
              user_id + i * 1000 as user_id, event_type, value, props
       from '{BASE}/events.parquet', generate_series(0, 9) g(i)
     ) to '{OUT}/events.parquet' (format parquet)
@@ -74,6 +76,14 @@ def main() -> None:
 
     from waimak_spark.catalog import ALL_ENTRIES
     from waimak_spark.functions.cache_registry import release_tracked
+
+    # validate the subset BEFORE the expensive replica build + JVM start
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    names = ([n.strip() for n in subset.split(",") if n.strip()] if subset
+             else DOC_QUERIES + EVENT_QUERIES)
+    unknown = set(names) - set(ALL_ENTRIES)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
 
     build_replica()
     spark = (SparkSession.builder.master("local[32]")
@@ -95,9 +105,6 @@ def main() -> None:
         n = ALL_ENTRIES[name]["fn"](spark, sf_dir).count()
         return time.time() - t0, n
 
-    subset = os.environ.get("SPARK_GRAFT_QUERIES")
-    names = ([n.strip() for n in subset.split(",") if n.strip()] if subset
-             else DOC_QUERIES + EVENT_QUERIES)
     print(f"{'query':34} {'1x(s)':>7} {'10x(s)':>7} {'ratio':>6}  rows 1x/10x")
     for name in names:
         run(name, BASE)  # JIT/scan warmup

@@ -245,11 +245,15 @@ def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("event_id").alias(f"{name}_id"),
                         f"{name}_ts"))
 
+    # watermark=None (backfill-exact): the emitted pair set equals the
+    # batch join no matter how the backfill is micro-batched — a delay
+    # string would drop cross-batch pairs as late if the file source ever
+    # split this into multiple batches (see stream_stream_interval_join)
     joined = stream_stream_interval_join(
         side(True), side(False), ["user_id"],
         "trade_ts", "quote_ts",
         lower=f"{_SSJ_LOOKBACK_S} seconds", upper="0 seconds",
-        watermark="10 minutes")
+        watermark=None)
     out = joined.select("user_id", "trade_id", "quote_id")
     name = "stream_trade_quote_join_sink"
     spark.catalog.dropTempView(name)

@@ -420,7 +420,8 @@ class SparkDataFlow(DataFlow):
         def pre(df: DataFrame) -> DataFrame:
             key = [df[c] for c in cols]
             ranged = (df.repartitionByRange(num_partitions, *key)
-                      if num_partitions else df.repartitionByRange(*key))
+                      if num_partitions is not None
+                      else df.repartitionByRange(*key))
             return ranged.sortWithinPartitions(*key)
 
         def writer(w) -> None:

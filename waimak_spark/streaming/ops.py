@@ -64,17 +64,27 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 key_cols: Sequence[str],
                                 left_ts: str, right_ts: str,
                                 lower: str, upper: str,
-                                watermark: str) -> DataFrame:
+                                watermark: str | None) -> DataFrame:
     """Stream-stream INNER join on equality keys plus an event-time
     interval: right rows within ``[left_ts - lower, left_ts + upper]``.
 
-    Both sides carry the watermark; with the time-range condition that
-    bounds each side's join state to the interval width + watermark delay
-    (without it, stream-stream state grows forever). Inner joins emit a
-    pair as soon as both rows are present — the watermark only evicts
-    state — so an ``availableNow`` backfill emits the complete pair set,
-    value-comparable to the batch join (the catalog oracle relies on
-    this).
+    ``watermark`` picks the state/completeness trade-off:
+
+    * a delay string ('10 minutes') — production mode: both sides carry
+      the watermark, which with the time-range condition bounds each
+      side's join state to the interval width + delay. CAVEAT: once the
+      global watermark advances past a row's event time minus the delay,
+      that row is dropped as late BEFORE joining — if a backfill splits
+      into multiple micro-batches whose event times overlap (several
+      files, maxFilesPerTrigger, out-of-order file arrival), pairs
+      straddling a batch boundary can be lost, and the output is no
+      longer the exact batch join.
+    * ``None`` — backfill-exact mode: no watermark, no late-row
+      filtering; the emitted pair set equals the batch join however the
+      backfill is batched (inner joins emit on match; the watermark's
+      only role is eviction). State grows with the inputs, which is the
+      honest cost of exactness over an unbounded replay — use only for
+      BOUNDED backfills (the catalog's oracle-checked entry does this).
 
     ``lower``/``upper`` are SQL interval strings ('5 minutes'). Works on
     batch frames too (watermark is a no-op there), keeping one code path
@@ -84,9 +94,10 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
         raise ValueError(
             f"non-key columns shared by both sides: {sorted(overlap)} — "
             "rename before joining")
-    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    l = (left.withWatermark(left_ts, watermark)
+         if watermark and left.isStreaming else left)
     r = (right.withWatermark(right_ts, watermark)
-         if right.isStreaming else right)
+         if watermark and right.isStreaming else right)
     key_eq = [l[c] == r[c] for c in key_cols]
     cond = key_eq + [
         r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lower}"),
