@@ -26,7 +26,8 @@ DOC_QUERIES = [
     "dedup_simhash", "dedup_simhash_near_dups", "dedup_ngram_jaccard",
     "ann_lsh_pairs", "dedup_embedding_cosine", "text_quality",
     "doc_fingerprint", "sample_stratified", "pii_redaction",
-    "dedup_against_corpus", "decontaminate_against_benchmark",
+    "dedup_against_corpus", "dedup_near_against_corpus",
+    "decontaminate_against_benchmark",
     "tfidf_top_terms", "corpus_vocabulary",
 ]
 EVENT_QUERIES = [

@@ -198,6 +198,31 @@ DEDUP_CORPUS_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
+# incremental NEAR dedup vs the corpus: MinHash-LSH candidates BETWEEN the
+# new batch and the existing corpus only (no corpus x corpus pairs) — the
+# production corpus-refresh op; exact-match refresh is dedup_against_corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_near_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    is_corpus = F.col("source").isin(CORPUS_SOURCES)
+    corpus_sig = D.minhash_signature(docs.where(is_corpus))
+    new_sig = D.minhash_signature(docs.where(~is_corpus))
+    return D.lsh_pairs_against_corpus(new_sig, corpus_sig)
+
+
+def _near_corpus_oracle() -> str:
+    from ..functions import dedup as D
+
+    return D.lsh_pairs_against_corpus_sql(
+        corpus_where=f"source in ({_corpus_list})",
+        new_where=f"source not in ({_corpus_list})")
+
+
+# ---------------------------------------------------------------------------
 # per-source curation report: one shuffle, partial aggregation
 # ---------------------------------------------------------------------------
 
@@ -508,6 +533,8 @@ ENTRIES = {
                            "oracle": REPETITION_ORACLE},
     "dedup_against_corpus": {"fn": dedup_against_corpus,
                              "oracle": DEDUP_CORPUS_ORACLE},
+    "dedup_near_against_corpus": {"fn": dedup_near_against_corpus,
+                                  "oracle": _near_corpus_oracle()},
     "source_rollup": {"fn": source_rollup, "oracle": SOURCE_ROLLUP_ORACLE},
     "embedding_centroids": {"fn": embedding_centroids,
                             "oracle": CENTROIDS_ORACLE},

@@ -181,14 +181,16 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 
 
 def minhash_signature_sql(seeds: list[int] = DEFAULT_SEEDS,
-                          n: int = SHINGLE_N) -> str:
+                          n: int = SHINGLE_N, where: str = "") -> str:
     mh = ",\n               ".join(
         f"list_min(list_transform(sh, s -> {seeded_hash_sql('s', seed)})) as mh{i}"
         for i, seed in enumerate(seeds)
     )
+    cond = f"where {where}" if where else ""
     return f"""
         with tok as (
-            select doc_id, {TOKENS_SQL.format(col='text')} as t from documents
+            select doc_id, {TOKENS_SQL.format(col='text')} as t
+            from documents {cond}
         ), shingled as (
             select doc_id, list_distinct({shingles_sql('t', n)}) as sh from tok
         )
@@ -292,6 +294,94 @@ def lsh_candidate_pairs_sql(seeds: list[int] = DEFAULT_SEEDS,
         select distinct a.id as doc_a, b.id as doc_b
         from banded a join banded b
           on a.band = b.band and a.band_key = b.band_key and a.id < b.id
+    """
+
+
+def _banded_keys(sig: DataFrame, out_id: str, seeds: list[int],
+                 band_size: int, max_bucket: int, id_col: str) -> DataFrame:
+    """One side of an LSH bucket join: band keys via a single posexplode
+    over the persisted signature (interpreted HOFs get no CSE — without
+    the persist the tokenize→shingle→minhash pipeline re-runs per band),
+    frequent buckets pruned with a pre-count window (no member arrays)."""
+    n_bands = len(seeds) // band_size
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(
+            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        ))
+        for b in range(n_bands)
+    ])
+    sig = tracked_persist(sig)
+    banded = (sig.where(F.col("mh0").isNotNull())
+              .select(F.col(id_col).alias(out_id),
+                      F.posexplode(band_keys).alias("band", "band_key")))
+    w = W.partitionBy("band", "band_key")
+    return (banded.withColumn("bn", F.count("*").over(w))
+            .where(F.col("bn") <= max_bucket).drop("bn"))
+
+
+def lsh_pairs_against_corpus(new_sig: DataFrame, corpus_sig: DataFrame,
+                             seeds: list[int] = DEFAULT_SEEDS,
+                             band_size: int = BAND_SIZE,
+                             max_bucket: int = MAX_BUCKET,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates BETWEEN a new batch and an existing corpus:
+    distinct (corpus_id, new_id) pairs sharing ≥1 LSH band — the
+    incremental form of ``lsh_candidate_pairs`` for refreshing a training
+    corpus, generating no corpus×corpus or new×new pairs.
+
+    Plan shape: each side's signature pipeline runs exactly once, band
+    keys are an equi-join key (shuffle bounded by n_bands × rows), and
+    the per-side frequent-bucket guard caps any bucket's fan-out at
+    max_bucket² — at 100 TB the corpus side's banded keys are computed
+    once and reused across batches. The caller supplies DISJOINT doc
+    sets (the ids are namespaced by side, not deduped here)."""
+    nb = _banded_keys(new_sig, "new_id", seeds, band_size, max_bucket,
+                      id_col)
+    cb = _banded_keys(corpus_sig, "corpus_id", seeds, band_size,
+                      max_bucket, id_col)
+    return (nb.join(cb, ["band", "band_key"])
+            .select("corpus_id", "new_id").distinct())
+
+
+def lsh_pairs_against_corpus_sql(corpus_where: str, new_where: str,
+                                 seeds: list[int] = DEFAULT_SEEDS,
+                                 band_size: int = BAND_SIZE,
+                                 max_bucket: int = MAX_BUCKET,
+                                 n: int = SHINGLE_N) -> str:
+    n_bands = len(seeds) // band_size
+
+    def band_selects(src: str) -> str:
+        return " union all ".join(
+            "select doc_id as id, {b} as band, md5({key}) as band_key "
+            "from {src} where mh0 is not null".format(
+                b=b, src=src,
+                key=" || '_' || ".join(
+                    f"mh{b * band_size + j}" for j in range(band_size)
+                ),
+            )
+            for b in range(n_bands)
+        )
+
+    return f"""
+        with sig_c as ({minhash_signature_sql(seeds, n, corpus_where)}),
+        sig_n as ({minhash_signature_sql(seeds, n, new_where)}),
+        banded_c_all as ({band_selects('sig_c')}),
+        banded_n_all as ({band_selects('sig_n')}),
+        banded_c as (
+            select * from (
+                select *, count(*) over (partition by band, band_key) as bn
+                from banded_c_all
+            ) where bn <= {max_bucket}
+        ),
+        banded_n as (
+            select * from (
+                select *, count(*) over (partition by band, band_key) as bn
+                from banded_n_all
+            ) where bn <= {max_bucket}
+        )
+        select distinct c.id as corpus_id, n.id as new_id
+        from banded_c c join banded_n n
+          on c.band = n.band and c.band_key = n.band_key
     """
 
 
