@@ -231,31 +231,11 @@ def lsh_candidate_pairs(sig: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
     every short doc into one md5('') bucket while SQL ``||`` propagates
     NULL — filtering keeps the engines in lockstep.
     """
-    n_bands = len(seeds) // band_size
-    band_keys = F.array(*[
-        F.md5(F.concat_ws(
-            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        ))
-        for b in range(n_bands)
-    ])
-    # materialize the signature once: each band key references band_size mh
-    # columns, and interpreted higher-order expressions get no common-
-    # subexpression elimination — without the persist the whole
-    # tokenize→shingle→minhash pipeline would be re-evaluated per band key
-    sig = tracked_persist(sig)
-    banded = (
-        sig.where(F.col("mh0").isNotNull())
-        .select(F.col(id_col).alias("id"),
-                F.posexplode(band_keys).alias("band", "band_key"))
-    )
-    # window-precount BEFORE collect_list: filtering on size(ids) after
-    # collection would first materialize a degenerate bucket's full member
-    # array in one aggregation buffer (OOM at corpus scale); the count
-    # window is sort-based (no arrays), and the groupBy that follows hashes
-    # on the same keys so Spark reuses the exchange — no extra shuffle
-    w = W.partitionBy("band", "band_key")
-    bounded = (banded.withColumn("bn", F.count("*").over(w))
-               .where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket)))
+    # min_bucket=2: singleton buckets can't pair. The count window is
+    # sort-based (no arrays), and the groupBy that follows hashes on the
+    # same keys so Spark reuses the exchange — no extra shuffle
+    bounded = _banded_keys(sig, "id", seeds, band_size, max_bucket,
+                           id_col, min_bucket=2)
     buckets = (
         bounded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -298,11 +278,15 @@ def lsh_candidate_pairs_sql(seeds: list[int] = DEFAULT_SEEDS,
 
 
 def _banded_keys(sig: DataFrame, out_id: str, seeds: list[int],
-                 band_size: int, max_bucket: int, id_col: str) -> DataFrame:
-    """One side of an LSH bucket join: band keys via a single posexplode
+                 band_size: int, max_bucket: int, id_col: str,
+                 min_bucket: int = 1) -> DataFrame:
+    """Banded LSH keys for bucket joins: band keys via a single posexplode
     over the persisted signature (interpreted HOFs get no CSE — without
     the persist the tokenize→shingle→minhash pipeline re-runs per band),
-    frequent buckets pruned with a pre-count window (no member arrays)."""
+    buckets outside [min_bucket, max_bucket] pruned with a pre-count
+    window BEFORE any member arrays exist (a degenerate bucket would
+    otherwise materialize its full member list in one aggregation
+    buffer)."""
     n_bands = len(seeds) // band_size
     band_keys = F.array(*[
         F.md5(F.concat_ws(
@@ -316,7 +300,8 @@ def _banded_keys(sig: DataFrame, out_id: str, seeds: list[int],
                       F.posexplode(band_keys).alias("band", "band_key")))
     w = W.partitionBy("band", "band_key")
     return (banded.withColumn("bn", F.count("*").over(w))
-            .where(F.col("bn") <= max_bucket).drop("bn"))
+            .where((F.col("bn") >= min_bucket) & (F.col("bn") <= max_bucket))
+            .drop("bn"))
 
 
 def lsh_pairs_against_corpus(new_sig: DataFrame, corpus_sig: DataFrame,
