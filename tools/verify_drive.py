@@ -1,0 +1,117 @@
+"""End-to-end verify drive per .claude/skills/verify recipe."""
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+out = tempfile.mkdtemp(prefix="verify_drive_")
+try:
+    # 1. public-API pipeline: open -> sql -> commit -> read back
+    from waimak_spark import Waimak
+    from waimak_spark.operators.commit import ParquetDataCommitter
+
+    committer = ParquetDataCommitter(f"{out}/committed", snapshot_folder="v1")
+    flow = (Waimak.spark_flow(spark, temp_folder=f"{out}/tmp")
+            .open_file_parquet(f"{SF}/lineitem.parquet", "lineitem")
+            .sql("lineitem", output="rev_by_flag",
+                 query="""select l_returnflag, round(sum(l_extendedprice), 2) as rev
+                    from lineitem group by l_returnflag""")
+            .commit("publish", "rev_by_flag")
+            .push("publish", committer))
+    res = flow.execute()
+
+    back = spark.read.parquet(f"{out}/committed/rev_by_flag/v1")
+    got = {r.l_returnflag: r.rev for r in back.collect()}
+    exp = dict(duckdb.sql(
+        f"""select l_returnflag, round(sum(l_extendedprice), 2)
+            from '{SF}/lineitem.parquet' group by l_returnflag""").fetchall())
+    assert got == exp, (got, exp)
+    print("PIPELINE+COMMIT OK", got)
+
+    # 2. driver contract
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    n = df.count()
+    assert n >= 0 and len(df.schema) > 0
+    print("ENTRY OK rows=", n)
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"create view {t} as select * from '{SF}/{t}.parquet'")
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for k in ["q1_pricing_summary", "tumbling_window_counts",
+              "sessions_per_user", "asof_quote_per_trade",
+              "streaming_tumbling_counts", "dedup_exact",
+              "q4_priority_exists", "q10_returned_revenue", "q17_small_quantity",
+              "q22_wealthy_inactive", "status_custkey_setops",
+              "event_funnel", "order_window_stats", "streaming_trade_quote_join",
+              "dedup_near_against_corpus"]:
+        def norm(x):
+            if x is None or (isinstance(x, float) and x != x):
+                return "NULL"
+            if isinstance(x, float):
+                return f"{x:.6g}"
+            return str(x)
+
+        sdf = qs[k](spark, SF)
+        cols = sorted(sdf.columns)
+        srows = sorted([tuple(norm(x) for x in r)
+                        for r in sdf.select(*cols).collect()])
+        ores = con.execute(osql[k]).fetch_arrow_table().to_pandas()
+        orows = sorted([tuple(norm(x) for x in r)
+                        for r in ores[cols].itertuples(index=False)])
+        assert len(srows) == len(orows), (k, len(srows), len(orows))
+        mism = sum(1 for a, b in zip(srows, orows) if a != b)
+        assert mism == 0, (k, "value mismatch", srows[:2], orows[:2])
+        print("ORACLE OK", k, len(srows))
+
+    # 3. error paths
+    from waimak_spark.dataflow.flow import DataFlowException
+
+    try:
+        (Waimak.spark_flow(spark, tmp_folder=f"{out}/tmp2")
+         .open_parquet(SF, "lineitem")
+         .alias("lineitem", "x").alias("lineitem", "x").execute())
+        raise AssertionError("duplicate label accepted")
+    except Exception as e:
+        assert "x" in str(e), e
+        print("DUP LABEL REFUSED OK")
+
+    try:
+        (Waimak.spark_flow(spark, tmp_folder=f"{out}/tmp3")
+         .sql("missing_label", output="y", query="select 1").execute())
+        raise AssertionError("missing dependency accepted")
+    except Exception as e:
+        print("MISSING DEP REFUSED OK")
+
+    # clustered write through the public flow API
+    (Waimak.spark_flow(spark, temp_folder=f"{out}/tmp4")
+     .open_file_parquet(f"{SF}/orders.parquet", "orders")
+     .write_clustered_parquet(f"{out}/cl", "orders",
+                              cluster_cols=["o_orderkey"], num_partitions=4)
+     .execute())
+    n_back = spark.read.parquet(f"{out}/cl/orders").count()
+    n_src = duckdb.sql(f"select count(*) from '{SF}/orders.parquet'").fetchone()[0]
+    assert n_back == n_src, (n_back, n_src)
+    print("CLUSTERED WRITE OK", n_back)
+
+    print("VERIFY DRIVE: ALL OK")
+finally:
+    shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
