@@ -121,17 +121,20 @@ def main() -> None:
         print(f"# {name}: {rs}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The one-line stdout JSON must stay COMPACT: the driver's tail capture
+    # truncated the r3 line (69 queries x 3-lap arrays ~ 5 KB+) and recorded
+    # "parsed": null.  Per-query mins only here; full lap arrays go to a
+    # sidecar file + stderr for humans.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_RUNS.json"), "w") as fh:
+        json.dump({"runs": runs, "laps": N_TIMED_LAPS, "sf": sf}, fh, indent=1)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "runs": runs,
-        "isolation": ("caches released between runs; one untimed JVM "
-                      f"warmup lap, then min of {N_TIMED_LAPS} timed "
-                      "interleaved laps (steady-state)"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

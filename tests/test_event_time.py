@@ -48,8 +48,27 @@ def test_ntz_is_timezone_independent(spark):
 
 
 def test_plain_timestamp_in_utc_session(spark):
-    # TIMESTAMP (ltz) normalizes via a session-tz cast; the harness pins
-    # UTC, under which the wall clock IS the epoch clock
+    # TIMESTAMP (ltz) normalizes via unix_micros (instant -> epoch); the
+    # harness pins UTC, under which the wall clock IS the epoch clock
     df = spark.createDataFrame(
         [(WALL,)], StructType([StructField("ts", TimestampType())]))
     assert _eval(df) == EXPECTED_NS
+
+
+def test_plain_timestamp_is_timezone_independent(spark):
+    # ADVICE r3: the LTZ flavor must not consult the session timezone at
+    # QUERY time.  The instant is fixed at creation (naive datetime read
+    # under the session tz in force then — UTC here); evaluating the epoch
+    # expression under other session timezones must not move it.
+    df = spark.createDataFrame(
+        [(WALL,)], StructType([StructField("ts", TimestampType())]))
+    df = df.cache()
+    df.count()  # materialize the instant under UTC before flipping tz
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert _eval(df) == EXPECTED_NS, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+        df.unpersist()

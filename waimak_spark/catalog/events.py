@@ -30,9 +30,18 @@ _EPOCH_NANOS_SQL = (
 def epoch_nanos_expr(dtype: str, col: str = "ts") -> str:
     """SQL expression turning an event-time column of ANY physical flavor
     (epoch-nanos bigint from TIMESTAMP(NANOS)+legacy conf, timestamp[us]
-    read as TIMESTAMP_NTZ, or plain TIMESTAMP) into epoch nanoseconds."""
+    read as TIMESTAMP_NTZ, or plain TIMESTAMP) into epoch nanoseconds.
+
+    Every branch is session-timezone independent (ADVICE r3): the LTZ
+    flavor uses ``unix_micros`` (instant -> epoch, no tz consult) rather
+    than a cast to NTZ, which would re-render the instant in the session
+    timezone and silently diverge from DuckDB's epoch_ns on a non-UTC
+    driver session.
+    """
     if dtype == "bigint":
         return col
+    if dtype == "timestamp":  # TIMESTAMP_LTZ: an instant; epoch is tz-free
+        return f"unix_micros({col}) * 1000"
     return _EPOCH_NANOS_SQL.format(col=col)
 
 

@@ -30,10 +30,18 @@ from .alerts import (
     SlackQualityAlert,
 )
 from .checks import (
+    AnomalyCheck,
     Check,
     CheckLevel,
     ComposableCheck,
+    add_anomaly_check,
     add_checks,
+    size_metric,
+)
+from .metrics import (
+    AbsoluteChangeStrategy,
+    RelativeRateOfChangeStrategy,
+    StorageLayerMetricsRepository,
 )
 from .prefab import (
     completeness_check,
@@ -51,4 +59,7 @@ __all__ = [
     "Check", "CheckLevel", "ComposableCheck", "add_checks",
     "add_data_quality_check", "completeness_check", "uniqueness_check",
     "recent_timestamp_check", "generic_sql_check",
+    "AnomalyCheck", "add_anomaly_check", "size_metric",
+    "StorageLayerMetricsRepository", "AbsoluteChangeStrategy",
+    "RelativeRateOfChangeStrategy",
 ]

@@ -134,25 +134,70 @@ class Check:
             tuple(columns)))
 
 
+@dataclass(frozen=True)
+class AnomalyCheck:
+    """A trend-delta check: compute ``metric`` (a scalar aggregate) on the
+    current run, compare against the latest value stored in the metrics
+    repository, alert when the strategy flags the change — Deequ's
+    ``addAnomalyCheck(strategy, analyzer)`` equivalent
+    (TestStorageLayerMetricsRepository.scala's AbsoluteChangeStrategy-over-
+    Size scenario).  ``metric_name`` keys the history lookup."""
+
+    metric_name: str
+    metric: object  # Column — scalar aggregate expression
+    strategy: object  # AnomalyStrategy
+    level: CheckLevel = CheckLevel.WARNING
+
+
+def size_metric() -> "tuple[str, object]":
+    """Deequ ``Size()``: (name, aggregate) for row count."""
+    return "size", F.count(F.lit(1))
+
+
 class ComposableCheck(DataQualityCheck):
     """Bundle of :class:`Check` objects behaving as one
     ``DataQualityCheck`` — the ``DeequCheck`` equivalent. ``concat``
-    composes builder chains exactly like ``DeequCheck.++``."""
+    composes builder chains exactly like ``DeequCheck.++``.
 
-    def __init__(self, checks: Sequence[Check] = ()):
+    With a ``repository`` attached (Deequ ``useRepository`` +
+    ``saveOrAppendResult``): every evaluated scalar metric — constraint
+    metrics and anomaly metrics — is persisted after evaluation, and each
+    :class:`AnomalyCheck` compares against the repository's latest prior
+    value (no previous value → first run, no alert, matching Deequ's
+    Warning-free first run)."""
+
+    def __init__(self, checks: Sequence[Check] = (),
+                 anomaly_checks: Sequence[AnomalyCheck] = (),
+                 repository=None, dataset_ts=None, tags: str = ""):
         self.checks = list(checks)
+        self.anomaly_checks = list(anomaly_checks)
+        self.repository = repository
+        self.dataset_ts = dataset_ts
+        self.tags = tags
 
     def concat(self, other: "DataQualityCheck") -> "ComposableCheck":
         if not isinstance(other, ComposableCheck):
             raise TypeError(
                 "Can only combine ComposableCheck with ComposableCheck")
-        return ComposableCheck(self.checks + other.checks)
+        if (self.repository is not None and other.repository is not None
+                and self.repository is not other.repository):
+            raise ValueError(
+                "Cannot combine checks bound to different metrics repositories")
+        return ComposableCheck(
+            self.checks + other.checks,
+            self.anomaly_checks + other.anomaly_checks,
+            self.repository or other.repository,
+            self.dataset_ts or other.dataset_ts,
+            self.tags or other.tags)
 
     def validate_check(self) -> None:
         for c in self.checks:
             if not c.constraints:
                 raise ValueError(
                     f"Check [{c.description}] declares no constraints")
+        if self.anomaly_checks and self.repository is None:
+            raise ValueError(
+                "Anomaly checks need a metrics repository to compare against")
 
     def get_alerts(self, label: str, df: DataFrame) -> list[DataQualityAlert]:
         flat: list[tuple[Check, _Constraint]] = [
@@ -162,11 +207,17 @@ class ComposableCheck(DataQualityCheck):
         grouped = [(i, c, k) for i, (c, k) in enumerate(flat)
                    if k.metric is None]
         values: dict[int, object] = {}
-        if scalar:
-            row = df.agg(*[k.metric.alias(f"m{i}")
-                           for i, _c, k in scalar]).collect()[0]
+        anomaly_values: dict[str, object] = {}
+        # ONE agg pass computes constraint metrics AND anomaly metrics
+        aggs = [k.metric.alias(f"m{i}") for i, _c, k in scalar]
+        aggs += [a.metric.alias(f"a{j}")
+                 for j, a in enumerate(self.anomaly_checks)]
+        if aggs:
+            row = df.agg(*aggs).collect()[0]
             for i, _c, _k in scalar:
                 values[i] = row[f"m{i}"]
+            for j, a in enumerate(self.anomaly_checks):
+                anomaly_values[a.metric_name] = row[f"a{j}"]
         for i, _c, k in grouped:
             stats = (df.groupBy(*k.group_cols).count()
                      .agg(F.count(F.when(F.col("count") == 1, 1))
@@ -187,7 +238,52 @@ class ComposableCheck(DataQualityCheck):
                     f"{importance.value} alert for label {label}: check "
                     f"[{check.description}] constraint [{k.description}] "
                     f"failed (value: {value!r})", importance))
+        alerts += self._anomaly_alerts(label, anomaly_values)
+        self._persist_metrics(label, flat, values, anomaly_values)
         return alerts
+
+    def _anomaly_alerts(self, label: str,
+                        anomaly_values: dict[str, object]
+                        ) -> list[DataQualityAlert]:
+        if not self.anomaly_checks or self.repository is None:
+            return []
+        from datetime import datetime
+
+        ts = self.dataset_ts or datetime.utcnow()
+        prev = self.repository.previous_values(
+            label, [a.metric_name for a in self.anomaly_checks], ts)
+        alerts = []
+        for a in self.anomaly_checks:
+            cur = anomaly_values.get(a.metric_name)
+            if cur is None or a.metric_name not in prev:
+                continue  # first run, or metric not computable → no trend
+            p = prev[a.metric_name]
+            if p is None:
+                continue
+            reason = a.strategy.detect(float(p), float(cur))
+            if reason is not None:
+                importance = a.level.value
+                alerts.append(DataQualityAlert(
+                    f"{importance.value} anomaly for label {label}: metric "
+                    f"[{a.metric_name}] {reason}", importance))
+        return alerts
+
+    def _persist_metrics(self, label: str, flat, values,
+                         anomaly_values: dict[str, object]) -> None:
+        if self.repository is None:
+            return
+        from datetime import datetime
+
+        ts = self.dataset_ts or datetime.utcnow()
+        out: dict[str, float] = {}
+        for i, (_check, k) in enumerate(flat):
+            v = values.get(i)
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                out[k.description] = float(v)
+        for name, v in anomaly_values.items():
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                out[name] = float(v)
+        self.repository.save(label, out, ts, self.tags)
 
 
 def add_checks(flow, label: str, check: Check, *more: Check,
@@ -198,3 +294,16 @@ def add_checks(flow, label: str, check: Check, *more: Check,
 
     return add_data_quality_check(
         flow, label, ComposableCheck([check, *more]), *handlers)
+
+
+def add_anomaly_check(flow, label: str, anomaly: AnomalyCheck, repository,
+                      *, dataset_ts=None, tags: str = "",
+                      handlers: Sequence[DataQualityAlertHandler] = ()):
+    """Deequ ``addAnomalyCheck`` + ``useRepository`` + ``saveOrAppend``:
+    attach a trend-delta check whose history lives in ``repository``."""
+    from .core import add_data_quality_check
+
+    return add_data_quality_check(
+        flow, label,
+        ComposableCheck([], [anomaly], repository, dataset_ts, tags),
+        *handlers)
