@@ -120,3 +120,62 @@ class TestInvalidEmbeddings:
         for i in (3, 4, 5, 6):
             assert out[i] == i
         assert out[2] == 1  # the one real near-dup pair resolves
+
+
+class TestTextDedupResolve:
+    """minhash/simhash end-to-end resolution: pair candidates -> one
+    keep/drop row per doc (VERDICT r3 item 4)."""
+
+    def _docs(self, spark):
+        # 1 and 2 are identical (guaranteed LSH+simhash pair); 3 shares a
+        # long prefix with 2 (near-dup chain in most configs); 4 is unique
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat naps in warm afternoon sunlight near the garden ")
+        rows = [
+            (1, base * 4),
+            (2, base * 4),
+            (3, base * 4 + "with one extra trailing clause appended"),
+            (4, "completely different text about spark dataframes and "
+                "partition pruning strategies for columnar storage"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minhash_resolve_keep_semantics(self, spark):
+        import waimak_spark.functions.dedup as D
+
+        out = D.minhash_dedup_resolve(self._docs(spark)).collect()
+        got = {r["doc_id"]: (r["canonical_id"], r["keep"]) for r in out}
+        assert len(got) == 4                      # one row per doc
+        assert got[1] == (1, True)                # component min kept
+        assert got[2] == (1, False)               # exact dup dropped
+        assert got[4] == (4, True)                # unique doc kept
+        # canonical assignment is a function: every canonical is a kept id
+        kept = {d for d, (c, k) in got.items() if k}
+        assert all(c in kept for c, _k in got.values())
+
+    def test_simhash_resolve_keep_semantics(self, spark):
+        import waimak_spark.functions.dedup as D
+
+        out = D.simhash_dedup_resolve(self._docs(spark)).collect()
+        got = {r["doc_id"]: (r["canonical_id"], r["keep"]) for r in out}
+        assert len(got) == 4
+        assert got[1] == (1, True) and got[2] == (1, False)
+        assert got[4][1] is True
+
+    def test_resolve_row_count_is_linear_not_quadratic(self, spark):
+        """20 identical docs -> 190 candidate PAIRS but exactly 20
+        resolution rows (1 keep + 19 drops) — the scale reason the
+        resolve entries exist."""
+        import waimak_spark.functions.dedup as D
+
+        rows = [(i, "same exact document text repeated for everyone here "
+                    "with enough tokens to shingle properly " * 3)
+                for i in range(1, 21)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = D.lsh_candidate_pairs(D.minhash_signature(df))
+        out = D.minhash_dedup_resolve(df)
+        assert pairs.count() == 190
+        rows_out = out.collect()
+        assert len(rows_out) == 20
+        assert sum(1 for r in rows_out if r["keep"]) == 1
+        assert all(r["canonical_id"] == 1 for r in rows_out)

@@ -13,6 +13,7 @@ rounded so value-hashes match across engines.
 from __future__ import annotations
 
 from .curation import ENTRIES as CURATION_ENTRIES
+from .dq import ENTRIES as DQ_ENTRIES
 from .events import ENTRIES as EVENT_ENTRIES
 from .joins import ENTRIES as JOIN_ENTRIES
 from .multimodal import ENTRIES as MULTIMODAL_ENTRIES
@@ -32,7 +33,7 @@ ALL_ENTRIES: dict[str, dict] = {}
 # missed (joins tail, streaming, curation) plus this round's NEW entries go
 # first; the 49 r3-green entries follow.  Next round: swap back.
 for part in (JOIN_ENTRIES, STREAMING_ENTRIES, CURATION_ENTRIES,
-             TEXT_ENTRIES, SIMILARITY_ENTRIES, STORAGE_ENTRIES,
+             DQ_ENTRIES, TEXT_ENTRIES, SIMILARITY_ENTRIES, STORAGE_ENTRIES,
              RDBM_ENTRIES, MULTIMODAL_ENTRIES, RELATIONAL_ENTRIES,
              RELATIONAL_EXT_ENTRIES, EVENT_ENTRIES):
     overlap = set(part) & set(ALL_ENTRIES)

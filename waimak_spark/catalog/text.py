@@ -108,6 +108,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.1)
 
 
+def dedup_minhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_resolve(_docs(spark, sf_dir))
+
+
+def dedup_simhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_dedup_resolve(_docs(spark, sf_dir))
+
+
 ENTRIES = {
     "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
     "lang_id": {"fn": lang_id, "oracle": T.lang_id_sql()},
@@ -123,4 +131,8 @@ ENTRIES = {
                                 "oracle": D.simhash_near_dups_sql()},
     "dedup_ngram_jaccard": {"fn": dedup_ngram_jaccard,
                             "oracle": D.ngram_jaccard_pairs_sql()},
+    "dedup_minhash_resolve": {"fn": dedup_minhash_resolve,
+                              "oracle": D.minhash_dedup_resolve_sql()},
+    "dedup_simhash_resolve": {"fn": dedup_simhash_resolve,
+                              "oracle": D.simhash_dedup_resolve_sql()},
 }

@@ -657,3 +657,100 @@ def ngram_jaccard_pairs_sql(n: int = SHINGLE_N, min_jaccard: float = 0.1) -> str
         join sizes sb on sb.id = doc_b
         where round(shared::DOUBLE / (sa.n_sh + sb.n_sh - shared), 4) >= {min_jaccard}
     """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end resolution: candidate PAIRS -> one keep/drop row per document.
+# Pair listings are output-quadratic on duplicate-heavy corpora (the 10x
+# scaling experiment in PARITY.md measured ~1000x pair growth on the text
+# path); canonical assignment is linear in corpus size and is what a
+# 100 TB dedup pipeline actually materializes.
+# ---------------------------------------------------------------------------
+
+
+def _resolve_pairs(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Collapse candidate pairs to per-doc canonical assignment via
+    min-label propagation over the edge subgraph
+    (:func:`~waimak_spark.functions.similarity.resolve_duplicates_fixpoint`);
+    ``keep`` marks the component minimum — the one row a dedup pipeline
+    retains."""
+    from .similarity import resolve_duplicates_fixpoint
+
+    ids = df.select(F.col(id_col).alias("id"))
+    edges = pairs.select(F.col("doc_a").alias("id_a"),
+                         F.col("doc_b").alias("id_b"))
+    out = resolve_duplicates_fixpoint(ids, edges)
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("canonical_id"),
+        (F.col("id") == F.col("canonical_id")).alias("keep"))
+
+
+def minhash_dedup_resolve(df: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
+                          band_size: int = BAND_SIZE,
+                          max_bucket: int = MAX_BUCKET,
+                          id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH dedup resolved to one keep/drop row per doc: LSH
+    candidate pairs (computed once, shared shape with
+    :func:`lsh_candidate_pairs`) collapsed by connected-component
+    canonical assignment — chains A~B~C with A≁C still resolve to one
+    canonical, matching the embedding path's fixpoint semantics."""
+    sig = minhash_signature(df, id_col=id_col)
+    pairs = lsh_candidate_pairs(sig, seeds, band_size, max_bucket, id_col)
+    return _resolve_pairs(df, pairs, id_col)
+
+
+def simhash_dedup_resolve(df: DataFrame,
+                          max_hamming: int = DEFAULT_MAX_HAMMING,
+                          max_bucket: int = SIMHASH_MAX_BUCKET,
+                          id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup dedup resolved to one keep/drop row per doc."""
+    sig = simhash(df, id_col=id_col)
+    pairs = simhash_near_dups(sig, max_hamming, max_bucket, id_col)
+    return _resolve_pairs(df, pairs.drop("hamming"), id_col)
+
+
+def _resolve_pairs_oracle(pairs_sql: str) -> str:
+    """Recursive-CTE transitive closure over symmetric pair edges, then
+    the component minimum per doc — the SQL fixpoint the propagation
+    converges to (same oracle shape as
+    embedding_cosine_dedup_fixpoint_sql)."""
+    return f"""
+        with recursive pairs as ({pairs_sql}),
+        edges as (
+            select doc_a as id, doc_b as peer from pairs
+            union all
+            select doc_b as id, doc_a as peer from pairs
+        ),
+        reach(id, peer) as (
+            select id, peer from edges
+            union
+            select e.id, r.peer
+            from edges e join reach r on r.id = e.peer
+            where e.id != r.peer
+        )
+        select d.doc_id,
+               coalesce(least(d.doc_id, min(r.peer)), d.doc_id)
+                   as canonical_id,
+               coalesce(least(d.doc_id, min(r.peer)), d.doc_id) = d.doc_id
+                   as keep
+        from documents d left join reach r on r.id = d.doc_id
+        group by d.doc_id
+    """
+
+
+def minhash_dedup_resolve_sql(seeds: list[int] = DEFAULT_SEEDS,
+                              band_size: int = BAND_SIZE,
+                              max_bucket: int = MAX_BUCKET,
+                              n: int = SHINGLE_N) -> str:
+    return _resolve_pairs_oracle(
+        lsh_candidate_pairs_sql(seeds, band_size, max_bucket, n))
+
+
+def simhash_dedup_resolve_sql(max_hamming: int = DEFAULT_MAX_HAMMING,
+                              max_bucket: int = SIMHASH_MAX_BUCKET,
+                              bits: int = SIMHASH_BITS) -> str:
+    return _resolve_pairs_oracle(
+        "select doc_a, doc_b from ({})".format(
+            simhash_near_dups_sql(max_hamming, max_bucket, bits)))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator, Optional
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -187,9 +188,13 @@ def byte_features(df: DataFrame, data_col: str = "data",
         if d is None or len(d) == 0:
             return {"n_bytes": 0, "first_byte": None, "last_byte": None,
                     "byte_sum": 0}
-        b = bytes(d)
-        return {"n_bytes": len(b), "first_byte": b[0], "last_byte": b[-1],
-                "byte_sum": sum(b)}
+        # zero-copy uint8 view; the int64-accumulated sum replaces a
+        # per-byte Python loop (VERDICT r3 item 5 — ~2 orders of magnitude
+        # on multi-KB payloads)
+        a = np.frombuffer(d, dtype=np.uint8)
+        return {"n_bytes": int(a.size), "first_byte": int(a[0]),
+                "last_byte": int(a[-1]),
+                "byte_sum": int(a.sum(dtype=np.int64))}
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
