@@ -189,3 +189,26 @@ class TestStrategies:
         assert s.detect(2.0, 3.0) is None
         assert s.detect(0.0, 0.0) is None
         assert s.detect(0.0, 1.0) is not None       # undefined rate
+
+
+class TestSuccessMetricsJson:
+    def test_json_newest_first(self, spark, tmp_path):
+        import json
+
+        repo = _repo(spark, tmp_path)
+        repo.save("items", {"size": 2.0}, T1)
+        repo.save("items", {"size": 5.0}, T2)
+        out = json.loads(repo.success_metrics_json(["size"]))
+        assert [e["value"] for e in out] == [5.0, 2.0]   # newest first
+        assert out[0]["name"] == "size"
+        assert out[0]["dataset_date"] == (T2 - datetime(1970, 1, 1)
+                                          ).total_seconds() * 1000.0
+
+    def test_json_filters_metrics_and_empty(self, spark, tmp_path):
+        import json
+
+        repo = _repo(spark, tmp_path)
+        assert repo.success_metrics_json() == "[]"
+        repo.save("items", {"size": 2.0, "mean(x)": 1.5}, T1)
+        out = json.loads(repo.success_metrics_json(["mean(x)"]))
+        assert len(out) == 1 and out[0]["name"] == "mean(x)"

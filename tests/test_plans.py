@@ -63,13 +63,20 @@ class TestScanEfficiency:
         plan = plan_of("q5_region_revenue", spark, sf_dir)
         assert "BroadcastHashJoin" in plan
 
-    def test_storage_reads_prune_partitions(self, spark, sf_dir):
-        # allBetween filters on the de_store_type/de_store_region partition
-        # columns → directory-level pruning at the scan
-        plan = plan_of("storage_all_between", spark, sf_dir)
-        assert "PartitionFilters" in plan
+    @pytest.mark.parametrize("name", ["storage_all_between",
+                                      "storage_snapshot_dedup"])
+    def test_storage_reads_prune_partitions(self, name, spark, sf_dir):
+        # BOTH §2.6 read kernels (allBetween + snapshot) must filter on the
+        # de_store_type/de_store_region partition columns → directory-level
+        # pruning at the scan: the Hive-layout pruning that makes the
+        # storage layer viable at 100 TB (VERDICT r3 item 6). The filters
+        # must be in PartitionFilters (pruned before IO), not the
+        # post-scan Filter node.
+        plan = plan_of(name, spark, sf_dir)
+        assert "PartitionFilters" in plan, f"{name}: no partition pruning"
         pf = plan.split("PartitionFilters")[1][:400]
-        assert "de_store_region" in pf
+        assert "de_store_region" in pf, f"{name}: region not pruned"
+        assert "de_store_type" in pf, f"{name}: store type not pruned"
 
     def test_asof_join_is_window_not_nested_loop(self, spark, sf_dir):
         plan = plan_of("asof_quote_per_trade", spark, sf_dir)

@@ -179,3 +179,46 @@ class TestTextDedupResolve:
         assert len(rows_out) == 20
         assert sum(1 for r in rows_out if r["keep"]) == 1
         assert all(r["canonical_id"] == 1 for r in rows_out)
+
+
+class TestVerifiedPipeline:
+    """LSH candidates -> exact-Jaccard verify -> resolve: the full
+    production dedup pipeline."""
+
+    def test_verification_filters_low_jaccard_candidates(self, spark):
+        import waimak_spark.functions.dedup as D
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon ")
+        rows = [
+            (1, base * 3),
+            (2, base * 3),                      # exact dup of 1: jaccard 1.0
+            (3, base + "entirely different tail with many new words about "
+                "storage layers and shuffle partitioning in the engine "
+                "plus more unrelated filler tokens to dilute the overlap "
+                "even further beyond the verification threshold for sure "
+                "and additional sentences of novel vocabulary continuing "
+                "to push the shared-shingle fraction well below one half"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        cand = D.lsh_candidate_pairs(D.minhash_signature(df))
+        verified = D.minhash_verified_pairs(df, min_jaccard=0.9)
+        vrows = verified.collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in vrows} == {(1, 2)}
+        assert vrows[0]["jaccard"] == 1.0
+        # every verified pair was a candidate (verification only filters)
+        cset = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+        assert {(r["doc_a"], r["doc_b"]) for r in vrows} <= cset
+
+    def test_verified_resolve_keeps_non_dups(self, spark):
+        import waimak_spark.functions.dedup as D
+
+        text = ("one two three four five six seven eight nine ten eleven "
+                "twelve thirteen fourteen fifteen ") * 3
+        rows = [(1, text), (2, text), (3, text + " sixteen")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: (r["canonical_id"], r["keep"])
+               for r in D.minhash_verified_resolve(df, 0.99).collect()}
+        assert out[1] == (1, True)
+        assert out[2] == (1, False)
+        assert out[3][1] is True        # 0.94 jaccard < 0.99: not a dup

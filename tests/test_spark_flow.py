@@ -328,3 +328,45 @@ def test_orc_roundtrip(base_flow, spark, tmp_path):
     got = final.inputs.get("reloaded")
     assert got.count() == 15
     assert set(got.columns) == {"o_orderkey", "o_totalprice"}
+
+
+def test_actions_tag_spark_ui_job_group(base_flow):
+    """Every action's Spark jobs must carry the action guid as the job
+    group and the action description on the UI, per-thread in the parallel
+    executor, cleared afterwards (SparkFlowContext.scala:24-26)."""
+    from waimak_spark.dataflow.spark_flow import Waimak
+
+    seen: dict[str, tuple] = {}
+
+    def probing_transform(tag):
+        def fn(df):
+            sc = df.sparkSession.sparkContext
+            seen[tag] = (sc.getLocalProperty("spark.jobGroup.id"),
+                         sc.getLocalProperty("spark.job.description"),
+                         sc.getLocalProperty("spark.scheduler.pool"))
+            return df.groupBy("l_returnflag").count()
+        return fn
+
+    flow = base_flow
+    for i in range(2):
+        flow = flow.transform("lineitem", output=f"g{i}",
+                              fn=probing_transform(f"g{i}"))
+
+    def build_pooled(f):
+        return f.transform("lineitem", output="pooled",
+                           fn=probing_transform("pooled"))
+
+    flow = flow.execution_pool("aux")(build_pooled)
+    executor = Waimak.spark_executor(max_parallel_actions=3)
+    executed, final = executor.execute(flow)
+
+    guids = {a.guid: a for a in executed}
+    assert set(seen) == {"g0", "g1", "pooled"}
+    for tag, (group, desc, pool) in seen.items():
+        assert group in guids, f"{tag}: job group is not an action guid"
+        assert desc == guids[group].description
+    assert seen["pooled"][2] == "aux"          # fair-scheduler pool set
+    assert seen["g0"][2] in (None, "")          # default pool untouched
+    # cleared after the flow: the driver thread has no lingering group
+    sc = final.context.spark.sparkContext
+    assert sc.getLocalProperty("spark.jobGroup.id") is None

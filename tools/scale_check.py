@@ -35,6 +35,13 @@ EVENT_QUERIES = [
     "sessions_per_user", "running_value_per_user", "approx_event_stats",
     "skew_count_distinct", "skew_salted_join", "event_funnel",
 ]
+# VERDICT r3 item 7: the streaming entries' per-micro-batch overhead must
+# be quantified at 10x too — state-store commits scale with partitions x
+# batches, not rows, so their ratio shows how much of the cost is fixed
+STREAMING_QUERIES = [
+    "streaming_tumbling_counts", "streaming_session_counts",
+    "streaming_dedup_pairs", "streaming_trade_quote_join",
+]
 
 
 def build_replica() -> None:
@@ -81,7 +88,7 @@ def main() -> None:
     # validate the subset BEFORE the expensive replica build + JVM start
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
     names = ([n.strip() for n in subset.split(",") if n.strip()] if subset
-             else DOC_QUERIES + EVENT_QUERIES)
+             else DOC_QUERIES + EVENT_QUERIES + STREAMING_QUERIES)
     unknown = set(names) - set(ALL_ENTRIES)
     if unknown:
         raise SystemExit(f"unknown queries: {sorted(unknown)}")

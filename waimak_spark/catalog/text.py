@@ -116,6 +116,15 @@ def dedup_simhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_dedup_resolve(_docs(spark, sf_dir))
 
 
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_verified_pairs(_docs(spark, sf_dir))
+
+
+def dedup_minhash_verified_resolve(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    return D.minhash_verified_resolve(_docs(spark, sf_dir))
+
+
 ENTRIES = {
     "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
     "lang_id": {"fn": lang_id, "oracle": T.lang_id_sql()},
@@ -135,4 +144,9 @@ ENTRIES = {
                               "oracle": D.minhash_dedup_resolve_sql()},
     "dedup_simhash_resolve": {"fn": dedup_simhash_resolve,
                               "oracle": D.simhash_dedup_resolve_sql()},
+    "dedup_minhash_verified": {"fn": dedup_minhash_verified,
+                               "oracle": D.minhash_verified_pairs_sql()},
+    "dedup_minhash_verified_resolve": {
+        "fn": dedup_minhash_verified_resolve,
+        "oracle": D.minhash_verified_resolve_sql()},
 }

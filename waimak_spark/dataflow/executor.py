@@ -92,12 +92,27 @@ class DataFlowExecutor:
 
     def _run_one(self, action: DataFlowAction, flow: DataFlow) -> list[Optional[Any]]:
         self.reporter.action_started(action, flow)
+        # Spark UI attribution (SparkFlowContext.scala:24-26): every job an
+        # action submits carries the action's guid as its job group and the
+        # action description on the UI, cleared when the action finishes.
+        # Local properties are per-thread, so parallel-pool actions each
+        # tag their own jobs.
+        spark = getattr(flow.context, "spark", None)
+        if spark is not None:
+            spark.sparkContext.setJobGroup(action.guid, action.description)
         try:
             inputs = flow.inputs.filter_labels(action.input_labels)
             out = action.perform_checked(inputs, flow.context)
         except Exception as e:  # noqa: BLE001 - report with action identity
             self.reporter.action_failed(action, e)
             raise ActionException(action.name, action.guid, e) from e
+        finally:
+            if spark is not None:
+                # PySpark has no clearJobGroup; nulling the local
+                # properties is what the JVM method does
+                sc = spark.sparkContext
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
         self.reporter.action_finished(action, flow)
         return out
 

@@ -91,6 +91,32 @@ class StorageLayerMetricsRepository:
         return df.select("tags", "label", "metric_name", "metric_value",
                          "dataset_ts")
 
+    def success_metrics_json(self, for_metrics: Optional[Sequence[str]]
+                             = None) -> str:
+        """History as a JSON array, newest first — the
+        ``load().forAnalyzers(...).getSuccessMetricsAsJson()`` surface the
+        reference test asserts (TestStorageLayerMetricsRepository.scala:
+        58-62: name / dataset_date-millis / value keys, newest run
+        first)."""
+        import json
+
+        hist = self.load()
+        if hist is None:
+            return "[]"
+        if for_metrics:
+            hist = hist.where(F.col("metric_name").isin(list(for_metrics)))
+        rows = hist.select("metric_name", "label", "metric_value",
+                           "dataset_ts").collect()
+        rows.sort(key=lambda r: (r["dataset_ts"], r["metric_name"]),
+                  reverse=True)
+        epoch = datetime(1970, 1, 1)
+        return json.dumps([
+            {"name": r["metric_name"],
+             "dataset_date": (r["dataset_ts"] - epoch).total_seconds() * 1000.0,
+             "label": r["label"],
+             "value": r["metric_value"]}
+            for r in rows])
+
     def previous_values(self, label: str, metric_names: Sequence[str],
                         before_ts: datetime) -> dict[str, float]:
         """Latest stored value per metric strictly BEFORE ``before_ts`` —

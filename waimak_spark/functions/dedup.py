@@ -754,3 +754,84 @@ def simhash_dedup_resolve_sql(max_hamming: int = DEFAULT_MAX_HAMMING,
     return _resolve_pairs_oracle(
         "select doc_a, doc_b from ({})".format(
             simhash_near_dups_sql(max_hamming, max_bucket, bits)))
+
+
+# ---------------------------------------------------------------------------
+# the full production dedup pipeline: LSH candidates -> exact-Jaccard
+# verification on CANDIDATES ONLY -> canonical resolution. Verification
+# cost is O(candidate pairs), not O(bucket^2 * full shingle join) — the
+# shape that survives 100 TB (candidates are ~linear in corpus size under
+# the bucket caps; only those pairs ever see a shingle-set intersection).
+# ---------------------------------------------------------------------------
+
+VERIFY_MIN_JACCARD = 0.5
+
+
+def minhash_verified_pairs(df: DataFrame,
+                           min_jaccard: float = VERIFY_MIN_JACCARD,
+                           seeds: list[int] = DEFAULT_SEEDS,
+                           band_size: int = BAND_SIZE,
+                           max_bucket: int = MAX_BUCKET,
+                           id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs verified with EXACT n-gram Jaccard ≥ threshold.
+
+    The distinct-shingle base is materialized once (``shingle_base`` is
+    persisted) and serves three consumers: the minhash signature, and the
+    two sides of the verification join. Verification joins the candidate
+    list (small) against the shingle table twice on the doc id — two
+    shuffles proportional to candidates + corpus, no quadratic surface.
+    """
+    base = shingle_base(df, id_col=id_col)
+    sig = minhash_signature(df, id_col=id_col, seeds=seeds)
+    cand = lsh_candidate_pairs(sig, seeds, band_size, max_bucket, id_col)
+    a = base.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = base.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("_sha") + F.size("_shb") - inter), 4)
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= min_jaccard))
+
+
+def minhash_verified_resolve(df: DataFrame,
+                             min_jaccard: float = VERIFY_MIN_JACCARD,
+                             id_col: str = "doc_id") -> DataFrame:
+    """End-to-end dedup: candidates → verify → one keep/drop row per doc."""
+    pairs = minhash_verified_pairs(df, min_jaccard, id_col=id_col)
+    return _resolve_pairs(df, pairs.drop("jaccard"), id_col)
+
+
+def minhash_verified_pairs_sql(min_jaccard: float = VERIFY_MIN_JACCARD,
+                               seeds: list[int] = DEFAULT_SEEDS,
+                               band_size: int = BAND_SIZE,
+                               max_bucket: int = MAX_BUCKET,
+                               n: int = SHINGLE_N) -> str:
+    return f"""
+        with cand as ({lsh_candidate_pairs_sql(seeds, band_size,
+                                               max_bucket, n)}),
+        sh as (
+            select doc_id, list_distinct({shingles_sql('t', n)}) as sh
+            from (select doc_id, {TOKENS_SQL.format(col='text')} as t
+                  from documents)
+        ),
+        verified as (
+            select c.doc_a, c.doc_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         (len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh))), 4) as jaccard
+            from cand c
+            join sh a on a.doc_id = c.doc_a
+            join sh b on b.doc_id = c.doc_b
+        )
+        select doc_a, doc_b, jaccard from verified
+        where jaccard >= {min_jaccard}
+    """
+
+
+def minhash_verified_resolve_sql(min_jaccard: float = VERIFY_MIN_JACCARD
+                                 ) -> str:
+    return _resolve_pairs_oracle(
+        "select doc_a, doc_b from ({})".format(
+            minhash_verified_pairs_sql(min_jaccard)))
