@@ -121,20 +121,39 @@ def main() -> None:
         print(f"# {name}: {rs}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # The one-line stdout JSON must stay COMPACT: the driver's tail capture
-    # truncated the r3 line (69 queries x 3-lap arrays ~ 5 KB+) and recorded
-    # "parsed": null.  Per-query mins only here; full lap arrays go to a
-    # sidecar file + stderr for humans.
+    # The one-line stdout JSON must fit the driver's 2000-char tail capture
+    # (r3's 8 KB line lost its head and recorded "parsed": null; the capture
+    # length is exactly 2000 — measured from BENCH_r03.json["tail"]).
+    # Budget: 74 full names alone cost ~1730 chars, so the stdout line uses
+    # (a) per-query seconds at 2 significant digits and (b) a documented
+    # name shortening — entries named ``qN_...`` (the TPC-H-style queries)
+    # are emitted as ``qN``.  Everything else keeps its full catalog name.
+    # Full names + full-precision lap arrays live in BENCH_RUNS.json
+    # (committed) and on stderr.  Line length is asserted < 1990 so a new
+    # entry can never silently push the bench back into truncation.
+    import re
+
+    def short(name: str) -> str:
+        head = name.split("_", 1)[0]
+        return head if re.fullmatch(r"q\d+", head) else name
+
+    assert len({short(n) for n in timings}) == len(timings), \
+        "bench short-name collision"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_RUNS.json"), "w") as fh:
-        json.dump({"runs": runs, "laps": N_TIMED_LAPS, "sf": sf}, fh, indent=1)
-    print(json.dumps({
+        json.dump({"runs": runs, "mins": timings, "laps": N_TIMED_LAPS,
+                   "sf": sf, "stdout_name_rule": "qN_* emitted as qN"},
+                  fh, indent=1)
+    line = json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {short(k): float(f"{v:.2g}")
+                    for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }, separators=(",", ":")))
+    }, separators=(",", ":"))
+    assert len(line) < 1990, f"bench line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":

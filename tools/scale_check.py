@@ -29,6 +29,10 @@ DOC_QUERIES = [
     "dedup_against_corpus", "dedup_near_against_corpus",
     "decontaminate_against_benchmark",
     "tfidf_top_terms", "corpus_vocabulary",
+    # round-4 resolution entries: output stays LINEAR (one row per doc)
+    # even where the corresponding pair listings go quadratic
+    "dedup_minhash_resolve", "dedup_simhash_resolve",
+    "dedup_minhash_verified", "dedup_minhash_verified_resolve",
 ]
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",

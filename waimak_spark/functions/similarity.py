@@ -368,6 +368,22 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     labels = (edges.select("id").distinct()
               .withColumn("canonical", F.col("id"))
               .localCheckpoint(eager=True))
+    # Convergence check: labels only ever DECREASE (least of own label and
+    # neighbor minimum), so for numeric ids "no label changed" is exactly
+    # "sum(canonical) unchanged" — one tiny agg job on the just-
+    # checkpointed frame instead of a join of consecutive generations
+    # (the join was a large share of per-iteration wall time on small edge
+    # sets). Non-numeric ids keep the join-based count.
+    numeric_ids = dict(labels.dtypes).get("canonical") in (
+        "tinyint", "smallint", "int", "bigint")
+
+    def _label_sum(df: DataFrame):
+        # decimal(38,0) accumulator: exact and overflow-safe even for
+        # billions of rows of near-maximal bigint ids
+        return df.agg(F.sum(F.col("canonical").cast("decimal(38,0)"))
+                      ).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iters):
         neigh = (edges.join(labels.select(F.col("id").alias("peer"),
                                           F.col("canonical").alias("pc")),
@@ -379,13 +395,18 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
                                       F.coalesce("nmin", F.col("canonical")))
                               .alias("canonical"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.canonical") != F.col("o.canonical"))
-                   .count())
+        if numeric_ids:
+            cur_sum = _label_sum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (new_labels.alias("n")
+                         .join(labels.alias("o"), "id")
+                         .where(F.col("n.canonical") != F.col("o.canonical"))
+                         .count()) == 0
         _free_ckpt(labels)  # superseded generation: free blocks in-loop
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     # edges and the FINAL labels feed the lazy return frame — they are
     # freed with the other operator-internal state at release_tracked()
