@@ -144,14 +144,19 @@ def main() -> None:
         json.dump({"runs": runs, "mins": timings, "laps": N_TIMED_LAPS,
                    "sf": sf, "stdout_name_rule": "qN_* emitted as qN"},
                   fh, indent=1)
-    line = json.dumps({
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": {short(k): float(f"{v:.2g}")
-                    for k, v in timings.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }, separators=(",", ":"))
+    def emit(sig_digits: int) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {short(k): float(f"{v:.{sig_digits}g}")
+                        for k, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }, separators=(",", ":"))
+
+    line = emit(2)
+    if len(line) >= 1990:  # graceful degrade before truncation would hit
+        line = emit(1)
     assert len(line) < 1990, f"bench line too long ({len(line)})"
     print(line)
 

@@ -192,3 +192,90 @@ class TestDupFractionNulls:
                 "1.0 - len(list_distinct(x))::DOUBLE / len(x) "
                 f"else 0.0 end, 4) from (select {arr} as x)").fetchone()[0]
             assert got[i] == pytest.approx(want), (i, got[i], want)
+
+
+class TestChunkAndPack:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_chunking_covers_all_tokens_without_overlap(self, spark):
+        from waimak_spark.functions.curation import chunk_and_pack
+
+        df = self._df(spark, [(1, "a", " ".join(f"t{i}" for i in range(70))),
+                              (2, "a", "one two three")])
+        out = chunk_and_pack(df, chunk_size=32, seq_budget=128).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_tokens"] for r in c1] == [32, 32, 6]  # 70 tokens
+        assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+        assert [r["chunk_tokens"] for r in by_doc[2]] == [3]
+
+    def test_packing_respects_budget_per_source(self, spark):
+        from waimak_spark.functions.curation import chunk_and_pack
+
+        # 6 docs x 32 tokens in one source: budget 64 -> 2 chunks/seq
+        rows = [(i, "s", " ".join(f"w{j}" for j in range(32)))
+                for i in range(1, 7)]
+        out = chunk_and_pack(self._df(spark, rows),
+                             chunk_size=32, seq_budget=64).collect()
+        seqs = {}
+        for r in out:
+            seqs.setdefault(r["seq_id"], 0)
+            seqs[r["seq_id"]] += r["chunk_tokens"]
+        assert seqs == {0: 64, 1: 64, 2: 64}
+
+    def test_packing_is_per_source(self, spark):
+        from waimak_spark.functions.curation import chunk_and_pack
+
+        rows = [(1, "a", "x " * 32), (2, "b", "y " * 32)]
+        out = chunk_and_pack(self._df(spark, rows),
+                             chunk_size=32, seq_budget=64).collect()
+        # each source starts at seq 0 — no cross-source coupling
+        assert {(r["source"], r["seq_id"]) for r in out} == {("a", 0), ("b", 0)}
+
+    def test_empty_docs_dropped(self, spark):
+        from waimak_spark.functions.curation import chunk_and_pack
+
+        out = chunk_and_pack(self._df(spark, [(1, "a", "   ")])).collect()
+        assert out == []
+
+
+class TestWeightedSample:
+    def test_weight_one_keeps_all_weight_zero_none(self, spark):
+        from waimak_spark.functions import curation as C
+        from pyspark.sql import functions as F
+
+        df = spark.range(1, 201).select(F.col("id"))
+        kept1 = df.where(C.weighted_sample_keep(F.col("id"), F.lit(1.0))).count()
+        kept0 = df.where(C.weighted_sample_keep(F.col("id"), F.lit(0.0))).count()
+        assert kept1 == 200 and kept0 == 0
+
+    def test_nested_samples(self, spark):
+        # a row kept at weight w stays kept at any w' > w
+        from waimak_spark.functions import curation as C
+        from pyspark.sql import functions as F
+
+        df = spark.range(1, 501)
+        lo = {r["id"] for r in
+              df.where(C.weighted_sample_keep(F.col("id"), F.lit(0.3))).collect()}
+        hi = {r["id"] for r in
+              df.where(C.weighted_sample_keep(F.col("id"), F.lit(0.7))).collect()}
+        assert lo <= hi
+        assert 0.2 < len(lo) / 500 < 0.4 and 0.6 < len(hi) / 500 < 0.8
+
+    def test_matches_sql_side(self, spark):
+        import duckdb
+
+        from waimak_spark.functions import curation as C
+        from pyspark.sql import functions as F
+
+        df = spark.range(1, 301).select(
+            F.col("id"), (F.col("id") % 10 / 10.0).alias("w"))
+        kept = sorted(r["id"] for r in df.where(
+            C.weighted_sample_keep(F.col("id"), F.col("w"))).collect())
+        sql = C.weighted_sample_keep_sql("id", "id % 10 / 10.0")
+        dk = sorted(x[0] for x in duckdb.sql(
+            f"select id from range(1, 301) t(id) where {sql}").fetchall())
+        assert kept == dk

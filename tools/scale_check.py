@@ -33,6 +33,8 @@ DOC_QUERIES = [
     # even where the corresponding pair listings go quadratic
     "dedup_minhash_resolve", "dedup_simhash_resolve",
     "dedup_minhash_verified", "dedup_minhash_verified_resolve",
+    # round-4 layout/sampling/decontamination entries
+    "pack_sequences", "sample_weighted", "decontaminate_near",
 ]
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",

@@ -525,6 +525,93 @@ TFIDF_ORACLE = f"""
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# sequence chunk + pack: the final layout step before training (per-source
+# packing windows — no global sort; see functions/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.curation import chunk_and_pack
+
+    return chunk_and_pack(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# weighted (importance) sampling: keep-probability proportional to doc
+# length (a stand-in for any per-doc quality weight), deterministic md5
+# thresholding, map-only
+# ---------------------------------------------------------------------------
+
+WEIGHT_SCALE = 1500  # n_chars at which keep-probability saturates at 1.0
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.curation import weighted_sample_keep
+
+    docs = _docs(spark, sf_dir)
+    weight = F.col("n_chars") / F.lit(float(WEIGHT_SCALE))
+    return (docs.where(weighted_sample_keep(F.col("doc_id"), weight))
+            .select("doc_id", "source", "n_chars"))
+
+
+WEIGHTED_ORACLE = None  # assigned below (needs the functions module)
+
+
+def _weighted_oracle() -> str:
+    from ..functions.curation import weighted_sample_keep_sql
+
+    return f"""
+        select doc_id, source, n_chars from documents
+        where {weighted_sample_keep_sql("doc_id",
+                                        f"n_chars / {WEIGHT_SCALE}.0")}
+    """
+
+
+# ---------------------------------------------------------------------------
+# NEAR-dup decontamination: drop candidate docs sharing any MinHash-LSH
+# band with a held-out benchmark — the fuzzy-contamination complement of
+# the exact-shingle rule in decontaminate_against_benchmark. Shape: the
+# benchmark side's banded keys are tiny and computed once; candidates
+# anti-join on the pair list (no candidate x candidate work).
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_near_benchmark(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..functions import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") <= BENCHMARK_DOC_MAX
+    bench_sig = D.minhash_signature(docs.where(is_bench))
+    cand_sig = D.minhash_signature(docs.where(~is_bench))
+    pairs = D.lsh_pairs_against_corpus(cand_sig, bench_sig)
+    contaminated = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+    return (docs.where(~is_bench)
+            .join(contaminated, "doc_id", "left_anti")
+            .select("doc_id", "source"))
+
+
+def _near_decontaminate_oracle() -> str:
+    from ..functions import dedup as D
+
+    pairs = D.lsh_pairs_against_corpus_sql(
+        corpus_where=f"doc_id <= {BENCHMARK_DOC_MAX}",
+        new_where=f"doc_id > {BENCHMARK_DOC_MAX}")
+    return f"""
+        select d.doc_id, d.source from documents d
+        where d.doc_id > {BENCHMARK_DOC_MAX}
+          and d.doc_id not in (select new_id from ({pairs}))
+    """
+
+
+def _pack_oracle() -> str:
+    from ..functions.curation import chunk_and_pack_sql
+
+    return chunk_and_pack_sql()
+
 ENTRIES = {
     "sample_stratified": {"fn": sample_stratified, "oracle": SAMPLE_ORACLE},
     "split_leakage_safe": {"fn": split_leakage_safe, "oracle": SPLIT_ORACLE},
@@ -547,4 +634,8 @@ ENTRIES = {
         "oracle": DECONTAMINATE_ORACLE},
     "corpus_vocabulary": {"fn": corpus_vocabulary, "oracle": VOCAB_ORACLE},
     "tfidf_top_terms": {"fn": tfidf_top_terms, "oracle": TFIDF_ORACLE},
+    "pack_sequences": {"fn": pack_sequences, "oracle": _pack_oracle()},
+    "sample_weighted": {"fn": sample_weighted, "oracle": _weighted_oracle()},
+    "decontaminate_near": {"fn": decontaminate_near_benchmark,
+                           "oracle": _near_decontaminate_oracle()},
 }

@@ -210,3 +210,117 @@ def dup_fraction_sql(arr_expr: str) -> str:
     return (f"round(case when len({arr_expr}) > 0 then "
             f"1.0 - len(list_distinct({arr_expr}))::DOUBLE / len({arr_expr}) "
             f"else 0.0 end, 4)")
+
+
+# ---------------------------------------------------------------------------
+# sequence chunking + packing: split docs into fixed-token chunks, then
+# pack chunks into fixed-budget training sequences — the final layout step
+# of a pretraining data pipeline. Packing is PER PARTITION COLUMN (source):
+# a window over (source) with a deterministic order, so there is no global
+# sort — each source packs independently, which is exactly how a 100 TB
+# run shards the work (a global greedy pack would serialize on one sort).
+# A chunk never splits across sequences; a sequence may therefore overrun
+# the budget by < chunk_size tokens (the standard streaming-packing
+# approximation — downstream pad/truncate handles the tail).
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32    # tokens per chunk (synthetic docs run 10-100 tokens)
+SEQ_BUDGET = 128   # token budget per packed sequence
+
+
+def chunk_and_pack(df: DataFrame, chunk_size: int = CHUNK_SIZE,
+                   seq_budget: int = SEQ_BUDGET, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   part_col: str = "source") -> DataFrame:
+    """One row per chunk: (part, doc, chunk_idx, chunk_tokens, seq_id).
+
+    ``seq_id`` is the running-sum bucket within the partition's
+    deterministic (doc, chunk) order: a chunk starts a new sequence when
+    the tokens packed before it already fill the budget. Whitespace
+    tokenization (``functions.text.tokens``) keeps both engines identical.
+    """
+    from pyspark.sql import Window as W
+
+    from .text import tokens
+
+    nt = df.select(F.col(part_col), F.col(id_col),
+                   F.size(tokens(F.col(text_col))).alias("_n"))
+    nz = nt.where(F.col("_n") > 0)
+    chunks = nz.select(
+        part_col, id_col, "_n",
+        F.explode(F.expr(
+            f"sequence(0, cast(ceil(_n / {chunk_size}.0) as int) - 1)"
+        )).alias("chunk_idx"))
+    chunks = chunks.select(
+        part_col, id_col, "chunk_idx",
+        F.least(F.lit(chunk_size),
+                F.col("_n") - F.col("chunk_idx") * chunk_size)
+        .cast("bigint").alias("chunk_tokens"))
+    w = (W.partitionBy(part_col).orderBy(id_col, "chunk_idx")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum("chunk_tokens").over(w)
+    return chunks.select(
+        part_col, id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_tokens",
+        F.floor((cum - F.col("chunk_tokens")) / seq_budget)
+        .cast("bigint").alias("seq_id"))
+
+
+def chunk_and_pack_sql(chunk_size: int = CHUNK_SIZE,
+                       seq_budget: int = SEQ_BUDGET) -> str:
+    from .text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        with nt as (
+            select source, doc_id, len({toks}) as n from documents
+        ), chunks as (
+            select source, doc_id, i as chunk_idx,
+                   least({chunk_size}, n - i * {chunk_size})::BIGINT
+                       as chunk_tokens
+            from (select * from nt where n > 0),
+                 unnest(generate_series(
+                     0, cast(ceil(n / {chunk_size}.0) as int) - 1)) as t(i)
+        )
+        select source, doc_id, chunk_idx::BIGINT as chunk_idx, chunk_tokens,
+               cast(floor((sum(chunk_tokens) over (
+                        partition by source order by doc_id, chunk_idx
+                        rows between unbounded preceding and current row)
+                    - chunk_tokens) / {seq_budget}) as bigint) as seq_id
+        from chunks
+    """
+
+
+# ---------------------------------------------------------------------------
+# weighted (importance) sampling: keep-probability per ROW, derived from a
+# data column — deterministic via the same md5-prefix trick as sample_keep,
+# with the threshold computed per row from the weight. Map-only, no
+# shuffle, engine-identical.
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_keep(key: Column, weight: Column,
+                         seed: int = 1) -> Column:
+    """Keep predicate with P(keep) = floor(weight*65536)/65536 per row
+    (weight clamped to [0,1]); same md5-prefix ordering as
+    :func:`sample_keep` so a row kept at weight w is also kept at any
+    w' > w (nested samples — handy for ablation subsets)."""
+    w16 = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), weight)) * 65536
+    ).cast("int")
+    thresh = F.when(w16 >= 65536, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(w16)), 4, "0"))
+    prefix = F.substring(F.md5(F.concat(F.lit(f"wsample:{seed}:"),
+                                        key.cast("string"))), 1, 4)
+    return prefix < thresh
+
+
+def weighted_sample_keep_sql(key_expr: str, weight_expr: str,
+                             seed: int = 1) -> str:
+    w16 = (f"cast(floor(greatest(0.0, least(1.0, {weight_expr})) * 65536) "
+           f"as int)")
+    thresh = (f"case when {w16} >= 65536 then 'g' "
+              f"else lpad(lower(hex({w16})), 4, '0') end")
+    return (f"substr(md5('wsample:{seed}:' || ({key_expr})::VARCHAR), 1, 4) "
+            f"< {thresh}")
