@@ -116,8 +116,17 @@ def main() -> None:
         # pauses from the replicated corpus's churn don't land in a timing
         spark._jvm.System.gc()
         t0 = time.time()
-        n = ALL_ENTRIES[name]["fn"](spark, sf_dir).count()
-        return time.time() - t0, n
+        df = ALL_ENTRIES[name]["fn"](spark, sf_dir)
+        # noop-force like bench.py, NOT count(): count() lets Catalyst
+        # prune every computed column, so a map-only operator (quality
+        # metrics, signatures, fingerprints) would be "measured" as a bare
+        # input-scan count — the round-3 table understated exactly those
+        # rows this way. The row count comes from a separate (cached-
+        # input-free but cheap) count so the table still shows output size.
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        n = df.count()
+        return dt, n
 
     print(f"{'query':34} {'1x(s)':>7} {'10x(s)':>7} {'ratio':>6}  rows 1x/10x")
     for name in names:

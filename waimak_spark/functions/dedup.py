@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from .cache_registry import tracked_persist
 from .text import (
     TOKENS_SQL,
+    md5_hash32,
+    md5_hash32_sql,
     seeded_hash,
     seeded_hash_sql,
     shingles,
@@ -117,6 +119,28 @@ EXACT_DEDUP_SQL = """
 DEFAULT_SEEDS = list(range(8))
 SHINGLE_N = 3
 
+# Universal-hash mixing for the signature family: each shingle is md5-hashed
+# ONCE (the expensive part), then the k signature functions are cheap
+# arithmetic mixes h -> (a_i * h + b_i) mod P over that base hash — the
+# textbook minhash construction. The round-3 form ran k FULL md5 passes
+# (seed-prefixed strings), which made the signature ~k x the md5 cost;
+# measured ~3x faster end-to-end at sf0.1 after the change, identical on
+# both engines. P is the smallest prime > 2^32; a_i < 2^20 keeps
+# a*h + b < 2^52, exact in signed int64 on Spark AND DuckDB.
+MINHASH_PRIME = 4294967311
+
+
+def _mix_params(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) per seed via md5 — odd a for a full-period
+    multiplier, both engine-independent Python-computed literals."""
+    import hashlib
+
+    a = (int(hashlib.md5(f"a:{seed}".encode()).hexdigest()[:8], 16)
+         % (1 << 20)) | 1
+    b = int(hashlib.md5(f"b:{seed}".encode()).hexdigest()[:8],
+            16) % MINHASH_PRIME
+    return a, b
+
 
 def shingle_base(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = SHINGLE_N,
@@ -162,28 +186,39 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
                       n: int = SHINGLE_N) -> DataFrame:
     """doc_id + one min-hash column per seed (NULL when doc has <n tokens).
 
-    The distinct-shingle array is materialized ONCE (persist) before the
-    per-seed transforms: higher-order expressions are interpreted (no
+    Two-stage: the distinct-shingle array is materialized ONCE (persist),
+    each shingle md5-hashed ONCE into ``_h``, then the k signature columns
+    are mins over cheap (a*h+b) mod P mixes of that base hash (see
+    MINHASH_PRIME above). Higher-order expressions are interpreted (no
     whole-stage codegen, no common-subexpression elimination), so without
-    the barrier each of the k seed columns would re-run the whole
-    tokenize→shingle→distinct pipeline — measured 8× the cost at k=8."""
+    the persist barrier and the single-md5-pass construction each of the k
+    seed columns would re-run tokenize→shingle→distinct→md5 — measured 8×
+    the cost at k=8 pre-barrier, and ~3× the cost with per-seed md5."""
     base = shingle_base(df, text_col, id_col, n)
+    hashed = base.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), md5_hash32).alias("_h"))
 
-    def hasher(seed: int):
+    def mixer(seed: int):
+        a, b = _mix_params(seed)
         # single-arg lambda only: 2-arg lambdas become (element, index)
-        return lambda s: seeded_hash(s, seed)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     cols = [
-        F.array_min(F.transform(F.col("_sh"), hasher(seed))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("_h"), mixer(seed))).alias(f"mh{i}")
         for i, seed in enumerate(seeds)
     ]
-    return base.select(F.col(id_col), *cols)
+    return hashed.select(F.col(id_col), *cols)
 
 
 def minhash_signature_sql(seeds: list[int] = DEFAULT_SEEDS,
                           n: int = SHINGLE_N, where: str = "") -> str:
+    def mix(seed: int) -> str:
+        a, b = _mix_params(seed)
+        return f"({a} * h + {b}) % {MINHASH_PRIME}"
+
     mh = ",\n               ".join(
-        f"list_min(list_transform(sh, s -> {seeded_hash_sql('s', seed)})) as mh{i}"
+        f"list_min(list_transform(hs, h -> {mix(seed)})) as mh{i}"
         for i, seed in enumerate(seeds)
     )
     cond = f"where {where}" if where else ""
@@ -193,10 +228,14 @@ def minhash_signature_sql(seeds: list[int] = DEFAULT_SEEDS,
             from documents {cond}
         ), shingled as (
             select doc_id, list_distinct({shingles_sql('t', n)}) as sh from tok
+        ), hashed as (
+            select doc_id,
+                   list_transform(sh, s -> {md5_hash32_sql('s')}) as hs
+            from shingled
         )
         select doc_id,
                {mh}
-        from shingled
+        from hashed
     """
 
 
