@@ -32,8 +32,6 @@ from .text import (
     TOKENS_SQL,
     md5_hash32,
     md5_hash32_sql,
-    seeded_hash,
-    seeded_hash_sql,
     shingles,
     shingles_sql,
     tokens,
@@ -417,8 +415,6 @@ SIMHASH_BITS = 64
 # two independent 32-bit md5-derived hashes per token supply bits 0-31 /
 # 32-63 of the 64-bit token hash (md5 is reproducible in DuckDB, unlike
 # xxhash64 whose DuckDB counterpart uses a different algorithm)
-_SEED_LO = 99
-_SEED_HI = 100
 # bit value of each of the 64 simhash bits; bit 63 is the (negative)
 # two's-complement sign bit so the packed value stays a valid BIGINT
 _BIT_VALUES = [1 << i for i in range(63)] + [-(1 << 63)]
@@ -427,16 +423,22 @@ _POW2_32 = [1 << k for k in range(32)]
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """64-bit simhash over the distinct-token set in ONE pass: each token's
-    two 32-bit hashes are computed once, then a single ``aggregate`` with an
+    """64-bit simhash over the distinct-token set in ONE pass: each token
+    is md5-hashed ONCE and the digest's first 16 hex chars split into two
+    independent 32-bit halves (round 4 — the seeded two-md5-pass form paid
+    the md5 twice per token), then a single ``aggregate`` with an
     array-of-64-counters accumulator tallies the per-bit ±1 votes (instead
     of 64 separate passes over the token array); the sign of each vote
     packs into the result. Per-row narrow compute, no shuffle."""
     df = spread_for_compute(df)
     tok = F.array_distinct(tokens(F.col(text_col)))
-    hs = F.transform(tok, lambda t: F.struct(
-        seeded_hash(t, _SEED_LO).alias("lo"),
-        seeded_hash(t, _SEED_HI).alias("hi"),
+    # two-step transform: ms references each md5 once, so the digest is
+    # computed once per token (interpreted HOFs get no CSE — inlining the
+    # md5 into both halves would run it twice)
+    ms = F.transform(tok, F.md5)
+    hs = F.transform(ms, lambda m: F.struct(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hi"),
     ))
     pw = F.lit(_POW2_32).cast("array<long>")
     bit_idx = F.lit(list(range(SIMHASH_BITS)))
@@ -487,11 +489,15 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
         with tok as (
             select doc_id, list_distinct({TOKENS_SQL.format(col='text')}) as t
             from documents
+        ), digests as (
+            select doc_id, list_transform(t, s -> md5(s)) as ms from tok
         ), hashed as (
             select doc_id,
-                   list_transform(t, s -> {seeded_hash_sql('s', _SEED_LO)}) as lo,
-                   list_transform(t, s -> {seeded_hash_sql('s', _SEED_HI)}) as hi
-            from tok
+                   list_transform(ms,
+                       m -> ('0x' || substr(m, 1, 8))::BIGINT) as lo,
+                   list_transform(ms,
+                       m -> ('0x' || substr(m, 9, 8))::BIGINT) as hi
+            from digests
         )
         select doc_id, ({packed})::BIGINT as simhash
         from hashed
