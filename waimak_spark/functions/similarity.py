@@ -344,13 +344,14 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     component, however long the chain (A~B, B~C ⇒ all three map to A).
 
     ``ids`` has one column ``id``; ``pairs`` has ``id_a``/``id_b`` edges.
-    Each iteration is one join+groupBy over the EDGE SUBGRAPH only (ids
-    that appear in at least one duplicate pair — typically a tiny fraction
-    of the corpus), materialized with ``localCheckpoint`` to cut lineage;
+    Each iteration works over the EDGE SUBGRAPH only (ids that appear in
+    at least one duplicate pair — typically a tiny fraction of the
+    corpus), materialized with ``localCheckpoint`` to cut lineage;
     propagation converges in O(component diameter) iterations with an
-    early exit when no label changes. This is the standard big-data CC
-    iteration (what GraphFrames' connectedComponents does under the hood),
-    bounded by ``max_iters`` as a pathological-chain guard."""
+    early exit when no label changes (see the in-loop comment for why
+    pointer jumping was measured and rejected). This is the standard
+    big-data CC iteration, bounded by ``max_iters`` as a
+    pathological-chain guard."""
     from .cache_registry import track_release
 
     def _free_ckpt(df: DataFrame) -> None:
@@ -384,6 +385,15 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
                       ).collect()[0][0]
 
     prev_sum = _label_sum(labels) if numeric_ids else None
+    # Propagate-only, NO pointer jumping — measured, not assumed: a
+    # label(label(id)) path-compression join halves the round count on
+    # chain graphs (sf0.1 simhash: 12 rounds -> 5) but shuffles on the
+    # CANONICAL key, which concentrates every member of a component onto
+    # one partition — at 10x data the jump variant ran 2.2x SLOWER
+    # (25.7 s vs 11.7 s) from exactly the hot-key skew this module
+    # avoids elsewhere. O(diameter) propagation with per-key shuffles
+    # stays balanced at any component size; max_iters bounds pathological
+    # chains.
     for _ in range(max_iters):
         neigh = (edges.join(labels.select(F.col("id").alias("peer"),
                                           F.col("canonical").alias("pc")),
