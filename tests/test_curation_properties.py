@@ -89,3 +89,56 @@ def test_split_bucket_range(spark, groups):
     df = spark.createDataFrame([(g,) for g in groups], "g string")
     rows = df.select(C.split_bucket(F.col("g")).alias("b")).collect()
     assert all(0 <= r.b < 100 for r in rows)
+
+
+class TestChunkPackProperties:
+    @given(st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                    max_size=12))
+    @settings(max_examples=8, deadline=None)
+    def test_token_conservation_and_budget(self, spark, token_counts):
+        """Invariants for any doc-length mix: chunk tokens sum to the doc's
+        token count; every chunk is 1..chunk_size tokens; a sequence's
+        chunks (minus its last-started chunk) never exceed the budget."""
+        from waimak_spark.functions.curation import chunk_and_pack
+
+        C, B = 16, 48
+        rows = [(i, "s", " ".join(f"w{j}" for j in range(n)))
+                for i, n in enumerate(token_counts)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = chunk_and_pack(df, chunk_size=C, seq_budget=B).collect()
+
+        per_doc = {}
+        for r in out:
+            assert 1 <= r["chunk_tokens"] <= C
+            per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["chunk_tokens"]
+        for i, n in enumerate(token_counts):
+            assert per_doc.get(i, 0) == n  # conservation (0-token docs absent)
+
+        # packing: tokens BEFORE each chunk in its sequence stay under B
+        order = sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        running = {}
+        for r in order:
+            before = running.get(r["seq_id"], 0)
+            assert before < B, "chunk assigned to an already-full sequence"
+            running[r["seq_id"]] = before + r["chunk_tokens"]
+
+
+class TestMinhashMixProperties:
+    def test_mix_params_distinct_and_bounded(self):
+        from waimak_spark.functions.dedup import MINHASH_PRIME, _mix_params
+
+        seen = set()
+        for seed in range(64):
+            a, b = _mix_params(seed)
+            assert a % 2 == 1 and 0 < a < (1 << 20)
+            assert 0 <= b < MINHASH_PRIME
+            assert (a, b) not in seen
+            seen.add((a, b))
+
+    def test_mix_stays_exact_in_int64(self):
+        # worst case: a_max * h_max + b_max must be < 2^63 (no overflow on
+        # either engine)
+        from waimak_spark.functions.dedup import MINHASH_PRIME
+
+        worst = ((1 << 20) - 1) * ((1 << 32) - 1) + (MINHASH_PRIME - 1)
+        assert worst < (1 << 63)
