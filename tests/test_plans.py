@@ -24,8 +24,10 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   idf denominator), same in-plan pattern
 # - q22_wealthy_inactive crosses with the ONE-row global-average aggregate
 #   (the scalar subquery expressed as an in-plan broadcast, no collect)
+# - ann_ivf_recall composes ann_brute_force_topk, inheriting its
+#   whitelisted <=10-row broadcast cross
 CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
-            "tfidf_top_terms", "q22_wealthy_inactive"}
+            "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))

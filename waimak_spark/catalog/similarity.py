@@ -24,6 +24,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, QUERY_IDS, k=5)
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per query —
+    the 'measure, don't guess' gate for the approximate path: a plan
+    change that silently wrecks IVF recall turns this entry red (both
+    sides are deterministic, so recall is a stable value, and the oracle
+    recomputes the identical comparison in SQL)."""
+    from pyspark.sql import functions as F
+
+    k = 5
+    bf = ann_brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    m = (bf.join(ivf, ["query_id", "neighbor_id"])
+         .groupBy("query_id").agg(F.count("*").alias("n")))
+    return (bf.select("query_id").distinct()
+            .join(m, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n"), F.lit(0)) / k, 4)
+                    .alias("recall_at_k")))
+
+
+def _recall_oracle() -> str:
+    k = 5
+    return f"""
+        with bf as ({S.brute_force_topk_sql(QUERY_IDS, k=k)}),
+        ivf as ({S.ivf_topk_sql(QUERY_IDS, k=k)}),
+        m as (
+            select bf.query_id, count(*) as n
+            from bf join ivf using (query_id, neighbor_id)
+            group by bf.query_id
+        )
+        select q.query_id, round(coalesce(n, 0) / {k}.0, 4) as recall_at_k
+        from (select distinct query_id from bf) q
+        left join m using (query_id)
+    """
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.embedding_cosine_dedup(emb, min_cosine=0.0)
@@ -47,6 +83,10 @@ ENTRIES = {
     "ann_ivf_topk": {
         "fn": ann_ivf_topk,
         "oracle": S.ivf_topk_sql(QUERY_IDS, k=5),
+    },
+    "ann_ivf_recall": {
+        "fn": ann_ivf_recall,
+        "oracle": _recall_oracle(),
     },
     "dedup_embedding_cosine": {
         "fn": dedup_embedding_cosine,
