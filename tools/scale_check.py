@@ -21,11 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/scale10"
 
+# Every catalog entry that reads documents / embeddings (the two replica
+# tables).  The entries NOT listed here are the relational (TPC-H tables),
+# storage/rdbm/dq (tmp-audit-table builds), and multimodal (synthesized
+# payload) groups — the replica does not cover their inputs, so including
+# them would re-measure 1x twice and report a fake 1.0 ratio.
 DOC_QUERIES = [
     "dedup_exact", "dedup_minhash_signature", "dedup_lsh_candidates",
     "dedup_simhash", "dedup_simhash_near_dups", "dedup_ngram_jaccard",
-    "ann_lsh_pairs", "dedup_embedding_cosine", "text_quality",
+    "ann_lsh_pairs", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_fixpoint", "ann_brute_force_topk",
+    "ann_ivf_topk", "ann_ivf_recall", "embedding_centroids",
+    "text_quality", "lang_id", "token_counts", "repetition_metrics",
     "doc_fingerprint", "sample_stratified", "pii_redaction",
+    "split_leakage_safe", "source_rollup", "sample_quota_per_stratum",
+    "curation_pipeline",
     "dedup_against_corpus", "dedup_near_against_corpus",
     "decontaminate_against_benchmark",
     "tfidf_top_terms", "corpus_vocabulary",
