@@ -78,11 +78,15 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 def test_driver_window_covers_all_unchecked_entries():
     """The driver's correctness gate records only the FIRST 50 entries of
     ALL_ENTRIES in insertion order (observed: CORRECTNESS_r03 ==
-    names[:50]).  Rotation invariant: every entry WITHOUT a green row in
-    the newest CORRECTNESS_r*.json on disk must sit inside the current
-    window, so no entry can stay officially unchecked two rounds running.
-    When a new entry lands in the back half of the catalog, this test says
-    so before the driver does."""
+    names[:50]; r04 likewise).  Rotation invariant: every entry WITHOUT a
+    green row in the union of the last TWO CORRECTNESS_r*.json files must
+    sit inside the current window, so no entry can stay officially
+    unchecked two rounds running.  (Union of two: the moment round N's
+    file lands, the round N-1 window rotates out — comparing against only
+    the newest file would flag the committed state red until the NEXT
+    driver run, punishing exactly the correct rotation.)  When a new entry
+    lands in the back half of the catalog, this test says so before the
+    driver does."""
     import glob
     import json
     import os
@@ -93,10 +97,12 @@ def test_driver_window_covers_all_unchecked_entries():
                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if not files:
         pytest.skip("no driver correctness file yet")
-    with open(files[-1]) as fh:
-        latest = json.load(fh)
-    green = {k for k, v in latest.items()
-             if isinstance(v, dict) and v.get("hash_match")}
+    green: set[str] = set()
+    for path in files[-2:]:
+        with open(path) as fh:
+            rows = json.load(fh)
+        green |= {k for k, v in rows.items()
+                  if isinstance(v, dict) and v.get("hash_match")}
     names = list(ALL_ENTRIES)
     window = set(names[:50])
     unchecked = [n for n in names if n not in green and n not in window]

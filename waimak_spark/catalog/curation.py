@@ -252,6 +252,12 @@ SOURCE_ROLLUP_ORACLE = """
 # volume at 100 TB); with a known dim the centroid is 64 plain avg
 # aggregates over element_at — single-pass partial aggregation, whole-stage
 # codegen, shuffle carries only (label, 64 doubles) per partition.
+#
+# The centroid is emitted as 64 scalar double columns (c00..c63), not an
+# array<double>: the driver's oracle harness canonicalizes rows with a
+# pandas sort, which cannot sort list-valued cells (r4: "unhashable type:
+# 'list'").  Scalars hash identically on both engines; the agg plan is
+# unchanged (still explode-free — see tests/test_plans.py plan lock).
 
 EMB_DIM = 64
 
@@ -260,20 +266,21 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     avgs = [
         F.round(F.avg(F.col("embedding")[i].cast("double")), 4)
+        .alias(f"c{i:02d}")
         for i in range(EMB_DIM)
     ]
     return (emb.groupBy("label")
-            .agg(F.count("*").alias("n_vectors"),
-                 F.array(*avgs).alias("centroid")))
+            .agg(F.count("*").alias("n_vectors"), *avgs))
 
 
 _centroid_elems = ", ".join(
-    f"round(avg(embedding[{i + 1}]::DOUBLE), 4)" for i in range(EMB_DIM)
+    f"round(avg(embedding[{i + 1}]::DOUBLE), 4) as c{i:02d}"
+    for i in range(EMB_DIM)
 )
 
 CENTROIDS_ORACLE = f"""
     select label, count(*) as n_vectors,
-           [{_centroid_elems}] as centroid
+           {_centroid_elems}
     from embeddings
     group by label
 """
