@@ -440,23 +440,19 @@ def simhash(df: DataFrame, text_col: str = "text",
         F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("lo"),
         F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hi"),
     ))
-    pw = F.lit(_POW2_32).cast("array<long>")
-    bit_idx = F.lit(list(range(SIMHASH_BITS)))
 
     def signs(h: Column) -> Column:
-        # +1/-1 per bit b: bit b<32 comes from h.lo, else bit (b-32) of h.hi;
-        # (v div 2^k) & 1 — exact for 32-bit values (shiftright needs a
-        # literal shift amount, so divide by a looked-up power of two)
-        return F.transform(
-            bit_idx,
-            lambda b: F.when(
-                F.floor(
-                    F.when(b < 32, h["lo"]).otherwise(h["hi"])
-                    / F.element_at(pw, (b % 32) + 1)
-                ).cast("long").bitwiseAND(F.lit(1)) == 1,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(-1).cast("long")),
-        )
+        # ±1 per bit, built as a literal 64-element array so every shift
+        # amount is a Python literal → plain shiftright+AND per element
+        # (round 5: the previous dynamic-bit-index transform paid
+        # floor(v / element_at(pow2, b%32+1)) + a branch per token per
+        # bit, which doubled sf0.1 wall time; 2*bit−1 also drops the
+        # CASE WHEN).  h.lo / h.hi are struct-field reads, free per ref.
+        return F.array(*[
+            F.shiftright(h["lo"] if i < 32 else h["hi"], i % 32)
+            .bitwiseAND(F.lit(1)) * 2 - 1
+            for i in range(SIMHASH_BITS)
+        ]).cast("array<long>")
 
     votes = F.aggregate(
         hs,

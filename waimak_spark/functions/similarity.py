@@ -362,19 +362,30 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
         except Exception:
             pass
 
-    edges = pairs.select(F.explode(F.array(
+    raw = pairs.select(F.explode(F.array(
         F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("peer")),
         F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("peer")),
-    )).alias("e")).select("e.id", "e.peer").localCheckpoint(eager=True)
-    labels = (edges.select("id").distinct()
-              .withColumn("canonical", F.col("id"))
+    )).alias("e")).select("e.id", "e.peer")
+    # Self-loops on every edge-subgraph node (round 5): with (id, id) in
+    # the edge set, min-over-peers INCLUDES the node's own label, so each
+    # propagation hop is ONE join + ONE groupBy — the previous shape paid
+    # a second labels join per hop just to fold the node's own label in.
+    edges = (raw.union(raw.select(F.col("id"), F.col("id").alias("peer"))
+                       .distinct())
+             .localCheckpoint(eager=True))
+    # Seed labels with min(peer) over peers ∪ self ( = least(id, min of
+    # direct peers)): the same groupBy shuffle a plain distinct would
+    # cost, but the first propagation hop comes free — one fewer round on
+    # EVERY component.
+    labels = (edges.groupBy("id").agg(F.min("peer").alias("canonical"))
               .localCheckpoint(eager=True))
     # Convergence check: labels only ever DECREASE (least of own label and
     # neighbor minimum), so for numeric ids "no label changed" is exactly
-    # "sum(canonical) unchanged" — one tiny agg job on the just-
-    # checkpointed frame instead of a join of consecutive generations
-    # (the join was a large share of per-iteration wall time on small edge
-    # sets). Non-numeric ids keep the join-based count.
+    # "sum(canonical) unchanged".  The sum rides the checkpoint
+    # materialization job itself via df.observe (round 5 — previously a
+    # separate agg job per iteration; at small scale per-job scheduler
+    # overhead was a large share of fixpoint wall time).  Non-numeric ids
+    # keep the join-based count.
     numeric_ids = dict(labels.dtypes).get("canonical") in (
         "tinyint", "smallint", "int", "bigint")
 
@@ -394,22 +405,40 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     # avoids elsewhere. O(diameter) propagation with per-key shuffles
     # stays balanced at any component size; max_iters bounds pathological
     # chains.
+    from pyspark.sql import Observation
+
+    # Two hops per checkpointed round: the SAME total join work as one
+    # hop per round (total hops = diameter either way, each hop linear in
+    # edges over balanced per-key shuffles — no pointer-jumping skew),
+    # but the per-ROUND fixed costs (eager checkpoint, convergence agg,
+    # driver scheduling round-trips) are paid half as often.  At sf0.1
+    # simhash this took the fixpoint from ~12 scheduled rounds to ~6.
+    HOPS_PER_ROUND = 2
+
+    def _hop(lbl: DataFrame) -> DataFrame:
+        # self-loops make min(pc) over peers already include lbl[id] — no
+        # second join with the previous generation needed
+        return (edges.join(lbl.select(F.col("id").alias("peer"),
+                                      F.col("canonical").alias("pc")),
+                           "peer")
+                .groupBy("id").agg(F.min("pc").alias("canonical")))
+
     for _ in range(max_iters):
-        neigh = (edges.join(labels.select(F.col("id").alias("peer"),
-                                          F.col("canonical").alias("pc")),
-                            "peer")
-                 .groupBy("id").agg(F.min("pc").alias("nmin")))
-        new_labels = (labels.join(neigh, "id", "left")
-                      .select("id",
-                              F.least(F.col("canonical"),
-                                      F.coalesce("nmin", F.col("canonical")))
-                              .alias("canonical"))
-                      .localCheckpoint(eager=True))
+        new_labels = labels
+        for _hop_i in range(HOPS_PER_ROUND):
+            new_labels = _hop(new_labels)
         if numeric_ids:
-            cur_sum = _label_sum(new_labels)
+            obs = Observation()
+            new_labels = (new_labels
+                          .observe(obs, F.sum(F.col("canonical")
+                                              .cast("decimal(38,0)"))
+                                   .alias("label_sum"))
+                          .localCheckpoint(eager=True))
+            cur_sum = obs.get["label_sum"]
             converged = cur_sum == prev_sum
             prev_sum = cur_sum
         else:
+            new_labels = new_labels.localCheckpoint(eager=True)
             converged = (new_labels.alias("n")
                          .join(labels.alias("o"), "id")
                          .where(F.col("n.canonical") != F.col("o.canonical"))
