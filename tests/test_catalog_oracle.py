@@ -75,6 +75,22 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert df.columns
 
 
+def test_parity_doc_entry_count_matches_catalog():
+    """PARITY.md states the catalog size in prose (ADVICE r4: the r4 text
+    said 74 while ALL_ENTRIES had 78) — derive-don't-drift."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PARITY.md")) as fh:
+        text = fh.read()
+    m = re.search(r"catalog \((\d+) entries", text)
+    assert m, "PARITY.md no longer states the catalog entry count"
+    assert int(m.group(1)) == len(ALL_ENTRIES), (
+        f"PARITY.md says {m.group(1)} entries, catalog has "
+        f"{len(ALL_ENTRIES)} — update the rotation section")
+
+
 def test_driver_window_covers_all_unchecked_entries():
     """The driver's correctness gate records only the FIRST 50 entries of
     ALL_ENTRIES in insertion order (observed: CORRECTNESS_r03 ==

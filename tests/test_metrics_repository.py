@@ -172,6 +172,151 @@ class TestAnomalyDetection:
         assert len(merged.checks) == 1
 
 
+class TestIdempotentSave:
+    def test_same_run_saved_twice_keeps_one_row_set(self, spark, tmp_path):
+        """Retried evaluation of the SAME run (same tags/label/metric/ts)
+        must not append duplicate history rows — duplicates silently
+        shift anomaly baselines and break the one-row-per-run lag."""
+        repo = _repo(spark, tmp_path)
+        repo.save("items", {"size": 2.0, "mean(x)": 1.5}, T1)
+        repo.save("items", {"size": 2.0, "mean(x)": 1.5}, T1)  # retry
+        assert repo.load().count() == 2
+        # a PARTIAL retry (one metric already saved) appends only the new one
+        repo.save("items", {"size": 2.0, "max(x)": 9.0}, T1)
+        hist = {(r["metric_name"], r["dataset_ts"]): r["metric_value"]
+                for r in repo.load().collect()}
+        assert len(hist) == 3 and hist[("max(x)", T1)] == 9.0
+
+    def test_get_alerts_twice_one_history_row_per_metric(self, spark,
+                                                         tmp_path):
+        repo = _repo(spark, tmp_path)
+        df = spark.createDataFrame(TODAY, "id int, name string")
+        check = ComposableCheck(
+            [Check(CheckLevel.WARNING, "basics").has_size(lambda n: n >= 1)],
+            repository=repo, dataset_ts=T1)
+        check.get_alerts("items", df)
+        check.get_alerts("items", df)  # re-validation of the same run
+        assert repo.load().count() == 1
+
+    def test_aware_and_naive_timestamps_normalize(self, spark, tmp_path):
+        """An aware UTC dataset_ts and its naive equivalent are the SAME
+        run key — stored naive-UTC, so strictly-before comparisons can't
+        misorder across conventions."""
+        from datetime import timezone
+
+        repo = _repo(spark, tmp_path)
+        aware_t1 = T1.replace(tzinfo=timezone.utc)
+        repo.save("items", {"size": 2.0}, aware_t1)
+        repo.save("items", {"size": 2.0}, T1)  # same instant, naive
+        assert repo.load().count() == 1
+        assert repo.previous_values("items", ["size"],
+                                    T2.replace(tzinfo=timezone.utc)) == {
+            "size": 2.0}
+
+    def test_conflicting_metric_names_raise(self, spark, tmp_path):
+        repo = _repo(spark, tmp_path)
+        df = spark.createDataFrame(TODAY, "id int, name string")
+        check = ComposableCheck(
+            [Check(CheckLevel.WARNING, "a")
+             .satisfies("id > 0", "frac", lambda v: True),
+             Check(CheckLevel.WARNING, "b")
+             .satisfies("id > 4", "frac", lambda v: True)],
+            repository=repo, dataset_ts=T1)
+        with pytest.raises(ValueError, match="collision"):
+            check.get_alerts("items", df)
+
+    def test_identical_duplicate_descriptions_collapse_ok(self, spark,
+                                                          tmp_path):
+        """Two has_size constraints on different Checks are the same
+        analyzer (same value) — persist as one metric, no error."""
+        repo = _repo(spark, tmp_path)
+        df = spark.createDataFrame(TODAY, "id int, name string")
+        check = ComposableCheck(
+            [Check(CheckLevel.WARNING, "a").has_size(lambda n: n >= 1),
+             Check(CheckLevel.ERROR, "b").has_size(lambda n: n >= 1)],
+            repository=repo, dataset_ts=T1)
+        assert check.get_alerts("items", df) == []
+        assert repo.load().count() == 1
+
+
+class TestWindowStrategy:
+    def test_previous_window_returns_oldest_to_newest(self, spark, tmp_path):
+        from datetime import timedelta
+
+        repo = _repo(spark, tmp_path)
+        for i in range(5):
+            repo.save("items", {"size": float(i)}, T1 + timedelta(days=i))
+        win = repo.previous_window("items", ["size"],
+                                   T1 + timedelta(days=10), 3)
+        assert win == {"size": [2.0, 3.0, 4.0]}
+
+    def test_batch_normal_flags_outlier_after_stable_history(self, spark,
+                                                             tmp_path):
+        """Stable ~100-row history, then a 500-row batch: window strategy
+        must flag it; a same-sized batch stays quiet."""
+        from datetime import timedelta
+
+        from waimak_spark.dataquality import BatchNormalStrategy
+
+        repo = _repo(spark, tmp_path)
+        strat = BatchNormalStrategy(window_size=4, min_history=3,
+                                    lower_deviation_factor=3.0,
+                                    upper_deviation_factor=3.0)
+        name, agg = size_metric()
+
+        def run_with(n_rows, ts, sub):
+            h = CollectingAlertHandler()
+            rows = [(i, f"r{i}") for i in range(n_rows)]
+            check = ComposableCheck(
+                [], [AnomalyCheck(name, agg, strat, CheckLevel.WARNING)],
+                repo, ts)
+            _run(spark, tmp_path, rows, check, h, sub=sub)
+            return h.alerts
+
+        for i, n in enumerate((100, 101, 99, 100)):
+            assert run_with(n, T1 + timedelta(days=i), f"s{i}") == []
+        alerts = run_with(500, T1 + timedelta(days=5), "s5")
+        assert len(alerts) == 1
+        assert "stddev" in alerts[0].alert_message
+        # in-band batch after the spike entered history: mean/std widened,
+        # but 100 is still within 3 sigma of the last-4 window? The spike
+        # inflates stddev enormously, so a return to 100 stays quiet.
+        assert run_with(100, T1 + timedelta(days=6), "s6") == []
+
+    def test_batch_normal_needs_min_history(self):
+        from waimak_spark.dataquality import BatchNormalStrategy
+
+        s = BatchNormalStrategy(window_size=5, min_history=3)
+        assert s.detect_window([100.0, 100.0], 500.0) is None  # too short
+        assert s.detect_window([100.0, 100.0, 100.0], 500.0) is not None
+
+    def test_batch_normal_zero_variance_history(self):
+        from waimak_spark.dataquality import BatchNormalStrategy
+
+        s = BatchNormalStrategy(window_size=4, min_history=3)
+        assert s.detect_window([5.0, 5.0, 5.0], 5.0) is None
+        assert s.detect_window([5.0, 5.0, 5.0], 5.1) is not None
+
+
+class TestCatalogDqMarker:
+    def test_stale_version_marker_triggers_rebuild(self, spark, sf_dir):
+        """A marker dir left by an OLDER build version must rebuild, not
+        silently reuse (or append to) the stale history — the rmtree on
+        version mismatch is load-bearing."""
+        from waimak_spark.catalog import dq
+
+        repo = dq._build_metrics(spark, sf_dir)
+        assert repo.load().count() == 4  # 2 runs x 2 metrics
+        base = dq._base_dir(sf_dir)
+        marker = f"{base}/{dq._BUILD_MARKER}"
+        with open(marker, "w") as fh:
+            fh.write("v0-stale")
+        repo = dq._build_metrics(spark, sf_dir)
+        assert repo.load().count() == 4  # rebuilt fresh, not appended
+        with open(marker) as fh:
+            assert fh.read().strip() == dq._BUILD_VERSION
+
+
 class TestStrategies:
     def test_absolute_change_bounds(self):
         s = AbsoluteChangeStrategy(max_rate_decrease=-2.0,

@@ -265,3 +265,35 @@ class TestStreamToAuditTable:
         t = tables["replay_events"]
         assert sum(r.count for r in t.regions) == 3
         assert len(t.regions) == 1
+
+
+class TestStatePartitionSizing:
+    def test_rule_floors_caps_and_scales(self):
+        from waimak_spark.streaming.ops import (
+            STATE_MAX_PARTITIONS,
+            STATE_MIN_PARTITIONS,
+            state_partitions_for_backfill,
+        )
+
+        mib = 1 << 20
+        # MB-scale backfill (the correctness gate) → the floor
+        assert state_partitions_for_backfill(0) == STATE_MIN_PARTITIONS
+        assert state_partitions_for_backfill(2 * mib) == STATE_MIN_PARTITIONS
+        # linear region: ~32 MiB per partition
+        assert state_partitions_for_backfill(320 * mib) == 10
+        assert state_partitions_for_backfill(64 << 30) == 2048
+        # 100 TB → the cap
+        assert state_partitions_for_backfill(100 << 40) == STATE_MAX_PARTITIONS
+        # monotone in volume
+        vals = [state_partitions_for_backfill(n * mib)
+                for n in (1, 10, 100, 1000, 10000)]
+        assert vals == sorted(vals)
+
+    def test_sizing_scope_applies_and_restores(self, spark, sf_dir):
+        from waimak_spark.catalog.streaming import _stream_state_sizing
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
+            inside = spark.conf.get("spark.sql.shuffle.partitions")
+            assert int(inside) >= 4  # the rule's floor at MB-scale input
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -53,6 +53,7 @@ for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES, EVENT_ENTRIES,
 _FRONT: tuple[str, ...] = (
     "embedding_centroids",
     # --- new in round 5 ---
+    "dq_window_anomaly",
     # --- relational / events, last official row r3 ---
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",

@@ -109,6 +109,126 @@ TREND_ORACLE = f"""
     from lagged where prev is not null
 """
 
+# ---------------------------------------------------------------------------
+# window-based anomaly detection over a multi-run history
+# (BatchNormalStrategy's mean ± k·stddev comparison, SQL-expressible)
+# ---------------------------------------------------------------------------
+#
+# Six runs are persisted through the ComposableCheck machinery with a
+# BatchNormalStrategy anomaly check attached (so the detect_window code
+# path executes during the build): runs 0-4 are near-identical slices of
+# ``orders`` (o_orderkey % 1000 < 500+i — stable size, stable mean), run 5
+# is the full table (~2× size jump).  The entry then answers, per metric
+# and run, the question the strategy asks: value vs mean ± 3·stddev of the
+# up-to-3 previous runs.  The oracle reconstructs all six runs straight
+# from ``orders`` and applies the identical window arithmetic.
+
+_WIN_MARKER_VERSION = "v1"
+_WIN_RUNS = 6
+_WIN_T0 = datetime(2019, 7, 1, 12, 0, 0)
+
+
+def _win_predicate(i: int):
+    if i == _WIN_RUNS - 1:
+        return F.lit(True)
+    return F.col("o_orderkey") % 1000 < 500 + i
+
+
+def _build_window_metrics(spark: SparkSession, sf_dir: str):
+    from datetime import timedelta
+
+    from ..dataquality import (AnomalyCheck, BatchNormalStrategy, Check,
+                               CheckLevel, ComposableCheck,
+                               StorageLayerMetricsRepository, size_metric)
+    from ..storage import FileStorageOps
+
+    base = _base_dir(sf_dir) + "_window"
+    ops = FileStorageOps(spark, base)
+    marker = f"{base}/{_BUILD_MARKER}"
+
+    def _marker_current() -> bool:
+        try:
+            return (ops.fops.exists(marker)
+                    and ops.fops.read_string(marker).strip()
+                    == _WIN_MARKER_VERSION)
+        except Exception:
+            return False
+
+    repo = StorageLayerMetricsRepository(spark, base)
+    if not _marker_current():
+        shutil.rmtree(base, ignore_errors=True)
+        repo = StorageLayerMetricsRepository(spark, base)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        size_name, size_agg = size_metric()
+        strat = BatchNormalStrategy(window_size=4, min_history=3)
+        for i in range(_WIN_RUNS):
+            check = ComposableCheck(
+                [Check(CheckLevel.WARNING, "orders window basics")
+                 .has_mean("o_totalprice", lambda v: v is not None)],
+                [AnomalyCheck(size_name, size_agg, strat,
+                              CheckLevel.WARNING)],
+                repository=repo,
+                dataset_ts=_WIN_T0 + timedelta(days=i))
+            check.get_alerts("orders", orders.where(_win_predicate(i)))
+        ops.fops.write_string(marker, _WIN_MARKER_VERSION)
+    return repo
+
+
+def dq_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    repo = _build_window_metrics(spark, sf_dir)
+    hist = repo.load().where(F.col("label") == "orders")
+    order_w = Window.partitionBy("metric_name").orderBy("dataset_ts")
+    frame = (Window.partitionBy("metric_name").orderBy("dataset_ts")
+             .rowsBetween(-3, -1))
+    n_prev = F.count("metric_value").over(frame)
+    win_mean = F.avg("metric_value").over(frame)
+    win_std = F.stddev_samp("metric_value").over(frame)
+    is_anom = (
+        (n_prev >= 3)
+        & ((F.col("metric_value") > win_mean + 3 * win_std)
+           | (F.col("metric_value") < win_mean - 3 * win_std)))
+    return (hist
+            .withColumn("run", F.row_number().over(order_w))
+            .select(
+                "metric_name", "run",
+                F.round("metric_value", 4).alias("value"),
+                F.round(win_mean, 4).alias("win_mean"),
+                F.round(win_std, 4).alias("win_std"),
+                is_anom.alias("is_anomaly")))
+
+
+WINDOW_ORACLE = f"""
+    with runs as (
+        select i from generate_series(0, {_WIN_RUNS - 1}) g(i)
+    ), m as (
+        select 'size' as metric_name, r.i as run0,
+               cast(count(*) as double) as v
+        from orders o cross join runs r
+        where r.i = {_WIN_RUNS - 1} or o.o_orderkey % 1000 < 500 + r.i
+        group by r.i
+        union all
+        select 'mean(o_totalprice)', r.i, avg(o.o_totalprice)
+        from orders o cross join runs r
+        where r.i = {_WIN_RUNS - 1} or o.o_orderkey % 1000 < 500 + r.i
+        group by r.i
+    ), win as (
+        select metric_name, run0 + 1 as run, v,
+               count(v) over w as n_prev,
+               avg(v) over w as win_mean,
+               stddev_samp(v) over w as win_std
+        from m
+        window w as (partition by metric_name order by run0
+                     rows between 3 preceding and 1 preceding)
+    )
+    select metric_name, run, round(v, 4) as value,
+           round(win_mean, 4) as win_mean,
+           round(win_std, 4) as win_std,
+           (n_prev >= 3 and (v > win_mean + 3 * win_std
+                             or v < win_mean - 3 * win_std)) as is_anomaly
+    from win
+"""
+
 ENTRIES = {
     "dq_metrics_trend": {"fn": dq_metrics_trend, "oracle": TREND_ORACLE},
+    "dq_window_anomaly": {"fn": dq_window_anomaly, "oracle": WINDOW_ORACLE},
 }

@@ -24,29 +24,45 @@ from ..streaming.ops import watermarked_window_agg
 
 NANOS = 1_000_000_000
 
-# streaming state-store partition count for the catalog's bounded
-# backfills: each stateful operator creates one state store PER shuffle
-# partition per side, and every micro-batch commits a delta file to each —
-# at 32 shuffle partitions the stream-stream join pays 64+ store commits
-# for a pair set of a few thousand rows. 8 keeps plenty of parallelism for
-# the gate's data while cutting store I/O 4x; a production deployment
-# sizes this to key cardinality instead.
-_STREAM_SHUFFLE_PARTITIONS = 8
+# Streaming state-store partition count for the catalog's bounded
+# backfills: sized to input VOLUME via state_partitions_for_backfill
+# (each stateful operator creates one state store PER shuffle partition
+# per side, and every micro-batch commits a delta file to each — at 32
+# shuffle partitions the stream-stream join pays 64+ store commits for a
+# pair set of a few thousand rows).  The rule's floor (4) applies at the
+# gate's MB-scale inputs; a 100 TB backfill lands at the 2048 cap.  See
+# streaming/ops.py:state_partitions_for_backfill for the full rationale
+# and PARITY.md for the measured 1x/10x numbers with the rule applied.
 
 
 class _stream_state_sizing:
     """Scoped shuffle-partition override for a streaming query start —
     the conf is read at first micro-batch planning and baked into the
     checkpoint, so it only needs to hold across start()+awaitTermination;
-    the session value is restored for everything after."""
+    the session value is restored for everything after.
 
-    def __init__(self, spark: SparkSession):
+    ``input_paths``: the backfill's source files; their total size drives
+    the partition count (local-fs stat — the gate's inputs; a cluster
+    deployment would sum FileStatus sizes the same way)."""
+
+    def __init__(self, spark: SparkSession, input_paths: tuple = ()):
         self.spark = spark
+        self.input_paths = input_paths
 
     def __enter__(self):
+        import os
+
+        from ..streaming.ops import state_partitions_for_backfill
+
+        total = 0
+        for p in self.input_paths:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        parts = state_partitions_for_backfill(total)
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions",
-                            str(_STREAM_SHUFFLE_PARTITIONS))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
@@ -106,7 +122,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stopped (awaitTermination + stop below) so the name is free to reuse
     name = "stream_tumbling_counts_sink"
     spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark):
+    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
@@ -154,7 +170,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events")
     name = "stream_session_counts_sink"
     spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark):
+    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
@@ -206,7 +222,7 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           .dropDuplicates(["user_id", "event_type"]))
     name = "stream_dedup_pairs_sink"
     spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark):
+    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
         q = (dd.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
@@ -257,7 +273,7 @@ def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select("user_id", "trade_id", "quote_id")
     name = "stream_trade_quote_join_sink"
     spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark):
+    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()

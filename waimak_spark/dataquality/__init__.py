@@ -40,6 +40,7 @@ from .checks import (
 )
 from .metrics import (
     AbsoluteChangeStrategy,
+    BatchNormalStrategy,
     RelativeRateOfChangeStrategy,
     StorageLayerMetricsRepository,
 )
@@ -61,5 +62,5 @@ __all__ = [
     "recent_timestamp_check", "generic_sql_check",
     "AnomalyCheck", "add_anomaly_check", "size_metric",
     "StorageLayerMetricsRepository", "AbsoluteChangeStrategy",
-    "RelativeRateOfChangeStrategy",
+    "RelativeRateOfChangeStrategy", "BatchNormalStrategy",
 ]

@@ -238,29 +238,46 @@ class ComposableCheck(DataQualityCheck):
                     f"{importance.value} alert for label {label}: check "
                     f"[{check.description}] constraint [{k.description}] "
                     f"failed (value: {value!r})", importance))
-        alerts += self._anomaly_alerts(label, anomaly_values)
-        self._persist_metrics(label, flat, values, anomaly_values)
+        # ONE timestamp for the whole evaluation: the trend comparison and
+        # the persisted rows must agree on the run's identity (previously
+        # each helper stamped its own utcnow(), so an unset dataset_ts
+        # gave the anomaly lookup and the save different timestamps).
+        # now(timezone.utc) — utcnow() is deprecated and naive-ambiguous;
+        # the repository normalizes to naive-UTC at its boundary.
+        from datetime import datetime, timezone
+
+        ts = self.dataset_ts or datetime.now(timezone.utc)
+        alerts += self._anomaly_alerts(label, anomaly_values, ts)
+        self._persist_metrics(label, flat, values, anomaly_values, ts)
         return alerts
 
     def _anomaly_alerts(self, label: str,
-                        anomaly_values: dict[str, object]
-                        ) -> list[DataQualityAlert]:
+                        anomaly_values: dict[str, object],
+                        ts) -> list[DataQualityAlert]:
         if not self.anomaly_checks or self.repository is None:
             return []
-        from datetime import datetime
-
-        ts = self.dataset_ts or datetime.utcnow()
-        prev = self.repository.previous_values(
-            label, [a.metric_name for a in self.anomaly_checks], ts)
+        # window-based strategies (detect_window + window_size) need the
+        # last N values; point strategies only the latest one
+        max_window = max((getattr(a.strategy, "window_size", 1)
+                          for a in self.anomaly_checks), default=1)
+        names = [a.metric_name for a in self.anomaly_checks]
+        if max_window > 1:
+            windows = self.repository.previous_window(
+                label, names, ts, max_window)
+        else:
+            windows = {k: [v] for k, v in self.repository.previous_values(
+                label, names, ts).items()}
         alerts = []
         for a in self.anomaly_checks:
             cur = anomaly_values.get(a.metric_name)
-            if cur is None or a.metric_name not in prev:
+            hist = [v for v in windows.get(a.metric_name, []) if v is not None]
+            if cur is None or not hist:
                 continue  # first run, or metric not computable → no trend
-            p = prev[a.metric_name]
-            if p is None:
-                continue
-            reason = a.strategy.detect(float(p), float(cur))
+            if hasattr(a.strategy, "detect_window"):
+                w = getattr(a.strategy, "window_size", len(hist))
+                reason = a.strategy.detect_window(hist[-w:], float(cur))
+            else:
+                reason = a.strategy.detect(float(hist[-1]), float(cur))
             if reason is not None:
                 importance = a.level.value
                 alerts.append(DataQualityAlert(
@@ -269,16 +286,27 @@ class ComposableCheck(DataQualityCheck):
         return alerts
 
     def _persist_metrics(self, label: str, flat, values,
-                         anomaly_values: dict[str, object]) -> None:
+                         anomaly_values: dict[str, object], ts) -> None:
         if self.repository is None:
             return
-        from datetime import datetime
-
-        ts = self.dataset_ts or datetime.utcnow()
         out: dict[str, float] = {}
         for i, (_check, k) in enumerate(flat):
             v = values.get(i)
             if isinstance(v, (int, float)) and not isinstance(v, bool):
+                # Deequ keys metrics per ANALYZER, so two constraints with
+                # the same description are the same metric and must carry
+                # the same value (same df, same aggregate). A collision
+                # with DIFFERENT values means two distinct aggregates
+                # share a description (e.g. satisfies(p1, "x") and
+                # satisfies(p2, "x")) — refuse rather than let last write
+                # win silently.
+                prior = out.get(k.description)
+                if prior is not None and prior != float(v):
+                    raise ValueError(
+                        f"metric name collision: constraint "
+                        f"[{k.description}] appears with conflicting "
+                        f"values {prior!r} and {float(v)!r} — give the "
+                        f"constraints distinct names")
                 out[k.description] = float(v)
         for name, v in anomaly_values.items():
             if isinstance(v, (int, float)) and not isinstance(v, bool):

@@ -24,7 +24,7 @@ rows.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession, Window
@@ -44,6 +44,17 @@ METRIC_SCHEMA = StructType([
     StructField("metric_value", DoubleType(), True),
     StructField("dataset_ts", TimestampType(), False),
 ])
+
+
+def _normalize_ts(ts: datetime) -> datetime:
+    """One tz-awareness convention at the repository boundary: aware
+    datetimes are converted to UTC and stored NAIVE (matching
+    TimestampType's session-UTC convention here), so a caller mixing
+    aware and naive timestamps can't misorder the strictly-before
+    comparison in :meth:`previous_values`."""
+    if ts.tzinfo is not None:
+        return ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts
 
 
 class StorageLayerMetricsRepository:
@@ -72,9 +83,29 @@ class StorageLayerMetricsRepository:
              dataset_ts: datetime, tags: str = "") -> None:
         """Append one region holding this run's metric rows, stamped with
         ``dataset_ts`` as the audit ``_de_last_updated`` (the reference
-        writes ``dataSetDateTS`` the same way, :33-35)."""
+        writes ``dataSetDateTS`` the same way, :33-35).
+
+        Idempotent per ``(tags, label, metric_name, dataset_ts)``: rows
+        whose exact key already exists in the history are skipped, so a
+        retried evaluation (second alert handler, re-validation of the
+        same run) cannot append duplicate history rows and silently shift
+        anomaly baselines."""
         if not metrics:
             return
+        dataset_ts = _normalize_ts(dataset_ts)
+        hist = self.load()
+        if hist is not None:
+            existing = {
+                r["metric_name"]
+                for r in (hist.where((F.col("tags") == tags)
+                                     & (F.col("label") == label)
+                                     & (F.col("dataset_ts")
+                                        == F.lit(dataset_ts)))
+                          .select("metric_name").collect())
+            }
+            metrics = {k: v for k, v in metrics.items() if k not in existing}
+            if not metrics:
+                return
         rows = [Row(tags=tags, label=label, metric_name=k,
                     metric_value=(None if v is None else float(v)),
                     dataset_ts=dataset_ts)
@@ -122,18 +153,31 @@ class StorageLayerMetricsRepository:
         """Latest stored value per metric strictly BEFORE ``before_ts`` —
         the comparison point for trend-delta alerting.  One pruned scan +
         tiny grouped collect (rows here are one-per-metric-per-run)."""
+        win = self.previous_window(label, metric_names, before_ts, 1)
+        return {k: vs[-1] for k, vs in win.items() if vs}
+
+    def previous_window(self, label: str, metric_names: Sequence[str],
+                        before_ts: datetime, n: int
+                        ) -> dict[str, list[float]]:
+        """Last ``n`` stored values per metric strictly BEFORE
+        ``before_ts``, oldest→newest — the history a window-based anomaly
+        strategy (mean ± k·stddev over recent runs) compares against."""
         hist = self.load()
-        if hist is None or not metric_names:
+        if hist is None or not metric_names or n < 1:
             return {}
         rows = (hist.where((F.col("label") == label)
                            & F.col("metric_name").isin(list(metric_names))
-                           & (F.col("dataset_ts") < F.lit(before_ts)))
+                           & (F.col("dataset_ts")
+                              < F.lit(_normalize_ts(before_ts))))
                 .withColumn("_rn", F.row_number().over(
                     Window.partitionBy("metric_name")
                     .orderBy(F.col("dataset_ts").desc())))
-                .where(F.col("_rn") == 1)
-                .select("metric_name", "metric_value").collect())
-        return {r["metric_name"]: r["metric_value"] for r in rows}
+                .where(F.col("_rn") <= n)
+                .select("metric_name", "metric_value", "_rn").collect())
+        out: dict[str, list[float]] = {}
+        for r in sorted(rows, key=lambda r: (r["metric_name"], -r["_rn"])):
+            out.setdefault(r["metric_name"], []).append(r["metric_value"])
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -199,4 +243,45 @@ class RelativeRateOfChangeStrategy(AnomalyStrategy):
             return (f"rate {rate:g} < max decrease "
                     f"{self.max_rate_decrease:g} (prev {previous:g}, "
                     f"now {current:g})")
+        return None
+
+
+@dataclass(frozen=True)
+class BatchNormalStrategy(AnomalyStrategy):
+    """Window-based anomaly detection (Deequ BatchNormalStrategy): the
+    current value is compared against ``mean ± factor·stddev`` of the last
+    ``window_size`` stored values.  Needs at least ``min_history`` prior
+    values before it starts alerting (a 1-2 run history has a meaningless
+    stddev — Deequ likewise requires enough batches in the interval).
+
+    Sample stddev (n-1 denominator); a zero-variance history alerts on
+    ANY deviation from the constant mean when a factor is set."""
+
+    lower_deviation_factor: Optional[float] = 3.0
+    upper_deviation_factor: Optional[float] = 3.0
+    window_size: int = 10
+    min_history: int = 3
+
+    def detect(self, previous: float, current: float) -> Optional[str]:
+        return self.detect_window([previous], current)
+
+    def detect_window(self, history: Sequence[float],
+                      current: float) -> Optional[str]:
+        vals = [float(v) for v in history if v is not None]
+        if len(vals) < self.min_history:
+            return None
+        mean = sum(vals) / len(vals)
+        var = (sum((v - mean) ** 2 for v in vals) / (len(vals) - 1)
+               if len(vals) > 1 else 0.0)
+        std = var ** 0.5
+        if (self.upper_deviation_factor is not None
+                and current > mean + self.upper_deviation_factor * std):
+            return (f"value {current:g} > mean {mean:g} + "
+                    f"{self.upper_deviation_factor:g}·stddev {std:g} over "
+                    f"last {len(vals)} runs")
+        if (self.lower_deviation_factor is not None
+                and current < mean - self.lower_deviation_factor * std):
+            return (f"value {current:g} < mean {mean:g} - "
+                    f"{self.lower_deviation_factor:g}·stddev {std:g} over "
+                    f"last {len(vals)} runs")
         return None

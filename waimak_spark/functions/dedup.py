@@ -251,6 +251,13 @@ def lsh_candidate_pairs(sig: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
                         id_col: str = "doc_id") -> DataFrame:
     """Distinct (a < b) candidate pairs of docs sharing ≥1 LSH band.
 
+    .. note:: **At 100 TB, prefer** :func:`minhash_dedup_resolve` (or
+       :func:`minhash_verified_resolve`): a pair LISTING is quadratic in
+       per-document duplicate multiplicity — PARITY.md's 10× replica
+       experiment measured ~1000× true-pair growth for 10× data — while
+       the resolve variants collapse the same candidates to ONE keep/drop
+       row per document (output linear in corpus size).
+
     Plan shape (the 100-TB-safe one): the signature frame is consumed
     exactly once — band keys are emitted with a single ``posexplode`` (no
     per-band unions), buckets are built with one ``groupBy`` collecting the
@@ -524,8 +531,13 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
     near-dup signal — the guard bounds per-bucket fan-out to max_bucket²
     at any corpus size (without it a template-heavy corpus degenerates:
     the synthetic documents table already produces 67 200 pairs from 500
-    docs). Corpora where near-dup mass is genuinely quadratic should use a
-    canonical-assignment resolution instead of pair listing."""
+    docs).
+
+    .. note:: **At 100 TB, prefer** :func:`simhash_dedup_resolve`: pair
+       listings are quadratic in duplicate multiplicity (PARITY.md's 10×
+       replica measured ~1000× true-pair growth for 10× data); the
+       resolve variant collapses the same candidates to one keep/drop row
+       per document — output linear in corpus size."""
     # materialize the (tiny: id + one long) signature before fanning it out
     # into 4 segment references — same no-CSE reasoning as in LSH banding
     sig = tracked_persist(sig)
@@ -612,6 +624,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     / IDF pruning). A shingle shared by half the corpus carries no
     similarity signal but makes candidate generation quadratic — pruning
     bounds fan-out at any corpus size.
+
+    .. note:: **At 100 TB, prefer** :func:`minhash_verified_resolve`,
+       which applies the same exact-Jaccard check to LSH candidates only
+       and emits one keep/drop row per document.  A pair LISTING like
+       this one is inherently quadratic in duplicate multiplicity —
+       PARITY.md's 10× replica measured ~1000× true-pair growth for 10×
+       data; the df caps bound the worst case but not the output size.
 
     Plan shape: the doc-count threshold is derived INSIDE the plan (1-row
     count aggregate broadcast-cross-joined — no driver-side ``.count()``

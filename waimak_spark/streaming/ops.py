@@ -22,6 +22,43 @@ from pyspark.sql.types import (
 )
 
 
+#: state-partition sizing rule targets (see state_partitions_for_backfill)
+STATE_TARGET_BYTES_PER_PARTITION = 32 << 20
+STATE_MIN_PARTITIONS = 4
+STATE_MAX_PARTITIONS = 2048
+
+
+def state_partitions_for_backfill(
+        input_bytes: int,
+        target_bytes_per_partition: int = STATE_TARGET_BYTES_PER_PARTITION,
+        min_partitions: int = STATE_MIN_PARTITIONS,
+        max_partitions: int = STATE_MAX_PARTITIONS) -> int:
+    """Shuffle/state-store partition count for a BOUNDED streaming
+    backfill, as a function of input volume.
+
+    Why volume and not a constant: every stateful operator creates one
+    state store PER shuffle partition (per side for stream-stream joins),
+    and every micro-batch commits a delta file to each — so per-batch
+    overhead scales with the partition count while per-partition memory
+    scales inversely.  The rule targets ~32 MiB of input per partition:
+
+    * small backfill (the correctness gate's MBs) → the floor (4): store
+      commits stay cheap, results identical at any count;
+    * 100 TB backfill → input_bytes/32 MiB, capped at 2048: each
+      partition's state fits executor memory, and the cap bounds
+      per-batch store-commit fan-out (beyond ~2048 the commit overhead
+      again dominates — raise the cap only with a commensurate increase
+      in executors).
+
+    Key-cardinality is the better driver when known (state rows ∝ keys,
+    not volume); input volume is the observable proxy a generic backfill
+    has before reading anything."""
+    import math
+
+    parts = math.ceil(max(0, input_bytes) / target_bytes_per_partition)
+    return max(min_partitions, min(max_partitions, parts))
+
+
 def watermarked_window_agg(df: DataFrame, ts_col: str,
                            window_duration: str, watermark: str,
                            aggs: Sequence[Column],
