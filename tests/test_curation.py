@@ -279,3 +279,51 @@ class TestWeightedSample:
         dk = sorted(x[0] for x in duckdb.sql(
             f"select id from range(1, 301) t(id) where {sql}").fetchall())
         assert kept == dk
+
+
+class TestLangMixtureWeights:
+    def test_temperature_upweights_rare_languages(self, spark):
+        from waimak_spark.functions.curation import lang_mixture_weights
+
+        df = spark.createDataFrame(
+            [("en",)] * 90 + [("mi",)] * 10, "lang string")
+        rows = {r["lang"]: r for r in lang_mixture_weights(df).collect()}
+        assert rows["en"]["p_raw"] == 0.9 and rows["mi"]["p_raw"] == 0.1
+        # alpha=0.5: rare language up-sampled, dominant down-sampled
+        assert rows["mi"]["sample_factor"] > 1.0
+        assert rows["en"]["sample_factor"] < 1.0
+        # temperature shares still sum to 1
+        assert abs(rows["en"]["p_temp"] + rows["mi"]["p_temp"] - 1.0) < 1e-4
+
+    def test_uniform_corpus_is_fixed_point(self, spark):
+        from waimak_spark.functions.curation import lang_mixture_weights
+
+        df = spark.createDataFrame(
+            [("a",)] * 50 + [("b",)] * 50, "lang string")
+        for r in lang_mixture_weights(df).collect():
+            assert r["sample_factor"] == 1.0
+
+
+class TestUnigramLogprob:
+    def test_rare_tokens_score_higher(self, spark):
+        from waimak_spark.functions.text import unigram_logprob
+
+        rows = [(1, "common common common common"),
+                (2, "common common rareword common"),
+                (3, "")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        assert out[1]["avg_neg_logp"] < out[2]["avg_neg_logp"]
+        assert 3 not in out  # zero-token doc drops out
+        assert out[1]["n_tokens"] == 4
+
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from waimak_spark.functions.text import unigram_logprob
+
+        df = spark.createDataFrame([(1, "a a b")], "doc_id int, text string")
+        # counts: a=2, b=1; T=3, V=2; p(a)=(2+1)/5, p(b)=(1+1)/5
+        exp = -(2 * math.log(3 / 5) + math.log(2 / 5)) / 3
+        [r] = unigram_logprob(df).collect()
+        assert abs(r["avg_neg_logp"] - round(exp, 4)) < 1e-9

@@ -26,8 +26,13 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   (the scalar subquery expressed as an in-plan broadcast, no collect)
 # - ann_ivf_recall composes ann_brute_force_topk, inheriting its
 #   whitelisted <=10-row broadcast cross
+# - unigram_logprob crosses with the ONE-row totals aggregate (corpus
+#   token count + vocab size — the smoothing denominator, in-plan)
+# - lang_mixture_weights crosses with the ONE-row totals aggregate
+#   (corpus doc count + sum of sqrt weights — the mixture normalizer)
 CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
-            "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall"}
+            "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall",
+            "unigram_logprob", "lang_mixture_weights"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))
@@ -120,5 +125,21 @@ class TestCurationPlans:
         assert "Generate" not in plan, "explode leaked into centroid plan"
         assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read)
         assert "HashAggregate" in plan
+
+    def test_kmeans_assignment_arrow_no_explode(self, spark, sf_dir):
+        # the final labeling pass: Arrow-batched argmin kernel (never a
+        # per-row Python UDF), explode-free (the centroid update inside
+        # the rounds is the same 64-avg shape as embedding_centroids)
+        plan = plan_of("embedding_kmeans", spark, sf_dir)
+        assert "Generate" not in plan, "explode leaked into kmeans plan"
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_lang_mixture_single_small_shuffle(self, spark, sf_dir):
+        # one groupBy on the language key (lang-cardinality output); the
+        # totals join must be a broadcast of the 1-row aggregate
+        plan = plan_of("lang_mixture_weights", spark, sf_dir)
+        assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+        assert "SortMergeJoin" not in plan
 
 

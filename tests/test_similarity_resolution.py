@@ -222,3 +222,39 @@ class TestVerifiedPipeline:
         assert out[1] == (1, True)
         assert out[2] == (1, False)
         assert out[3][1] is True        # 0.94 jaccard < 0.99: not a dup
+
+
+class TestKMeans:
+    def test_separated_blobs_cluster_together(self, spark):
+        from waimak_spark.functions.similarity import kmeans_clusters
+
+        dims = 4
+        rows = []
+        for i in range(10):  # blob A around +10, blob B around -10
+            rows.append((i, [10.0 + 0.01 * i] * dims))
+            rows.append((100 + i, [-10.0 - 0.01 * i] * dims))
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        out = kmeans_clusters(df, k=2, n_iters=3, dims=dims).collect()
+        a = {r["cluster"] for r in out if r["vec_id"] < 100}
+        b = {r["cluster"] for r in out if r["vec_id"] >= 100}
+        assert len(a) == 1 and len(b) == 1 and a != b
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from waimak_spark.functions.similarity import kmeans_clusters
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        r1 = sorted(map(tuple, kmeans_clusters(emb).collect()))
+        r2 = sorted(map(tuple, kmeans_clusters(emb).collect()))
+        assert r1 == r2
+
+    def test_every_vector_labeled_once(self, spark, sf_dir):
+        from waimak_spark.functions.similarity import kmeans_clusters
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = kmeans_clusters(emb)
+        n = emb.count()
+        assert out.count() == n
+        assert out.select("vec_id").distinct().count() == n
+        clusters = [r["cluster"] for r in
+                    out.select("cluster").distinct().collect()]
+        assert all(1 <= c <= 8 for c in clusters)

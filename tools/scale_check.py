@@ -45,6 +45,8 @@ DOC_QUERIES = [
     "dedup_minhash_verified", "dedup_minhash_verified_resolve",
     # round-4 layout/sampling/decontamination entries
     "pack_sequences", "sample_weighted", "decontaminate_near",
+    # round-5 entries
+    "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
 ]
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",

@@ -54,6 +54,9 @@ _FRONT: tuple[str, ...] = (
     "embedding_centroids",
     # --- new in round 5 ---
     "dq_window_anomaly",
+    "embedding_kmeans",
+    "unigram_logprob",
+    "lang_mixture_weights",
     # --- relational / events, last official row r3 ---
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",

@@ -619,7 +619,17 @@ def _pack_oracle() -> str:
 
     return chunk_and_pack_sql()
 
+def lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) language mixture weights over the
+    documents table — the re-weighting step a multilingual training
+    mixture applies before sampling."""
+    return C.lang_mixture_weights(_docs(spark, sf_dir))
+
+
+
 ENTRIES = {
+    "lang_mixture_weights": {"fn": lang_mixture,
+                             "oracle": C.lang_mixture_weights_sql()},
     "sample_stratified": {"fn": sample_stratified, "oracle": SAMPLE_ORACLE},
     "split_leakage_safe": {"fn": split_leakage_safe, "oracle": SPLIT_ORACLE},
     "pii_redaction": {"fn": pii_redaction, "oracle": PII_ORACLE},

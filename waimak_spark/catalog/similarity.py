@@ -71,7 +71,21 @@ def dedup_embedding_cosine_fixpoint(spark: SparkSession,
     return S.embedding_cosine_dedup_fixpoint(emb, min_cosine=0.0)
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd rounds over the embeddings table — the
+    clustering stage a diversity-sampling / cluster-balanced-mixture
+    pipeline runs before quota sampling.  Oracle: the identical rounds
+    unrolled in SQL (same seed centroids, rounded averages, tie-breaks,
+    empty-cluster carry)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.kmeans_clusters(emb)
+
+
 ENTRIES = {
+    "embedding_kmeans": {
+        "fn": embedding_kmeans,
+        "oracle": S.kmeans_clusters_sql(),
+    },
     "ann_brute_force_topk": {
         "fn": ann_brute_force_topk,
         "oracle": S.brute_force_topk_sql(QUERY_IDS, k=5),

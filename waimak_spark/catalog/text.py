@@ -125,8 +125,17 @@ def dedup_minhash_verified_resolve(spark: SparkSession,
     return D.minhash_verified_resolve(_docs(spark, sf_dir))
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean -ln p(token) under the
+    corpus's add-1-smoothed unigram distribution."""
+    return T.unigram_logprob(_docs(spark, sf_dir))
+
+
+
 ENTRIES = {
     "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
+    "unigram_logprob": {"fn": unigram_logprob,
+                        "oracle": T.unigram_logprob_sql()},
     "lang_id": {"fn": lang_id, "oracle": T.lang_id_sql()},
     "token_counts": {"fn": token_counts, "oracle": TOKEN_COUNTS_ORACLE},
     "doc_fingerprint": {"fn": doc_fingerprint, "oracle": FINGERPRINT_ORACLE},

@@ -324,3 +324,56 @@ def weighted_sample_keep_sql(key_expr: str, weight_expr: str,
               f"else lpad(lower(hex({w16})), 4, '0') end")
     return (f"substr(md5('wsample:{seed}:' || ({key_expr})::VARCHAR), 1, 4) "
             f"< {thresh}")
+
+
+# ---------------------------------------------------------------------------
+# language-mixture re-weighting (temperature sampling)
+# ---------------------------------------------------------------------------
+#
+# Multilingual training mixtures up-sample low-resource languages via
+# temperature scaling: p_temp(l) ∝ p_raw(l)^alpha with alpha < 1 (the
+# multilingual-LM convention; alpha = 0.5 here, expressed as sqrt so both
+# engines use the identical primitive).  Output is one row per language
+# with the raw share, the temperature share, and the resulting
+# up/down-sampling factor a pipeline multiplies into per-doc weights.
+#
+# Scale shape: one groupBy on the language key (lang-cardinality output,
+# i.e. tiny), the totals as a 1-row broadcast — wholly map-side after the
+# single small shuffle; no per-doc work at all.
+
+
+def lang_mixture_weights(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    from pyspark.sql import functions as F
+
+    langs = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"))
+    totals = langs.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("sum_w"))
+    p_raw = F.col("n_docs") / F.col("n_total")
+    p_temp = F.sqrt(F.col("n_docs").cast("double")) / F.col("sum_w")
+    return (langs.join(F.broadcast(totals))
+            .select("lang", "n_docs",
+                    F.round(p_raw, 6).alias("p_raw"),
+                    F.round(p_temp, 6).alias("p_temp"),
+                    F.round(p_temp / p_raw, 4).alias("sample_factor")))
+
+
+def lang_mixture_weights_sql(table: str = "documents",
+                             lang_col: str = "lang") -> str:
+    return f"""
+        with langs as (
+            select {lang_col} as lang, count(*) as n_docs
+            from {table} group by {lang_col}
+        ), tot as (
+            select sum(n_docs) as n_total,
+                   sum(sqrt(n_docs::DOUBLE)) as sum_w
+            from langs
+        )
+        select lang, n_docs,
+               round(n_docs / n_total, 6) as p_raw,
+               round(sqrt(n_docs::DOUBLE) / sum_w, 6) as p_temp,
+               round((sqrt(n_docs::DOUBLE) / sum_w)
+                     / (n_docs / n_total), 4) as sample_factor
+        from langs cross join tot
+    """

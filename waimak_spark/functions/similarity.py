@@ -774,3 +774,151 @@ def lsh_ann_pairs_sql(n_planes: int = DEFAULT_PLANES, dims: int = 64,
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 4) >= {min_cosine}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering over embeddings (Lloyd's, fixed deterministic rounds)
+# ---------------------------------------------------------------------------
+#
+# Training-data curation uses clustering for diversity sampling and
+# cluster-balanced mixtures. Spark-first shape: each Lloyd round is ONE
+# Arrow-batched assignment pass (vectorized n2 − 2·v·c argmin, the same
+# bit-parity kernel family as IVF) plus ONE groupBy computing 64 per-dim
+# averages (explode-free, partial aggregation — shuffle carries k×dims
+# doubles per partition); the k×dims centroid matrix is collected to the
+# driver (an aggregate RESULT, k rows) and re-broadcast as plan literals
+# for the next round. Rounds are FIXED (not converge-tested) so the op is
+# a deterministic, oracle-checkable pipeline stage.
+#
+# Engine parity: centroid averages are rounded to KMEANS_ROUND decimals on
+# both engines (kills partial-agg ulp drift), scores are computed from the
+# rounded matrix with sequential-order dots on both sides, and argmin ties
+# break to the lowest cluster index (np.argmin / row_number order by
+# score, c). Empty clusters keep their previous centroid on both engines.
+
+KMEANS_K = 8
+KMEANS_SEED = 2000  # centroid c seeds plane-weight rows at 2000+c
+KMEANS_ITERS = 2
+KMEANS_ROUND = 6
+
+
+def _kmeans_init(k: int, dims: int) -> list[list[float]]:
+    return [[_plane_weight(KMEANS_SEED + c, d) for d in range(dims)]
+            for c in range(k)]
+
+
+def _seq_norms(W: list[list[float]]) -> list[float]:
+    """|w|² per row, summed sequentially in Python — bit-identical to
+    DuckDB ``list_dot_product(w, w)`` on the same doubles."""
+    out = []
+    for row in W:
+        s = 0.0
+        for x in row:
+            s += x * x
+        out.append(s)
+    return out
+
+
+def _kmeans_assign_kernel(W: list[list[float]]):
+    """Vectorized nearest-centroid id (1-based, ties to lowest index) for
+    an arbitrary centroid matrix — same kernel family as
+    ``_ivf_corpus_features``."""
+    Wn = np.array(W)
+    N2 = np.array(_seq_norms(W))
+
+    @F.pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        X = _rows_matrix(v)
+        if X.size == 0:
+            return pd.Series([], dtype="int32")
+        scores = _ivf_np_scores(X, Wn, N2)
+        return pd.Series((np.argmin(scores, axis=1) + 1).astype(np.int32))
+
+    return cell
+
+
+def kmeans_clusters(emb: DataFrame, k: int = KMEANS_K,
+                    n_iters: int = KMEANS_ITERS, dims: int = 64,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) after ``n_iters`` Lloyd rounds from the deterministic
+    seed centroids. Assignment is Arrow-batched; the per-round centroid
+    update is one explode-free groupBy (64 avg aggregates, rounded to
+    KMEANS_ROUND decimals for cross-engine stability)."""
+    from .cache_registry import tracked_persist
+
+    base = (valid_embeddings(emb, dims, vec_col)
+            .select(F.col(id_col).alias("id"),
+                    as_double(F.col(vec_col)).alias("v")))
+    # reused n_iters+1 times (one assignment pass per round + the final
+    # labeling) — materialize the narrow (id, v) projection once
+    base = tracked_persist(base)
+    W = _kmeans_init(k, dims)
+    for _ in range(n_iters):
+        assigned = base.withColumn(
+            "cluster", _kmeans_assign_kernel(W)(F.col("v")))
+        avgs = [F.round(F.avg(F.col("v")[d]), KMEANS_ROUND).alias(f"c{d}")
+                for d in range(dims)]
+        rows = assigned.groupBy("cluster").agg(*avgs).collect()
+        new_w = [list(row) for row in W]  # empty cluster → keep previous
+        for r in rows:
+            new_w[r["cluster"] - 1] = [r[f"c{d}"] for d in range(dims)]
+        W = new_w
+    return (base.withColumn("cluster",
+                            _kmeans_assign_kernel(W)(F.col("v")))
+            .select(F.col("id").alias(id_col), "cluster"))
+
+
+def kmeans_clusters_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
+                        dims: int = 64) -> str:
+    """Unrolled Lloyd rounds in plain SQL: same seed centroids, same
+    rounded averages, same (score, c) tie-break, same empty-cluster
+    carry-over."""
+    init = _kmeans_init(k, dims)
+    cent_rows = ",\n               ".join(
+        "({c}, [{w}]::DOUBLE[])".format(
+            c=c + 1, w=", ".join(repr(x) for x in init[c]))
+        for c in range(k))
+    avg_list = ", ".join(
+        f"round(avg(v[{d + 1}]), {KMEANS_ROUND})" for d in range(dims))
+    sql = f"""
+        with c0(c, w) as (
+            values {cent_rows}
+        ), base as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        )"""
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        sql += f""", s{it} as (
+            select b.vec_id, b.v, k.c,
+                   list_dot_product(k.w, k.w)
+                       - 2 * list_dot_product(b.v, k.w) as score
+            from base b cross join {prev} k
+        ), a{it} as (
+            select vec_id, v, c as cluster from (
+                select *, row_number() over (partition by vec_id
+                                             order by score, c) as rn
+                from s{it}
+            ) where rn = 1
+        ), u{it} as (
+            select cluster as c, [{avg_list}]::DOUBLE[] as w
+            from a{it} group by cluster
+        ), c{it} as (
+            select p.c, coalesce(u.w, p.w) as w
+            from {prev} p left join u{it} u using (c)
+        )"""
+        prev = f"c{it}"
+    # final labeling against the last centroid generation
+    sql += f""", sf as (
+            select b.vec_id, k.c,
+                   list_dot_product(k.w, k.w)
+                       - 2 * list_dot_product(b.v, k.w) as score
+            from base b cross join {prev} k
+        )
+        select vec_id, c as cluster from (
+            select *, row_number() over (partition by vec_id
+                                         order by score, c) as rn
+            from sf
+        ) where rn = 1
+    """
+    return sql

@@ -254,3 +254,67 @@ def lang_id_sql() -> str:
            {pred} as lang_pred
         from tok
     """
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model quality score (perplexity proxy)
+# ---------------------------------------------------------------------------
+#
+# Per-doc mean negative log-likelihood under the corpus's own add-1
+# smoothed unigram distribution — the classic cheap perplexity proxy for
+# training-data quality filtering (high score = improbable token mix:
+# boilerplate, encoding damage, wrong-language fragments).
+#
+# Scale shape: one explode → token-frequency groupBy (vocab-bound output)
+# → broadcast the 1-row totals; the per-token probability join shuffles on
+# the token key (the standard inverted-index shuffle — vocab keys are
+# ~Zipf but the heavy keys are exactly the frequent tokens every partition
+# holds, so the join side skew matches the data skew and AQE splits
+# oversized partitions). The frequency table itself is vocab-bound, NOT
+# corpus-bound: at 100 TB it still fits an executor and may be broadcast
+# when vocab ≤ a few tens of millions.
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, avg_neg_logp): mean −ln p(token) per document,
+    p from the corpus's add-1-smoothed unigram counts.  Docs with zero
+    tokens drop out (no rows to average — same on both engines)."""
+    from .cache_registry import tracked_persist
+
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    # read twice (frequency build + scoring join) — materialize once
+    tok = tracked_persist(tok)
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = freq.agg(F.sum("c").alias("t_total"),
+                      F.count("*").alias("vocab"))
+    scored = (tok.join(freq, "tok")
+              .join(F.broadcast(totals))
+              .withColumn(
+                  "nlp",
+                  -F.log((F.col("c") + F.lit(1.0))
+                         / (F.col("t_total") + F.col("vocab")))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("nlp"), 4).alias("avg_neg_logp")))
+
+
+def unigram_logprob_sql() -> str:
+    return f"""
+        with tok as (
+            select doc_id, unnest(t) as tok from (
+                select doc_id, {TOKENS_SQL.format(col='text')} as t
+                from documents
+            )
+        ), freq as (
+            select tok, count(*) as c from tok group by tok
+        ), tot as (
+            select sum(c) as t_total, count(*) as vocab from freq
+        )
+        select doc_id, count(*) as n_tokens,
+               round(avg(-ln((c + 1.0) / (t_total + vocab))), 4)
+                   as avg_neg_logp
+        from tok join freq using (tok) cross join tot
+        group by doc_id
+    """
