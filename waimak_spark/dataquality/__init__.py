@@ -44,6 +44,12 @@ from .metrics import (
     RelativeRateOfChangeStrategy,
     StorageLayerMetricsRepository,
 )
+from .extension import (
+    DataQualityConfigExtension,
+    get_configured_alert_handlers,
+    register_alert_handler,
+    register_prefab_check,
+)
 from .prefab import (
     completeness_check,
     generic_sql_check,
@@ -63,4 +69,6 @@ __all__ = [
     "AnomalyCheck", "add_anomaly_check", "size_metric",
     "StorageLayerMetricsRepository", "AbsoluteChangeStrategy",
     "RelativeRateOfChangeStrategy", "BatchNormalStrategy",
+    "DataQualityConfigExtension", "get_configured_alert_handlers",
+    "register_alert_handler", "register_prefab_check",
 ]
