@@ -30,9 +30,12 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   token count + vocab size — the smoothing denominator, in-plan)
 # - lang_mixture_weights crosses with the ONE-row totals aggregate
 #   (corpus doc count + sum of sqrt weights — the mixture normalizer)
+# - q11_important_parts crosses with the ONE-row global-value aggregate
+#   (the HAVING-vs-global threshold; the > residual can't hash-join)
 CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
             "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall",
-            "unigram_logprob", "lang_mixture_weights"}
+            "unigram_logprob", "lang_mixture_weights",
+            "q11_important_parts"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))

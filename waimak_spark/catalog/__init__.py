@@ -20,13 +20,15 @@ from .multimodal import ENTRIES as MULTIMODAL_ENTRIES
 from .rdbm import ENTRIES as RDBM_ENTRIES
 from .relational import ENTRIES as RELATIONAL_ENTRIES
 from .relational_ext import ENTRIES as RELATIONAL_EXT_ENTRIES
+from .relational_tpch import ENTRIES as RELATIONAL_TPCH_ENTRIES
 from .similarity import ENTRIES as SIMILARITY_ENTRIES
 from .storage import ENTRIES as STORAGE_ENTRIES
 from .streaming import ENTRIES as STREAMING_ENTRIES
 from .text import ENTRIES as TEXT_ENTRIES
 
 _MERGED: dict[str, dict] = {}
-for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES, EVENT_ENTRIES,
+for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES,
+             RELATIONAL_TPCH_ENTRIES, EVENT_ENTRIES,
              JOIN_ENTRIES, STREAMING_ENTRIES, CURATION_ENTRIES,
              DQ_ENTRIES, TEXT_ENTRIES, SIMILARITY_ENTRIES, STORAGE_ENTRIES,
              RDBM_ENTRIES, MULTIMODAL_ENTRIES):
@@ -57,6 +59,10 @@ _FRONT: tuple[str, ...] = (
     "embedding_kmeans",
     "unigram_logprob",
     "lang_mixture_weights",
+    "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
+    "q12_late_priority", "q15_top_supplier", "q16_supplier_count",
+    "q19_disjunctive_revenue", "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
     # --- relational / events, last official row r3 ---
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",
