@@ -124,25 +124,32 @@ def main() -> None:
     # The one-line stdout JSON must fit the driver's 2000-char tail capture
     # (r3's 8 KB line lost its head and recorded "parsed": null; the capture
     # length is exactly 2000 — measured from BENCH_r03.json["tail"]).
-    # Budget: 74 full names alone cost ~1730 chars, so the stdout line uses
+    # Budget: 91 full names cost well over the cap, so the stdout line uses
     # (a) per-query seconds at 2 significant digits and (b) a documented
-    # name shortening — entries named ``qN_...`` (the TPC-H-style queries)
-    # are emitted as ``qN``.  Everything else keeps its full catalog name.
-    # Full names + full-precision lap arrays live in BENCH_RUNS.json
-    # (committed) and on stderr.  Line length is asserted < 1990 so a new
-    # entry can never silently push the bench back into truncation.
+    # name shortening — ``qN_*`` (TPC-H-style) entries emit as ``qN``;
+    # every other entry emits as the INITIALS of its underscore-separated
+    # catalog name (``dedup_simhash_resolve`` → ``dsr``).  Uniqueness is
+    # asserted, and the short→full mapping plus full-precision lap arrays
+    # are committed in BENCH_RUNS.json (also printed on stderr).  Line
+    # length is asserted < 1990 so a new entry can never silently push
+    # the bench back into truncation.
     import re
 
     def short(name: str) -> str:
         head = name.split("_", 1)[0]
-        return head if re.fullmatch(r"q\d+", head) else name
+        if re.fullmatch(r"q\d+", head):
+            return head
+        return "".join(p[0] for p in name.split("_") if p)
 
     assert len({short(n) for n in timings}) == len(timings), \
         "bench short-name collision"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_RUNS.json"), "w") as fh:
         json.dump({"runs": runs, "mins": timings, "laps": N_TIMED_LAPS,
-                   "sf": sf, "stdout_name_rule": "qN_* emitted as qN"},
+                   "sf": sf,
+                   "stdout_name_rule": ("qN_* emitted as qN; others as "
+                                        "initials of underscore parts"),
+                   "short_names": {short(n): n for n in timings}},
                   fh, indent=1)
     def emit(sig_digits: int) -> str:
         return json.dumps({
