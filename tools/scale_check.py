@@ -22,10 +22,10 @@ BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/scale10"
 
 # Every catalog entry that reads documents / embeddings (the two replica
-# tables).  The entries NOT listed here are the relational (TPC-H tables),
-# storage/rdbm/dq (tmp-audit-table builds), and multimodal (synthesized
-# payload) groups — the replica does not cover their inputs, so including
-# them would re-measure 1x twice and report a fake 1.0 ratio.
+# tables).  The entries NOT listed here are the storage/rdbm/dq
+# (tmp-audit-table builds) and multimodal (synthesized payload) groups —
+# the replica does not cover their inputs, so including them would
+# re-measure 1x twice and report a fake 1.0 ratio.
 DOC_QUERIES = [
     "dedup_exact", "dedup_minhash_signature", "dedup_lsh_candidates",
     "dedup_simhash", "dedup_simhash_near_dups", "dedup_ngram_jaccard",
@@ -59,6 +59,24 @@ EVENT_QUERIES = [
 STREAMING_QUERIES = [
     "streaming_tumbling_counts", "streaming_session_counts",
     "streaming_dedup_pairs", "streaming_trade_quote_join",
+]
+# Round 5: the TPC-H fact/dimension tables are replicated too (join keys
+# offset consistently per copy; nation/region stay as shared dimensions),
+# so the relational groups get honest 10x rows instead of being excluded.
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",
+    "pivot_status_quantity", "customers_without_orders",
+    "part_feature_projection", "q4_priority_exists", "q7_nation_volume",
+    "q9_profit_by_nation", "q10_returned_revenue", "q13_order_distribution",
+    "q14_promo_share", "q17_small_quantity", "q18_large_volume",
+    "q22_wealthy_inactive", "status_custkey_setops", "order_window_stats",
+    "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
+    "q12_late_priority", "q15_top_supplier", "q16_supplier_count",
+    "q19_disjunctive_revenue", "q20_heavy_suppliers",
+    "q21_waiting_suppliers",
+    "asof_quote_per_trade", "range_join_shipments",
+    "grouping_sets_quantity",
 ]
 
 
@@ -95,6 +113,62 @@ def build_replica() -> None:
       from '{BASE}/events.parquet', generate_series(0, 9) g(i)
     ) to '{OUT}/events.parquet' (format parquet)
     """)
+    # TPC-H fact/dim replicas: per-copy key offsets keep every join's
+    # fan-out identical to the base (order i joins only copy-i lineitems,
+    # etc.); nation/region stay shared dimensions (copied 1x) — at a real
+    # 10x the 25-row nation table doesn't grow either.
+    offsets = {}
+    for tbl, key in (("orders", "o_orderkey"), ("customer", "c_custkey"),
+                     ("part", "p_partkey"), ("supplier", "s_suppkey")):
+        offsets[tbl] = con.execute(
+            f"select max({key}) + 1 from '{BASE}/{tbl}.parquet'"
+        ).fetchone()[0]
+    oko, ck = offsets["orders"], offsets["customer"]
+    pk, sk = offsets["part"], offsets["supplier"]
+    con.execute(f"""
+    copy (
+      select o_orderkey + i * {oko} as o_orderkey,
+             o_custkey + i * {ck} as o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      from '{BASE}/orders.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/orders.parquet' (format parquet)
+    """)
+    con.execute(f"""
+    copy (
+      select l_orderkey + i * {oko} as l_orderkey,
+             l_partkey + i * {pk} as l_partkey,
+             l_suppkey + i * {sk} as l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount,
+             l_tax, l_returnflag, l_linestatus, l_shipdate
+      from '{BASE}/lineitem.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/lineitem.parquet' (format parquet)
+    """)
+    con.execute(f"""
+    copy (
+      select c_custkey + i * {ck} as c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      from '{BASE}/customer.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/customer.parquet' (format parquet)
+    """)
+    con.execute(f"""
+    copy (
+      select p_partkey + i * {pk} as p_partkey, p_name, p_brand, p_type,
+             p_size, p_retailprice
+      from '{BASE}/part.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/part.parquet' (format parquet)
+    """)
+    con.execute(f"""
+    copy (
+      select s_suppkey + i * {sk} as s_suppkey, s_name, s_nationkey,
+             s_acctbal
+      from '{BASE}/supplier.parquet', generate_series(0, 9) g(i)
+    ) to '{OUT}/supplier.parquet' (format parquet)
+    """)
+    for dim in ("nation", "region"):
+        con.execute(f"""
+        copy (select * from '{BASE}/{dim}.parquet')
+        to '{OUT}/{dim}.parquet' (format parquet)
+        """)
 
 
 def main() -> None:
@@ -106,7 +180,8 @@ def main() -> None:
     # validate the subset BEFORE the expensive replica build + JVM start
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
     names = ([n.strip() for n in subset.split(",") if n.strip()] if subset
-             else DOC_QUERIES + EVENT_QUERIES + STREAMING_QUERIES)
+             else (DOC_QUERIES + EVENT_QUERIES + STREAMING_QUERIES
+                   + RELATIONAL_QUERIES))
     unknown = set(names) - set(ALL_ENTRIES)
     if unknown:
         raise SystemExit(f"unknown queries: {sorted(unknown)}")

@@ -140,11 +140,16 @@ Q8_ORACLE = f"""
 
 
 # --------------------------------------------------------------------------
-# q11: important parts — per-part value vs a global-total scalar threshold
+# q11: important parts — per-part value vs a global scalar threshold
 # (the HAVING-against-global-aggregate class; 1-row broadcast, no collect)
 # --------------------------------------------------------------------------
+#
+# TPC-H's fraction-of-total threshold is scale-DEPENDENT (each part's
+# share shrinks as the part count grows — at sf0.1 a fixed fraction
+# returns nothing); a multiple-of-average threshold keeps a stable
+# selectivity at every SF while exercising the identical query class.
 
-_Q11_FRACTION = 0.005
+_Q11_FACTOR = 1.5
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,9 +160,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("l_partkey")
              .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
                   .alias("raw_value")))
-    total = value.agg(F.sum("raw_value").alias("total"))
+    total = value.agg(F.avg("raw_value").alias("avg_value"))
     return (value.join(F.broadcast(total))
-            .where(F.col("raw_value") > _Q11_FRACTION * F.col("total"))
+            .where(F.col("raw_value") > _Q11_FACTOR * F.col("avg_value"))
             .select("l_partkey",
                     F.round("raw_value", 2).alias("value")))
 
@@ -169,10 +174,10 @@ Q11_ORACLE = f"""
         from lineitem join supplier on l_suppkey = s_suppkey
         where s_nationkey % 2 = 1
         group by 1
-    ), t as (select sum(raw_value) as total from v)
+    ), t as (select avg(raw_value) as avg_value from v)
     select l_partkey, round(raw_value, 2) as value
     from v cross join t
-    where raw_value > {_Q11_FRACTION} * total
+    where raw_value > {_Q11_FACTOR} * avg_value
 """
 
 
