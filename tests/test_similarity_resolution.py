@@ -258,3 +258,42 @@ class TestKMeans:
         clusters = [r["cluster"] for r in
                     out.select("cluster").distinct().collect()]
         assert all(1 <= c <= 8 for c in clusters)
+
+
+class TestInt8Quantization:
+    def test_codes_bounded_and_scale_nonnegative(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from waimak_spark.functions.similarity import (
+            quantized_int8, valid_embeddings)
+
+        emb = valid_embeddings(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 64)
+        scale, q = quantized_int8(F.col("embedding"))
+        row = (emb.select(scale.alias("s"),
+                          F.array_max(F.transform(q, F.abs)).alias("mx"))
+               .agg(F.min("s").alias("smin"), F.max("mx").alias("qmax"))
+               .collect()[0])
+        assert row["smin"] >= 0
+        assert row["qmax"] <= 127  # codes fit int8 by construction
+
+    def test_zero_vector_quantizes_to_zero_codes(self, spark):
+        from pyspark.sql import functions as F
+
+        from waimak_spark.functions.similarity import quantized_int8
+
+        df = spark.createDataFrame([(1, [0.0] * 4)],
+                                   "vec_id int, embedding array<float>")
+        scale, q = quantized_int8(F.col("embedding"))
+        [r] = df.select(scale.alias("s"), q.alias("q")).collect()
+        assert r["s"] == 0.0 and list(r["q"]) == [0, 0, 0, 0]
+
+    def test_int8_topk_close_to_exact(self, spark, sf_dir):
+        """int8 cosine ranking must stay close to exact float ranking —
+        the catalog recall entry asserts the exact per-query values; here
+        we bound the mean."""
+        from waimak_spark.catalog.similarity import ann_int8_recall
+
+        rows = ann_int8_recall(spark, sf_dir).collect()
+        mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+        assert mean >= 0.8

@@ -47,6 +47,7 @@ DOC_QUERIES = [
     "pack_sequences", "sample_weighted", "decontaminate_near",
     # round-5 entries
     "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
+    "embedding_quantize_int8", "ann_int8_recall",
 ]
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",

@@ -63,6 +63,7 @@ _FRONT: tuple[str, ...] = (
     "q12_late_priority", "q15_top_supplier", "q16_supplier_count",
     "q19_disjunctive_revenue", "q20_heavy_suppliers",
     "q21_waiting_suppliers",
+    "embedding_quantize_int8", "ann_int8_recall",
     # --- relational / events, last official row r3 ---
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",

@@ -81,6 +81,52 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_clusters(emb)
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit (scale + exact integer
+    code checksums) — the 4x-compression storage path for a 100 TB
+    embedding corpus, certified bit-level against the SQL oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.quantize_int8(emb)
+
+
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-quantized cosine top-k against exact float top-k,
+    per query — measures what 4x compression costs in retrieval quality
+    (scale cancels in cosine, so the quantized side is exact integer
+    arithmetic; same measure-don't-guess gate as ann_ivf_recall)."""
+    from pyspark.sql import functions as F
+
+    k = 5
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = ann_brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    q8 = (S.int8_topk(emb, QUERY_IDS, k=k)
+          .select("query_id", "neighbor_id"))
+    m = (bf.join(q8, ["query_id", "neighbor_id"])
+         .groupBy("query_id").agg(F.count("*").alias("n")))
+    return (bf.select("query_id").distinct()
+            .join(m, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n"), F.lit(0)) / k, 4)
+                    .alias("recall_at_k")))
+
+
+def _int8_recall_oracle() -> str:
+    k = 5
+    return f"""
+        with bf as ({S.brute_force_topk_sql(QUERY_IDS, k=k)}),
+        q8 as ({S.int8_topk_sql(QUERY_IDS, k=k)}),
+        m as (
+            select bf.query_id, count(*) as n
+            from bf join q8 using (query_id, neighbor_id)
+            group by bf.query_id
+        )
+        select q.query_id, round(coalesce(n, 0) / {k}.0, 4) as recall_at_k
+        from (select distinct query_id from bf) q
+        left join m using (query_id)
+    """
+
+
+
 ENTRIES = {
     "embedding_kmeans": {
         "fn": embedding_kmeans,
@@ -101,6 +147,14 @@ ENTRIES = {
     "ann_ivf_recall": {
         "fn": ann_ivf_recall,
         "oracle": _recall_oracle(),
+    },
+    "embedding_quantize_int8": {
+        "fn": embedding_quantize_int8,
+        "oracle": S.quantize_int8_sql(),
+    },
+    "ann_int8_recall": {
+        "fn": ann_int8_recall,
+        "oracle": _int8_recall_oracle(),
     },
     "dedup_embedding_cosine": {
         "fn": dedup_embedding_cosine,

@@ -922,3 +922,157 @@ def kmeans_clusters_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
         ) where rn = 1
     """
     return sql
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + measured recall gate
+# ---------------------------------------------------------------------------
+#
+# At 100 TB an embedding corpus is storage- and bandwidth-bound: per-vector
+# symmetric int8 quantization (q_i = round(v_i / scale), scale =
+# max|v_i| / 127) compresses 4× and makes candidate scoring integer-only.
+# COSINE under quantization needs no dequantize at all: the reconstructed
+# vector is scale·q, and scale cancels in the cosine — so the quantized
+# similarity is int_dot(q_a, q_b) / (√int_dot(q_a,q_a) · √int_dot(q_b,q_b)),
+# exact integer arithmetic on both engines (no float-accumulation drift).
+# ann_int8_recall measures what the compression costs in recall@k against
+# exact float cosine — the same measure-don't-guess gate as ann_ivf_recall.
+
+Q8_LEVELS = 127
+
+
+def quantized_int8(vec: Column) -> tuple[Column, Column]:
+    """(scale, q) for symmetric per-vector int8 quantization.  A zero
+    vector (scale 0) quantizes to all-zero codes on both engines."""
+    v = as_double(vec)
+    scale = F.array_max(F.transform(v, F.abs)) / float(Q8_LEVELS)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("long")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return scale, q
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (long accumulator — 64 dims × 127² fits
+    with orders of magnitude to spare)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dims: int = 64) -> DataFrame:
+    """Per-vector quantization audit row: the scale plus exact integer
+    checksums of the code vector (sum and L1) — enough for a bit-level
+    cross-engine certificate without emitting 64 columns."""
+    from .dedup import spread_for_compute
+
+    emb = spread_for_compute(valid_embeddings(emb, dims, vec_col))
+    scale, q = quantized_int8(F.col(vec_col))
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x)).alias("q_l1"))
+
+
+def quantize_int8_sql(dims: int = 64) -> str:
+    return f"""
+        with base as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        ), scaled as (
+            select vec_id,
+                   list_max(list_transform(v, x -> abs(x)))
+                       / {float(Q8_LEVELS)} as scale, v
+            from base
+        ), codes as (
+            select vec_id, scale,
+                   case when scale > 0
+                        then list_transform(v, x -> round(x / scale)::BIGINT)
+                        else list_transform(v, x -> 0::BIGINT) end as q
+            from scaled
+        )
+        select vec_id, round(scale, 6) as scale,
+               list_sum(q)::BIGINT as q_sum,
+               list_sum(list_transform(q, x -> abs(x)))::BIGINT as q_l1
+        from codes
+    """
+
+
+def int8_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dims: int = 64) -> DataFrame:
+    """Exact-arithmetic top-k cosine over the QUANTIZED codes (scale
+    cancels): the int8 analogue of brute_force_topk, same broadcast-the-
+    queries plan shape."""
+    from pyspark.sql import Window as W
+
+    from .dedup import spread_for_compute
+
+    emb = valid_embeddings(emb, dims, vec_col)
+    _scale, q = quantized_int8(F.col(vec_col))
+    base = (spread_for_compute(emb)
+            .select(F.col(id_col), q.alias("q"))
+            .select("*", F.sqrt(_int_dot(F.col("q"), F.col("q"))
+                                .cast("double")).alias("qn")))
+    queries = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq"),
+        F.col("qn").alias("qqn"))
+    sim = F.round(
+        _int_dot(F.col("qq"), F.col("q")).cast("double")
+        / (F.col("qqn") * F.col("qn")), 4)
+    scored = (base.crossJoin(F.broadcast(queries))
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      sim.alias("cosine_sim")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine_sim"))
+
+
+def int8_topk_sql(query_ids: list[int], k: int = 5, dims: int = 64) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+        with base0 as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        ), scaled as (
+            select vec_id,
+                   list_max(list_transform(v, x -> abs(x)))
+                       / {float(Q8_LEVELS)} as scale, v
+            from base0
+        ), base as (
+            select vec_id,
+                   case when scale > 0
+                        then list_transform(v, x -> round(x / scale)::BIGINT)
+                        else list_transform(v, x -> 0::BIGINT) end as q
+            from scaled
+        ), withn as (
+            select vec_id, q,
+                   sqrt(list_dot_product(q, q)::DOUBLE) as qn
+            from base
+        ), queries as (
+            select vec_id as query_id, q as qq, qn as qqn from withn
+            where vec_id in ({ids})
+        ), scored as (
+            select query_id, vec_id as neighbor_id,
+                   round(list_dot_product(qq, q)::DOUBLE
+                         / (qqn * qn), 4) as cosine_sim
+            from withn cross join queries
+            where vec_id != query_id
+        )
+        select query_id, neighbor_id, rank, cosine_sim
+        from (
+            select *, row_number() over (partition by query_id
+                                         order by cosine_sim desc,
+                                                  neighbor_id asc) as rank
+            from scored
+        )
+        where rank <= {k}
+    """
