@@ -139,7 +139,10 @@ def main() -> None:
         head = name.split("_", 1)[0]
         if re.fullmatch(r"q\d+", head):
             return head
-        return "".join(p[0] for p in name.split("_") if p)
+        # initial of each part, keeping the part's digits (int8 → i8 —
+        # disambiguates e.g. ann_int8_recall vs ann_ivf_recall)
+        return "".join(p[0] + "".join(ch for ch in p[1:] if ch.isdigit())
+                       for p in name.split("_") if p)
 
     assert len({short(n) for n in timings}) == len(timings), \
         "bench short-name collision"
