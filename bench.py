@@ -35,6 +35,23 @@ def headline_queries() -> list[str]:
     return list(ALL_ENTRIES)
 
 
+def short_name(name: str) -> str:
+    """Stdout key for a catalog entry: ``qN_*`` (TPC-H-style) → ``qN``;
+    otherwise the initial of each underscore part, keeping the part's
+    digits (``dedup_simhash_resolve`` → ``dsr``, ``ann_int8_recall`` →
+    ``ai8r`` — the digits disambiguate it from ``ann_ivf_recall``).
+    Module-level so tests can assert uniqueness over the whole catalog
+    without paying a bench run (a collision otherwise only surfaces at
+    the END of the ~9-minute bench)."""
+    import re
+
+    head = name.split("_", 1)[0]
+    if re.fullmatch(r"q\d+", head):
+        return head
+    return "".join(p[0] + "".join(ch for ch in p[1:] if ch.isdigit())
+                   for p in name.split("_") if p)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -133,19 +150,9 @@ def main() -> None:
     # are committed in BENCH_RUNS.json (also printed on stderr).  Line
     # length is asserted < 1990 so a new entry can never silently push
     # the bench back into truncation.
-    import re
-
-    def short(name: str) -> str:
-        head = name.split("_", 1)[0]
-        if re.fullmatch(r"q\d+", head):
-            return head
-        # initial of each part, keeping the part's digits (int8 → i8 —
-        # disambiguates e.g. ann_int8_recall vs ann_ivf_recall)
-        return "".join(p[0] + "".join(ch for ch in p[1:] if ch.isdigit())
-                       for p in name.split("_") if p)
-
-    assert len({short(n) for n in timings}) == len(timings), \
+    assert len({short_name(n) for n in timings}) == len(timings), \
         "bench short-name collision"
+    short = short_name
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_RUNS.json"), "w") as fh:
         json.dump({"runs": runs, "mins": timings, "laps": N_TIMED_LAPS,

@@ -125,3 +125,28 @@ def test_driver_window_covers_all_unchecked_entries():
     assert not unchecked, (
         f"entries never driver-checked AND outside the 50-entry window: "
         f"{unchecked} — reorder catalog/__init__.py")
+
+
+def test_bench_short_names_unique_and_fit():
+    """Every catalog entry must map to a unique bench stdout key, and the
+    worst-case stdout line must fit the driver's 2000-char tail capture —
+    checked here so a colliding/oversized new entry fails the suite
+    instead of the tail of a full bench run."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from bench import short_name
+
+    shorts = [short_name(n) for n in ALL_ENTRIES]
+    dupes = {s for s in shorts if shorts.count(s) > 1}
+    assert not dupes, f"bench short-name collisions: {sorted(dupes)}"
+    # worst-case line: every value rendered at max 2-sig-digit width
+    line = json.dumps({
+        "metric": "headline_queries_total", "value": 99999.999,
+        "unit": "sec",
+        "queries": {s: 99.0 for s in shorts}, "sf": 0.1,
+    }, separators=(",", ":"))
+    assert len(line) < 1990, f"worst-case bench line {len(line)} chars"
