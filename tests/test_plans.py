@@ -34,10 +34,13 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   (the HAVING-vs-global threshold; the > residual can't hash-join)
 # - ann_int8_recall composes brute-force and int8 top-k, both crossing
 #   with the whitelisted <=10-row broadcast query set
+# - sample_lang_balanced composes lang_mixture_weights, inheriting its
+#   1-row totals broadcast cross
 CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
             "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall",
             "unigram_logprob", "lang_mixture_weights",
-            "q11_important_parts", "ann_int8_recall"}
+            "q11_important_parts", "ann_int8_recall",
+            "sample_lang_balanced"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))

@@ -48,6 +48,7 @@ DOC_QUERIES = [
     # round-5 entries
     "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
     "embedding_quantize_int8", "ann_int8_recall",
+    "embedding_cluster_exemplars", "sample_lang_balanced",
 ]
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",

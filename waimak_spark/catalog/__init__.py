@@ -64,6 +64,7 @@ _FRONT: tuple[str, ...] = (
     "q19_disjunctive_revenue", "q20_heavy_suppliers",
     "q21_waiting_suppliers",
     "embedding_quantize_int8", "ann_int8_recall",
+    "embedding_cluster_exemplars", "sample_lang_balanced",
     # --- relational / events, last official row r3 ---
     "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
     "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",

@@ -627,7 +627,45 @@ def lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+BAL_BASE_RATE = 0.3
+BAL_SEED = 11
+
+
+def sample_lang_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced sampling: the temperature mixture factors
+    (lang_mixture_weights, alpha=0.5) scaled into per-doc keep
+    probabilities (base rate x factor, clamped to 1) and applied with the
+    deterministic weighted-keep predicate — the end-to-end re-balancing
+    step a multilingual corpus pipeline runs."""
+    docs = _docs(spark, sf_dir)
+    weights = C.lang_mixture_weights(docs).select("lang", "sample_factor")
+    keep = C.weighted_sample_keep(
+        F.col("doc_id"),
+        F.lit(BAL_BASE_RATE) * F.col("sample_factor"),
+        seed=BAL_SEED)
+    return (docs.join(F.broadcast(weights), "lang")
+            .where(keep)
+            .select("doc_id", "lang"))
+
+
+SAMPLE_LANG_BALANCED_ORACLE = f"""
+    with w as ({{mixture_sql}})
+    select doc_id, lang
+    from documents join w using (lang)
+    where {{keep_sql}}
+"""
+
+
+
 ENTRIES = {
+    "sample_lang_balanced": {
+        "fn": sample_lang_balanced,
+        "oracle": SAMPLE_LANG_BALANCED_ORACLE.format(
+            mixture_sql=C.lang_mixture_weights_sql(),
+            keep_sql=C.weighted_sample_keep_sql(
+                "doc_id", f"{BAL_BASE_RATE}::DOUBLE * sample_factor",
+                seed=BAL_SEED)),
+    },
     "lang_mixture_weights": {"fn": lang_mixture,
                              "oracle": C.lang_mixture_weights_sql()},
     "sample_stratified": {"fn": sample_stratified, "oracle": SAMPLE_ORACLE},

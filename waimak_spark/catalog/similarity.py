@@ -127,6 +127,14 @@ def _int8_recall_oracle() -> str:
 
 
 
+def embedding_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster representative vectors (nearest-to-centroid top-3 after
+    the k-means rounds) — the exemplar-selection step of a diversity
+    curation pipeline."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.kmeans_exemplars(emb)
+
+
 ENTRIES = {
     "embedding_kmeans": {
         "fn": embedding_kmeans,
@@ -147,6 +155,10 @@ ENTRIES = {
     "ann_ivf_recall": {
         "fn": ann_ivf_recall,
         "oracle": _recall_oracle(),
+    },
+    "embedding_cluster_exemplars": {
+        "fn": embedding_cluster_exemplars,
+        "oracle": S.kmeans_exemplars_sql(),
     },
     "embedding_quantize_int8": {
         "fn": embedding_quantize_int8,

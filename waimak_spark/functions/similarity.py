@@ -1076,3 +1076,84 @@ def int8_topk_sql(query_ids: list[int], k: int = 5, dims: int = 64) -> str:
         )
         where rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# cluster exemplar selection (diversity curation)
+# ---------------------------------------------------------------------------
+#
+# A curation pipeline that wants "N representative documents per semantic
+# cluster" selects, per k-means cluster, the members closest to the
+# cluster's own centroid.  Distance ranks use |v|² − 2·v·c + |c|² with
+# sequential-order dots and a rounded centroid, so both engines rank
+# identically; ties break on vec_id.
+
+EXEMPLARS_PER_CLUSTER = 3
+
+
+def kmeans_exemplars(emb: DataFrame, k: int = KMEANS_K,
+                     n_iters: int = KMEANS_ITERS,
+                     n_exemplars: int = EXEMPLARS_PER_CLUSTER,
+                     dims: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-``n_exemplars`` members nearest their own cluster centroid
+    (centroid = rounded per-dim average of the FINAL assignment — the
+    same explode-free 64-avg aggregate as the update step)."""
+    from pyspark.sql import Window as W
+
+    from .cache_registry import tracked_persist
+
+    base = (valid_embeddings(emb, dims, vec_col)
+            .select(F.col(id_col).alias("id"),
+                    as_double(F.col(vec_col)).alias("v")))
+    assigned = (kmeans_clusters(emb, k, n_iters, dims, id_col, vec_col)
+                .select(F.col(id_col).alias("id"), "cluster")
+                .join(base, "id"))
+    assigned = tracked_persist(assigned)
+    avgs = [F.round(F.avg(F.col("v")[d]), KMEANS_ROUND).alias(f"c{d}")
+            for d in range(dims)]
+    cents = (assigned.groupBy("cluster").agg(*avgs)
+             .select("cluster",
+                     F.array(*[F.col(f"c{d}") for d in range(dims)])
+                     .alias("c")))
+    d2 = F.round(
+        dot(F.col("v"), F.col("v"))
+        - 2.0 * dot(F.col("v"), F.col("c"))
+        + dot(F.col("c"), F.col("c")), 4)
+    w = W.partitionBy("cluster").orderBy(F.asc("dist"), F.asc("id"))
+    return (assigned.join(F.broadcast(cents), "cluster")
+            .select("cluster", "id", d2.alias("dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= n_exemplars)
+            .select("cluster", "rank", F.col("id").alias(id_col), "dist"))
+
+
+def kmeans_exemplars_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
+                         n_exemplars: int = EXEMPLARS_PER_CLUSTER,
+                         dims: int = 64) -> str:
+    avg_list = ", ".join(
+        f"round(avg(v[{d + 1}]), {KMEANS_ROUND})" for d in range(dims))
+    return f"""
+        with af as ({kmeans_clusters_sql(k, n_iters, dims)}),
+        basev as (
+            select vec_id, embedding::DOUBLE[] as v from embeddings
+        ), members as (
+            select af.vec_id, af.cluster, b.v
+            from af join basev b using (vec_id)
+        ), cents as (
+            select cluster, [{avg_list}]::DOUBLE[] as c
+            from members group by cluster
+        ), scored as (
+            select m.cluster, m.vec_id,
+                   round(list_dot_product(m.v, m.v)
+                         - 2.0 * list_dot_product(m.v, c.c)
+                         + list_dot_product(c.c, c.c), 4) as dist
+            from members m join cents c using (cluster)
+        )
+        select cluster, rank, vec_id, dist from (
+            select *, row_number() over (partition by cluster
+                                         order by dist asc, vec_id asc)
+                   as rank
+            from scored
+        ) where rank <= {n_exemplars}
+    """
