@@ -51,9 +51,16 @@ for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES,
 #
 # _FRONT for round 5: every entry WITHOUT a green row in CORRECTNESS_r04
 # (the 28 relational/events entries last verified in r3, plus
-# embedding_centroids whose r4 row was red) and every entry NEW this round.
+# embedding_centroids whose r4 row was red), every entry NEW this round,
+# and — with the remaining window slots — the entries whose CODE changed
+# most this round (the simhash vote rebuild and the resolve-fixpoint
+# restructure), so the changed paths sit INSIDE the official window
+# rather than relying on local verification alone.
 _FRONT: tuple[str, ...] = (
     "embedding_centroids",
+    # --- code changed in round 5 (simhash votes / fixpoint restructure) ---
+    "dedup_simhash", "dedup_simhash_resolve", "dedup_minhash_resolve",
+    "dedup_embedding_cosine_fixpoint",
     # --- new in round 5 ---
     "dq_window_anomaly",
     "embedding_kmeans",
