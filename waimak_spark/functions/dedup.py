@@ -425,7 +425,6 @@ SIMHASH_BITS = 64
 # bit value of each of the 64 simhash bits; bit 63 is the (negative)
 # two's-complement sign bit so the packed value stays a valid BIGINT
 _BIT_VALUES = [1 << i for i in range(63)] + [-(1 << 63)]
-_POW2_32 = [1 << k for k in range(32)]
 
 
 def simhash(df: DataFrame, text_col: str = "text",
