@@ -352,7 +352,6 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     pointer jumping was measured and rejected). This is the standard
     big-data CC iteration, bounded by ``max_iters`` as a
     pathological-chain guard."""
-    from .cache_registry import track_release
 
     def _free_ckpt(df: DataFrame) -> None:
         # localCheckpoint blocks live in the RDD block manager — the
@@ -373,6 +372,36 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     edges = (raw.union(raw.select(F.col("id"), F.col("id").alias("peer"))
                        .distinct())
              .localCheckpoint(eager=True))
+    # Size the loop's shuffles to the EDGE SUBGRAPH, not the session
+    # default (round 5): the subgraph is typically a tiny fraction of the
+    # corpus, and with it materialized the row count is known exactly —
+    # at ~2M edge rows (~32 MB) per partition the per-round task count
+    # collapses for small graphs (sf0.1 simhash: 32 → 4 partitions,
+    # fixpoint wall time −25 %) while a 100 TB edge set keeps the session
+    # default untouched (the override only ever LOWERS the count).  The
+    # conf is session-global during the loop and restored in `finally`;
+    # a concurrently scheduled action would plan its shuffles at the
+    # lowered count — correctness-neutral, and the streaming entries'
+    # scoped sizing already sets this precedent.
+    import math
+
+    spark = edges.sparkSession
+    _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(_SHUFFLE_KEY)
+    n_edges = edges.count()  # cheap: counts the checkpointed blocks
+    loop_parts = max(4, min(int(old_parts),
+                            math.ceil(n_edges / 2_000_000)))
+    spark.conf.set(_SHUFFLE_KEY, str(loop_parts))
+    try:
+        return _fixpoint_loop(ids, edges, max_iters, _free_ckpt)
+    finally:
+        spark.conf.set(_SHUFFLE_KEY, old_parts)
+
+
+def _fixpoint_loop(ids: DataFrame, edges: DataFrame, max_iters: int,
+                   _free_ckpt) -> DataFrame:
+    from .cache_registry import track_release
+
     # Seed labels with min(peer) over peers ∪ self ( = least(id, min of
     # direct peers)): the same groupBy shuffle a plain distinct would
     # cost, but the first propagation hop comes free — one fewer round on
