@@ -866,14 +866,13 @@ def _kmeans_assign_kernel(W: list[list[float]]):
     return cell
 
 
-def kmeans_clusters(emb: DataFrame, k: int = KMEANS_K,
-                    n_iters: int = KMEANS_ITERS, dims: int = 64,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """(id, cluster) after ``n_iters`` Lloyd rounds from the deterministic
-    seed centroids. Assignment is Arrow-batched; the per-round centroid
-    update is one explode-free groupBy (64 avg aggregates, rounded to
-    KMEANS_ROUND decimals for cross-engine stability)."""
+def _kmeans_fit(emb: DataFrame, k: int = KMEANS_K,
+                n_iters: int = KMEANS_ITERS, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> tuple[DataFrame, list[list[float]]]:
+    """Run the Lloyd rounds; return the persisted (id, v) base frame and
+    the FINAL centroid matrix (rounded python floats — identical to the
+    oracle's c{n_iters} CTE rows)."""
     from .cache_registry import tracked_persist
 
     base = (valid_embeddings(emb, dims, vec_col)
@@ -893,16 +892,27 @@ def kmeans_clusters(emb: DataFrame, k: int = KMEANS_K,
         for r in rows:
             new_w[r["cluster"] - 1] = [r[f"c{d}"] for d in range(dims)]
         W = new_w
+    return base, W
+
+
+def kmeans_clusters(emb: DataFrame, k: int = KMEANS_K,
+                    n_iters: int = KMEANS_ITERS, dims: int = 64,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) after ``n_iters`` Lloyd rounds from the deterministic
+    seed centroids. Assignment is Arrow-batched; the per-round centroid
+    update is one explode-free groupBy (64 avg aggregates, rounded to
+    KMEANS_ROUND decimals for cross-engine stability)."""
+    base, W = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col)
     return (base.withColumn("cluster",
                             _kmeans_assign_kernel(W)(F.col("v")))
             .select(F.col("id").alias(id_col), "cluster"))
 
 
-def kmeans_clusters_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
-                        dims: int = 64) -> str:
-    """Unrolled Lloyd rounds in plain SQL: same seed centroids, same
-    rounded averages, same (score, c) tie-break, same empty-cluster
-    carry-over."""
+def _kmeans_sql_ctes(k: int, n_iters: int, dims: int) -> tuple[str, str]:
+    """The unrolled-Lloyd CTE chain (``with c0 … c{n}``) plus a final
+    assignment CTE ``af(vec_id, v, cluster)`` against the last centroid
+    generation; returns (cte_sql, last_centroid_cte_name)."""
     init = _kmeans_init(k, dims)
     cent_rows = ",\n               ".join(
         "({c}, [{w}]::DOUBLE[])".format(
@@ -937,20 +947,28 @@ def kmeans_clusters_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
             from {prev} p left join u{it} u using (c)
         )"""
         prev = f"c{it}"
-    # final labeling against the last centroid generation
     sql += f""", sf as (
-            select b.vec_id, k.c,
+            select b.vec_id, b.v, k.c,
                    list_dot_product(k.w, k.w)
                        - 2 * list_dot_product(b.v, k.w) as score
             from base b cross join {prev} k
-        )
-        select vec_id, c as cluster from (
-            select *, row_number() over (partition by vec_id
-                                         order by score, c) as rn
-            from sf
-        ) where rn = 1
-    """
-    return sql
+        ), af as (
+            select vec_id, v, c as cluster from (
+                select *, row_number() over (partition by vec_id
+                                             order by score, c) as rn
+                from sf
+            ) where rn = 1
+        )"""
+    return sql, prev
+
+
+def kmeans_clusters_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
+                        dims: int = 64) -> str:
+    """Unrolled Lloyd rounds in plain SQL: same seed centroids, same
+    rounded averages, same (score, c) tie-break, same empty-cluster
+    carry-over."""
+    ctes, _last = _kmeans_sql_ctes(k, n_iters, dims)
+    return ctes + "\n        select vec_id, cluster from af\n    "
 
 
 # ---------------------------------------------------------------------------
@@ -1125,33 +1143,25 @@ def kmeans_exemplars(emb: DataFrame, k: int = KMEANS_K,
                      n_exemplars: int = EXEMPLARS_PER_CLUSTER,
                      dims: int = 64, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
-    """Top-``n_exemplars`` members nearest their own cluster centroid
-    (centroid = rounded per-dim average of the FINAL assignment — the
-    same explode-free 64-avg aggregate as the update step)."""
+    """Top-``n_exemplars`` members nearest their cluster's LLOYD centroid
+    (the fitted model's centroid matrix — already collected during the
+    rounds, so scoring is one map-side expression over plan literals: no
+    extra aggregate pass, no centroid join).  Distance is
+    |v|² − 2·v·c + |c|² with sequential dots, rounded to 4; ties break on
+    the id."""
     from pyspark.sql import Window as W
 
-    from .cache_registry import tracked_persist
-
-    base = (valid_embeddings(emb, dims, vec_col)
-            .select(F.col(id_col).alias("id"),
-                    as_double(F.col(vec_col)).alias("v")))
-    assigned = (kmeans_clusters(emb, k, n_iters, dims, id_col, vec_col)
-                .select(F.col(id_col).alias("id"), "cluster")
-                .join(base, "id"))
-    assigned = tracked_persist(assigned)
-    avgs = [F.round(F.avg(F.col("v")[d]), KMEANS_ROUND).alias(f"c{d}")
-            for d in range(dims)]
-    cents = (assigned.groupBy("cluster").agg(*avgs)
-             .select("cluster",
-                     F.array(*[F.col(f"c{d}") for d in range(dims)])
-                     .alias("c")))
+    base, Wc = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col)
+    assigned = base.withColumn(
+        "cluster", _kmeans_assign_kernel(Wc)(F.col("v")))
+    cent = F.element_at(F.lit(Wc), F.col("cluster"))
+    n2 = F.element_at(F.lit(_seq_norms(Wc)), F.col("cluster"))
     d2 = F.round(
         dot(F.col("v"), F.col("v"))
-        - 2.0 * dot(F.col("v"), F.col("c"))
-        + dot(F.col("c"), F.col("c")), 4)
+        - 2.0 * dot(F.col("v"), cent)
+        + n2, 4)
     w = W.partitionBy("cluster").orderBy(F.asc("dist"), F.asc("id"))
-    return (assigned.join(F.broadcast(cents), "cluster")
-            .select("cluster", "id", d2.alias("dist"))
+    return (assigned.select("cluster", "id", d2.alias("dist"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= n_exemplars)
             .select("cluster", "rank", F.col("id").alias(id_col), "dist"))
@@ -1160,24 +1170,13 @@ def kmeans_exemplars(emb: DataFrame, k: int = KMEANS_K,
 def kmeans_exemplars_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
                          n_exemplars: int = EXEMPLARS_PER_CLUSTER,
                          dims: int = 64) -> str:
-    avg_list = ", ".join(
-        f"round(avg(v[{d + 1}]), {KMEANS_ROUND})" for d in range(dims))
-    return f"""
-        with af as ({kmeans_clusters_sql(k, n_iters, dims)}),
-        basev as (
-            select vec_id, embedding::DOUBLE[] as v from embeddings
-        ), members as (
-            select af.vec_id, af.cluster, b.v
-            from af join basev b using (vec_id)
-        ), cents as (
-            select cluster, [{avg_list}]::DOUBLE[] as c
-            from members group by cluster
-        ), scored as (
+    ctes, last = _kmeans_sql_ctes(k, n_iters, dims)
+    return ctes + f""", scored as (
             select m.cluster, m.vec_id,
                    round(list_dot_product(m.v, m.v)
-                         - 2.0 * list_dot_product(m.v, c.c)
-                         + list_dot_product(c.c, c.c), 4) as dist
-            from members m join cents c using (cluster)
+                         - 2.0 * list_dot_product(m.v, k.w)
+                         + list_dot_product(k.w, k.w), 4) as dist
+            from af m join {last} k on m.cluster = k.c
         )
         select cluster, rank, vec_id, dist from (
             select *, row_number() over (partition by cluster
