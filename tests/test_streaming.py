@@ -297,3 +297,53 @@ class TestStatePartitionSizing:
             inside = spark.conf.get("spark.sql.shuffle.partitions")
             assert int(inside) >= 4  # the rule's floor at MB-scale input
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_sizing_sums_directory_datasets_recursively(self, spark,
+                                                        tmp_path):
+        """A directory-style parquet dataset (the normal Spark-written
+        layout) must size by its FILES' total bytes, not the directory
+        inode size."""
+        from waimak_spark.catalog.streaming import _stream_state_sizing
+        from waimak_spark.streaming.ops import state_partitions_for_backfill
+
+        import os
+
+        d = tmp_path / "ds.parquet" / "part=0"
+        d.mkdir(parents=True)
+        # sparse files: getsize reports the logical length
+        for p, size in ((d / "part-00000.parquet", 256 << 20),
+                        (tmp_path / "ds.parquet" / "part-00001.parquet",
+                         64 << 20)):
+            with open(p, "wb") as f:
+                os.truncate(f.fileno(), size)
+        with _stream_state_sizing(spark, (str(tmp_path / "ds.parquet"),)):
+            inside = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert inside == state_partitions_for_backfill(320 << 20)
+        assert inside > state_partitions_for_backfill(0)
+
+    def test_entry_scopes_sizing_to_child_session(self, spark, sf_dir,
+                                                  monkeypatch):
+        """The catalog entries run the backfill on spark.newSession(): the
+        sizing override must be applied to that child's conf only — the
+        caller's session (where the parallel executor may be planning
+        concurrent actions) is never touched."""
+        from pyspark.sql.conf import RuntimeConfig
+
+        from waimak_spark.catalog.streaming import streaming_tumbling_counts
+
+        parent_jconf = spark.conf._jconf
+        shuffle_sets = []
+        real_set = RuntimeConfig.set
+
+        def spy(self, key, value):
+            if key == "spark.sql.shuffle.partitions":
+                shuffle_sets.append(self._jconf.equals(parent_jconf))
+            return real_set(self, key, value)
+
+        monkeypatch.setattr(RuntimeConfig, "set", spy)
+        out = streaming_tumbling_counts(spark, sf_dir)
+        assert out.count() > 0
+        # the sizing DID apply (set + restore on the child) ...
+        assert len(shuffle_sets) >= 2
+        # ... but never to the calling session's conf
+        assert not any(shuffle_sets)

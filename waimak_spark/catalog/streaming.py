@@ -41,9 +41,18 @@ class _stream_state_sizing:
     checkpoint, so it only needs to hold across start()+awaitTermination;
     the session value is restored for everything after.
 
-    ``input_paths``: the backfill's source files; their total size drives
-    the partition count (local-fs stat — the gate's inputs; a cluster
-    deployment would sum FileStatus sizes the same way)."""
+    The streaming state-store partition count can ONLY come from
+    ``spark.sql.shuffle.partitions`` (it is baked per-query at start), so
+    unlike the batch fixpoint this override is irreducible — the catalog
+    entries therefore apply it to a throwaway ``spark.newSession()``
+    child (own SQLConf, shared SparkContext), never to the caller's
+    session, so concurrently scheduled actions keep their defaults (see
+    ``_run_session``).
+
+    ``input_paths``: the backfill's source files OR directories (the
+    normal Spark-written parquet layout is a directory); sizes are
+    summed recursively — a cluster deployment would sum FileStatus sizes
+    the same way."""
 
     def __init__(self, spark: SparkSession, input_paths: tuple = ()):
         self.spark = spark
@@ -54,10 +63,15 @@ class _stream_state_sizing:
 
         from ..streaming.ops import state_partitions_for_backfill
 
+        def _size(path: str) -> int:
+            if os.path.isdir(path):
+                return sum(_size(e.path) for e in os.scandir(path))
+            return os.path.getsize(path)
+
         total = 0
         for p in self.input_paths:
             try:
-                total += os.path.getsize(p)
+                total += _size(p)
             except OSError:
                 pass
         parts = state_partitions_for_backfill(total)
@@ -67,6 +81,16 @@ class _stream_state_sizing:
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
         return False
+
+
+def _run_session(spark: SparkSession) -> SparkSession:
+    """A throwaway child session for one backfill run: own SQLConf (so
+    the state-sizing override has zero blast radius on the caller's
+    session — the parallel executor may be planning OTHER actions right
+    now), shared SparkContext (no new JVM state).  The memory sink
+    registers its table in the child; the returned result frame keeps the
+    child alive exactly as long as the result is referenced."""
+    return spark.newSession()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +127,8 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor((ns div 1e9)/300) — truncation composes)."""
     # the file-stream's declared schema must match the files, so take the
     # RAW on-disk schema and normalize ts inside the streaming plan
-    src = _events_stream(spark, sf_dir)
+    run = _run_session(spark)
+    src = _events_stream(run, sf_dir)
     with_ts = src.withColumn("ts_ev", _ts_ev(src))
     windowed = watermarked_window_agg(
         with_ts, "ts_ev", "5 minutes", "10 minutes",
@@ -115,19 +140,16 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_start").cast("long").alias("window_start"),
         "event_type", "n", "sum_value")
 
-    # FIXED sink name, dropped before each run: a per-invocation uuid name
-    # would leak one registered memory-sink table per call into the session
-    # (same hygiene class as an unpersisted cache) — with a fixed name the
-    # session holds at most one, and the previous run's query is already
-    # stopped (awaitTermination + stop below) so the name is free to reuse
+    # FIXED sink name (a per-invocation uuid would leak one registered
+    # memory-sink table per call); it registers in the CHILD session, so
+    # it can never collide with a concurrent caller's run
     name = "stream_tumbling_counts_sink"
-    spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
+    with _stream_state_sizing(run, (f"{sf_dir}/events.parquet",)):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return spark.table(name)
+    return run.table(name)
 
 
 STREAMING_TUMBLING_ORACLE = """
@@ -159,7 +181,8 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path's cross-batch state carry is covered by test_streaming.py.)"""
     from ..streaming.ops import sessionize_stream
 
-    src = _events_stream(spark, sf_dir)
+    run = _run_session(spark)
+    src = _events_stream(run, sf_dir)
     with_ts = src.withColumn("ts_ev", _ts_ev(src))
     sess = sessionize_stream(with_ts, "ts_ev", f"{SESSION_GAP_S} seconds",
                              ["user_id"], watermark="1 hour")
@@ -169,13 +192,12 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("long").alias("session_end"),
         "n_events")
     name = "stream_session_counts_sink"
-    spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
+    with _stream_state_sizing(run, (f"{sf_dir}/events.parquet",)):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return spark.table(name)
+    return run.table(name)
 
 
 STREAMING_SESSION_ORACLE = f"""
@@ -217,17 +239,17 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     domains; an unbounded production stream bounds state with
     ``dropDuplicatesWithinWatermark`` at the cost of re-emitting keys
     that go quiet for longer than the watermark delay."""
-    src = _events_stream(spark, sf_dir)
+    run = _run_session(spark)
+    src = _events_stream(run, sf_dir)
     dd = (src.select("user_id", "event_type")
           .dropDuplicates(["user_id", "event_type"]))
     name = "stream_dedup_pairs_sink"
-    spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
+    with _stream_state_sizing(run, (f"{sf_dir}/events.parquet",)):
         q = (dd.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return spark.table(name)
+    return run.table(name)
 
 
 STREAMING_DEDUP_ORACLE = """
@@ -250,8 +272,10 @@ _SSJ_LOOKBACK_S = 300
 def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ops import stream_stream_interval_join
 
+    run = _run_session(spark)
+
     def side(trades: bool) -> DataFrame:
-        src = _events_stream(spark, sf_dir)
+        src = _events_stream(run, sf_dir)
         pred = (F.col("event_id") % 3 == 0 if trades
                 else F.col("event_id") % 3 != 0)
         name = "trade" if trades else "quote"
@@ -272,13 +296,12 @@ def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=None)
     out = joined.select("user_id", "trade_id", "quote_id")
     name = "stream_trade_quote_join_sink"
-    spark.catalog.dropTempView(name)
-    with _stream_state_sizing(spark, (f"{sf_dir}/events.parquet",)):
+    with _stream_state_sizing(run, (f"{sf_dir}/events.parquet",)):
         q = (out.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return spark.table(name)
+    return run.table(name)
 
 
 STREAMING_SSJ_ORACLE = f"""

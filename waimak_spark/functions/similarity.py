@@ -378,35 +378,57 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     # at ~2M edge rows (~32 MB) per partition the per-round task count
     # collapses for small graphs (sf0.1 simhash: 32 → 4 partitions,
     # fixpoint wall time −25 %) while a 100 TB edge set keeps the session
-    # default untouched (the override only ever LOWERS the count).  The
-    # conf is session-global during the loop and restored in `finally`;
-    # a concurrently scheduled action would plan its shuffles at the
-    # lowered count — correctness-neutral, and the streaming entries'
-    # scoped sizing already sets this precedent.
+    # default untouched (the sizing only ever LOWERS the count).
+    #
+    # Round 6: the sizing is now SCOPED to the loop's own frames via
+    # explicit repartition (edges hash-partitioned by "peer" once here;
+    # each hop repartitions its output by "id" — see _fixpoint_loop)
+    # instead of a session-global spark.sql.shuffle.partitions override:
+    # the framework's parallel executor may plan CONCURRENT actions while
+    # a fixpoint runs, and those must keep the session default
+    # (test_fixpoint_conf_scope.py asserts this mid-loop).
     import math
 
     spark = edges.sparkSession
-    _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(_SHUFFLE_KEY)
-    n_edges = edges.count()  # cheap: counts the checkpointed blocks
-    loop_parts = max(4, min(int(old_parts),
-                            math.ceil(n_edges / 2_000_000)))
-    spark.conf.set(_SHUFFLE_KEY, str(loop_parts))
     try:
-        return _fixpoint_loop(ids, edges, max_iters, _free_ckpt)
-    finally:
-        spark.conf.set(_SHUFFLE_KEY, old_parts)
+        default_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        default_parts = None  # e.g. "auto" on some platforms: skip sizing
+    n_edges = edges.count()  # cheap: counts the checkpointed blocks
+    loop_parts = None
+    if default_parts is not None:
+        sized = max(4, min(default_parts, math.ceil(n_edges / 2_000_000)))
+        if sized < default_parts:
+            loop_parts = sized
+            # narrow coalesce over the checkpointed blocks: collapses the
+            # per-round scan task count without a shuffle or a second
+            # materialization pass (at sf-scale the hop join broadcasts
+            # the label side anyway, so hash-partitioning edges by "peer"
+            # here would buy nothing and cost a full extra pass)
+            edges = edges.coalesce(loop_parts)
+    return _fixpoint_loop(ids, edges, max_iters, _free_ckpt, loop_parts)
 
 
 def _fixpoint_loop(ids: DataFrame, edges: DataFrame, max_iters: int,
-                   _free_ckpt) -> DataFrame:
+                   _free_ckpt, loop_parts: int | None = None) -> DataFrame:
     from .cache_registry import track_release
+
+    def _sized(df: DataFrame) -> DataFrame:
+        # Scoped shuffle sizing: hash-partition the frame that feeds the
+        # groupBy by its grouping key at the edge-derived count — the
+        # aggregate's required distribution is then satisfied by THIS
+        # exchange, so the plan shuffles exactly once at loop_parts
+        # without touching session conf.  loop_parts=None (big graphs,
+        # unparseable conf) leaves the plain plan at the session default.
+        return df if loop_parts is None else df.repartition(loop_parts, "id")
 
     # Seed labels with min(peer) over peers ∪ self ( = least(id, min of
     # direct peers)): the same groupBy shuffle a plain distinct would
     # cost, but the first propagation hop comes free — one fewer round on
     # EVERY component.
-    labels = (edges.groupBy("id").agg(F.min("peer").alias("canonical"))
+    labels = (_sized(edges).groupBy("id")
+              .agg(F.min("peer").alias("canonical"))
               .localCheckpoint(eager=True))
     # Convergence check: labels only ever DECREASE (least of own label and
     # neighbor minimum), so for numeric ids "no label changed" is exactly
@@ -446,11 +468,15 @@ def _fixpoint_loop(ids: DataFrame, edges: DataFrame, max_iters: int,
 
     def _hop(lbl: DataFrame) -> DataFrame:
         # self-loops make min(pc) over peers already include lbl[id] — no
-        # second join with the previous generation needed
-        return (edges.join(lbl.select(F.col("id").alias("peer"),
-                                      F.col("canonical").alias("pc")),
-                           "peer")
-                .groupBy("id").agg(F.min("pc").alias("canonical")))
+        # second join with the previous generation needed.  When sized,
+        # the label side broadcasts (small subgraph by construction) and
+        # the _sized repartition below is the hop's ONE exchange, at the
+        # edge-derived count.
+        joined = edges.join(lbl.select(F.col("id").alias("peer"),
+                                       F.col("canonical").alias("pc")),
+                            "peer")
+        return (_sized(joined).groupBy("id")
+                .agg(F.min("pc").alias("canonical")))
 
     for _ in range(max_iters):
         new_labels = labels
