@@ -183,17 +183,22 @@ def dq_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_prev = F.count("metric_value").over(frame)
     win_mean = F.avg("metric_value").over(frame)
     win_std = F.stddev_samp("metric_value").over(frame)
-    is_anom = (
-        (n_prev >= 3)
-        & ((F.col("metric_value") > win_mean + 3 * win_std)
-           | (F.col("metric_value") < win_mean - 3 * win_std)))
+    # engine-parity recipe (round-6 float audit): the 3σ gate compares
+    # ROUNDED quantities — the windowed mean/std derive from per-run
+    # float aggregates whose accumulation order differs between engines,
+    # so an unrounded comparison could flip for a value within a few ulp
+    # of the band edge.  Same 4dp rounding as the emitted columns.
+    v4 = F.round("metric_value", 4)
+    m4, s4 = F.round(win_mean, 4), F.round(win_std, 4)
+    hi, lo = F.round(m4 + 3 * s4, 4), F.round(m4 - 3 * s4, 4)
+    is_anom = (n_prev >= 3) & ((v4 > hi) | (v4 < lo))
     return (hist
             .withColumn("run", F.row_number().over(order_w))
             .select(
                 "metric_name", "run",
-                F.round("metric_value", 4).alias("value"),
-                F.round(win_mean, 4).alias("win_mean"),
-                F.round(win_std, 4).alias("win_std"),
+                v4.alias("value"),
+                m4.alias("win_mean"),
+                s4.alias("win_std"),
                 is_anom.alias("is_anomaly")))
 
 
@@ -223,8 +228,12 @@ WINDOW_ORACLE = f"""
     select metric_name, run, round(v, 4) as value,
            round(win_mean, 4) as win_mean,
            round(win_std, 4) as win_std,
-           (n_prev >= 3 and (v > win_mean + 3 * win_std
-                             or v < win_mean - 3 * win_std)) as is_anomaly
+           (n_prev >= 3 and
+            (round(v, 4) > round(round(win_mean, 4)
+                                 + 3 * round(win_std, 4), 4)
+             or round(v, 4) < round(round(win_mean, 4)
+                                    - 3 * round(win_std, 4), 4)))
+               as is_anomaly
     from win
 """
 

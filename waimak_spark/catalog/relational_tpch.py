@@ -161,8 +161,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
                   .alias("raw_value")))
     total = value.agg(F.avg("raw_value").alias("avg_value"))
+    # engine-parity recipe: the threshold comparison runs on ROUNDED
+    # values on both engines — partial-agg accumulation order differs
+    # between Spark and DuckDB, so an unrounded `raw > 1.5*avg` could
+    # flip for a part landing within a few ulp of the threshold
     return (value.join(F.broadcast(total))
-            .where(F.col("raw_value") > _Q11_FACTOR * F.col("avg_value"))
+            .where(F.round("raw_value", 2)
+                   > F.round(_Q11_FACTOR * F.col("avg_value"), 2))
             .select("l_partkey",
                     F.round("raw_value", 2).alias("value")))
 
@@ -177,7 +182,7 @@ Q11_ORACLE = f"""
     ), t as (select avg(raw_value) as avg_value from v)
     select l_partkey, round(raw_value, 2) as value
     from v cross join t
-    where raw_value > {_Q11_FACTOR} * avg_value
+    where round(raw_value, 2) > round({_Q11_FACTOR} * avg_value, 2)
 """
 
 
