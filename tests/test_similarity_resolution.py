@@ -247,6 +247,30 @@ class TestKMeans:
         r2 = sorted(map(tuple, kmeans_clusters(emb).collect()))
         assert r1 == r2
 
+    def test_parquet_materializer_identical_output(self, spark, sf_dir,
+                                                   tmp_path):
+        """The 100 TB materialization strategy (cacheAsParquet-style
+        plan-cut) must be a pure performance choice: identical clusters
+        to the default persist path, and its files removed at
+        release_tracked()."""
+        import os
+
+        from waimak_spark.functions.cache_registry import (
+            parquet_materializer,
+            release_tracked,
+        )
+        from waimak_spark.functions.similarity import kmeans_clusters
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = str(tmp_path / "kmeans_base")
+        via_persist = sorted(map(tuple, kmeans_clusters(emb).collect()))
+        via_parquet = sorted(map(tuple, kmeans_clusters(
+            emb, materialize=parquet_materializer(base)).collect()))
+        assert via_persist == via_parquet
+        assert os.path.isdir(base)  # plan-cut actually wrote files
+        release_tracked()
+        assert not os.path.exists(base)
+
     def test_every_vector_labeled_once(self, spark, sf_dir):
         from waimak_spark.functions.similarity import kmeans_clusters
 

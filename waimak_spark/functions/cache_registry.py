@@ -31,6 +31,30 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def parquet_materializer(path: str,
+                         cleanup: bool = True) -> Callable[[DataFrame],
+                                                           DataFrame]:
+    """A ``cacheAsParquet``-style materialization strategy for
+    operator-internal reuse: write the frame once under ``path`` and
+    re-read it — the plan is CUT (downstream reuse scans files instead of
+    re-running lineage), data spills to storage not executor memory, and
+    the materialization survives executor loss.  This is the 100 TB-robust
+    choice for a frame reused many times (e.g. k-means' (id, v) projection
+    reused n_iters+1 times); ``tracked_persist`` (MEMORY_AND_DISK blocks)
+    is the lower-latency default at gate/test scale.  With ``cleanup``
+    the written files are removed at ``release_tracked()``."""
+
+    def materialize(df: DataFrame) -> DataFrame:
+        df.write.mode("overwrite").parquet(path)
+        if cleanup:
+            import shutil
+
+            track_release(lambda: shutil.rmtree(path, ignore_errors=True))
+        return df.sparkSession.read.parquet(path)
+
+    return materialize
+
+
 def track_release(fn: Callable[[], None]) -> None:
     """Register an arbitrary cleanup callable (e.g. freeing
     ``localCheckpoint`` RDD blocks, which ``unpersist`` on the DataFrame

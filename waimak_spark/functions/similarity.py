@@ -894,19 +894,28 @@ def _kmeans_assign_kernel(W: list[list[float]]):
 
 def _kmeans_fit(emb: DataFrame, k: int = KMEANS_K,
                 n_iters: int = KMEANS_ITERS, dims: int = 64,
-                id_col: str = "vec_id", vec_col: str = "embedding"
-                ) -> tuple[DataFrame, list[list[float]]]:
-    """Run the Lloyd rounds; return the persisted (id, v) base frame and
-    the FINAL centroid matrix (rounded python floats — identical to the
-    oracle's c{n_iters} CTE rows)."""
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                materialize=None) -> tuple[DataFrame, list[list[float]]]:
+    """Run the Lloyd rounds; return the materialized (id, v) base frame
+    and the FINAL centroid matrix (rounded python floats — identical to
+    the oracle's c{n_iters} CTE rows).
+
+    ``materialize``: strategy for the (id, v) projection reused
+    ``n_iters + 1`` times (one assignment pass per round + the final
+    labeling).  Default is ``tracked_persist`` (MEMORY_AND_DISK blocks)
+    — the low-latency choice at gate/test scale, where the projection
+    fits executor memory.  At 100 TB pass
+    ``cache_registry.parquet_materializer(path)`` (the framework's
+    cacheAsParquet plan-cut: write once + re-read): persisting the whole
+    embedding corpus would evict under memory pressure and re-run the
+    full lineage per Lloyd round on executor loss, while the parquet cut
+    re-scans a compact columnar copy."""
     from .cache_registry import tracked_persist
 
     base = (valid_embeddings(emb, dims, vec_col)
             .select(F.col(id_col).alias("id"),
                     as_double(F.col(vec_col)).alias("v")))
-    # reused n_iters+1 times (one assignment pass per round + the final
-    # labeling) — materialize the narrow (id, v) projection once
-    base = tracked_persist(base)
+    base = (materialize or tracked_persist)(base)
     W = _kmeans_init(k, dims)
     for _ in range(n_iters):
         assigned = base.withColumn(
@@ -923,13 +932,18 @@ def _kmeans_fit(emb: DataFrame, k: int = KMEANS_K,
 
 def kmeans_clusters(emb: DataFrame, k: int = KMEANS_K,
                     n_iters: int = KMEANS_ITERS, dims: int = 64,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    materialize=None) -> DataFrame:
     """(id, cluster) after ``n_iters`` Lloyd rounds from the deterministic
     seed centroids. Assignment is Arrow-batched; the per-round centroid
     update is one explode-free groupBy (64 avg aggregates, rounded to
-    KMEANS_ROUND decimals for cross-engine stability)."""
-    base, W = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col)
+    KMEANS_ROUND decimals for cross-engine stability).
+
+    ``materialize`` selects the base-frame materialization strategy —
+    see :func:`_kmeans_fit` (persist at sf scale, parquet plan-cut via
+    ``cache_registry.parquet_materializer`` at 100 TB)."""
+    base, W = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col,
+                          materialize)
     return (base.withColumn("cluster",
                             _kmeans_assign_kernel(W)(F.col("v")))
             .select(F.col("id").alias(id_col), "cluster"))
@@ -1168,7 +1182,8 @@ def kmeans_exemplars(emb: DataFrame, k: int = KMEANS_K,
                      n_iters: int = KMEANS_ITERS,
                      n_exemplars: int = EXEMPLARS_PER_CLUSTER,
                      dims: int = 64, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     materialize=None) -> DataFrame:
     """Top-``n_exemplars`` members nearest their cluster's LLOYD centroid
     (the fitted model's centroid matrix — already collected during the
     rounds, so scoring is one map-side expression over plan literals: no
@@ -1177,7 +1192,8 @@ def kmeans_exemplars(emb: DataFrame, k: int = KMEANS_K,
     the id."""
     from pyspark.sql import Window as W
 
-    base, Wc = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col)
+    base, Wc = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col,
+                           materialize)
     assigned = base.withColumn(
         "cluster", _kmeans_assign_kernel(Wc)(F.col("v")))
     cent = F.element_at(F.lit(Wc), F.col("cluster"))
