@@ -28,6 +28,8 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   whitelisted <=10-row broadcast cross
 # - unigram_logprob crosses with the ONE-row totals aggregate (corpus
 #   token count + vocab size — the smoothing denominator, in-plan)
+# - bigram_logprob crosses with the same ONE-row totals aggregate (the
+#   interpolated mixture's smoothing denominator)
 # - lang_mixture_weights crosses with the ONE-row totals aggregate
 #   (corpus doc count + sum of sqrt weights — the mixture normalizer)
 # - q11_important_parts crosses with the ONE-row global-value aggregate
@@ -38,7 +40,7 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   1-row totals broadcast cross
 CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
             "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall",
-            "unigram_logprob", "lang_mixture_weights",
+            "unigram_logprob", "bigram_logprob", "lang_mixture_weights",
             "q11_important_parts", "ann_int8_recall",
             "sample_lang_balanced"}
 
@@ -108,6 +110,24 @@ class TestScanEfficiency:
     def test_ivf_probe_is_broadcast(self, spark, sf_dir):
         plan = plan_of("ann_ivf_topk", spark, sf_dir)
         assert "BroadcastHashJoin" in plan
+
+    def test_stored_ivf_probe_prunes_buckets_no_corpus_exchange(
+            self, spark, sf_dir):
+        """Build-once/probe-many contract: the probe against the stored
+        bucketed index must (a) scan only the probed BUCKETS (the
+        collected cell list reaches the file scan as bucket pruning),
+        (b) never shuffle the corpus side — the only hash Exchange in
+        the whole plan is the final per-query rank window over the tiny
+        candidate set, and (c) broadcast the query side."""
+        plan = plan_of("ann_ivf_probe_stored", spark, sf_dir)
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount" in plan, "bucket pruning lost"
+        n_sel = plan.split("SelectedBucketsCount: ")[1]
+        probed, total = n_sel.split("\n")[0].split(" out of ")
+        assert int(probed) < int(total.strip().rstrip(")")), \
+            "probe scanned every bucket"
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 class TestCurationPlans:

@@ -49,40 +49,41 @@ for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES,
 # (test_driver_window_covers_all_unchecked_entries) fails the suite if any
 # entry would go two rounds without an official row.
 #
-# _FRONT for round 5: every entry WITHOUT a green row in CORRECTNESS_r04
-# (the 28 relational/events entries last verified in r3, plus
-# embedding_centroids whose r4 row was red), every entry NEW this round,
-# and — with the remaining window slots — the entries whose CODE changed
-# most this round (the simhash vote rebuild and the resolve-fixpoint
-# restructure), so the changed paths sit INSIDE the official window
-# rather than relying on local verification alone.
+# _FRONT for round 6: the 45 entries whose newest green row is r4 (they
+# would otherwise go two rounds unchecked — the rotation invariant forces
+# ALL of them into this window, leaving exactly 5 free slots), plus the
+# two entries NEW this round and the entries whose BEHAVIOR changed
+# (q11 / dq_window_anomaly rounded-threshold gates), plus
+# dedup_simhash_resolve as the in-window representative of the
+# resolve-fixpoint shuffle-sizing rework (the other fixpoint entries
+# share the same code path and r5 green rows; the full-catalog local
+# oracle suite covers them every pytest run).
 _FRONT: tuple[str, ...] = (
-    "embedding_centroids",
-    # --- code changed in round 5 (simhash votes / fixpoint restructure) ---
-    "dedup_simhash", "dedup_simhash_resolve", "dedup_minhash_resolve",
-    "dedup_embedding_cosine_fixpoint",
-    # --- new in round 5 ---
-    "dq_window_anomaly",
-    "embedding_kmeans",
-    "unigram_logprob",
-    "lang_mixture_weights",
-    "q2_min_cost_supplier", "q8_market_share", "q11_important_parts",
-    "q12_late_priority", "q15_top_supplier", "q16_supplier_count",
-    "q19_disjunctive_revenue", "q20_heavy_suppliers",
-    "q21_waiting_suppliers",
-    "embedding_quantize_int8", "ann_int8_recall",
-    "embedding_cluster_exemplars", "sample_lang_balanced",
-    # --- relational / events, last official row r3 ---
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
-    "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",
-    "pivot_status_quantity", "customers_without_orders",
-    "part_feature_projection", "q4_priority_exists", "q7_nation_volume",
-    "q9_profit_by_nation", "q10_returned_revenue", "q13_order_distribution",
-    "q14_promo_share", "q17_small_quantity", "q18_large_volume",
-    "q22_wealthy_inactive", "status_custkey_setops", "order_window_stats",
-    "latest_event_per_user_type", "tumbling_window_counts",
-    "sessions_per_user", "running_value_per_user", "approx_event_stats",
-    "skew_count_distinct", "skew_salted_join", "event_funnel",
+    # --- new in round 6 ---
+    "ann_ivf_probe_stored", "bigram_logprob",
+    # --- behavior changed in round 6 (rounded float-threshold gates) ---
+    "q11_important_parts", "dq_window_anomaly",
+    # --- fixpoint shuffle-sizing rework representative ---
+    "dedup_simhash_resolve",
+    # --- the 45 entries last officially checked in r4 ---
+    "asof_quote_per_trade", "range_join_shipments",
+    "grouping_sets_quantity", "streaming_tumbling_counts",
+    "streaming_session_counts", "streaming_dedup_pairs",
+    "streaming_trade_quote_join", "sample_stratified",
+    "split_leakage_safe", "pii_redaction", "repetition_metrics",
+    "dedup_against_corpus", "dedup_near_against_corpus", "source_rollup",
+    "sample_quota_per_stratum", "curation_pipeline",
+    "decontaminate_against_benchmark", "corpus_vocabulary",
+    "tfidf_top_terms", "pack_sequences", "sample_weighted",
+    "decontaminate_near", "dq_metrics_trend", "text_quality", "lang_id",
+    "token_counts", "doc_fingerprint", "dedup_exact",
+    "dedup_minhash_signature", "dedup_lsh_candidates",
+    "dedup_simhash_near_dups", "dedup_ngram_jaccard",
+    "dedup_minhash_verified", "dedup_minhash_verified_resolve",
+    "ann_brute_force_topk", "ann_lsh_pairs", "ann_ivf_topk",
+    "ann_ivf_recall", "dedup_embedding_cosine", "storage_snapshot_dedup",
+    "storage_all_between", "rdbm_temporal_snapshot", "rdbm_lowercase_all",
+    "multimodal_byte_features", "multimodal_image_decode",
 )
 
 _missing = [n for n in _FRONT if n not in _MERGED]

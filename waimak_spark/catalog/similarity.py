@@ -127,6 +127,96 @@ def _int8_recall_oracle() -> str:
 
 
 
+# ---------------------------------------------------------------------------
+# "build once, probe many" stored IVF index
+# ---------------------------------------------------------------------------
+
+_IVF_IDX_DB = "wmk_ann_idx"
+# bump when the index layout or the cell-assignment kernel changes: a
+# table from an older build (the metastore persists across rounds) must
+# not be trusted to match the current prober
+_IVF_IDX_VERSION = "v1"
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """size+mtime fingerprint of the embeddings dataset — the stored
+    index is keyed on it, so a driver-side regeneration of the testdata
+    in place invalidates the index instead of silently serving stale
+    cells."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    total, latest = 0, 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                st = os.stat(os.path.join(root, fname))
+                total += st.st_size
+                latest = max(latest, int(st.st_mtime))
+    else:
+        st = os.stat(path)
+        total, latest = st.st_size, int(st.st_mtime)
+    return f"{total}_{latest}"
+
+
+def _ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Get-or-build the stored IVF index: ``ivf_index_frame`` persisted
+    as a managed table BUCKETED by ``cell`` (one bucket per centroid)
+    through the framework's ``write_bucketed_table`` — the shuffle is
+    paid once at build, and every probe scans only its probed buckets.
+    Builds of superseded fingerprints for the same dataset are dropped."""
+    import os
+    import re
+
+    from .. import Waimak
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    label = (f"ivf_cells_{tag}_{_embeddings_fingerprint(sf_dir)}"
+             f"_{_IVF_IDX_VERSION}")
+    name = f"{_IVF_IDX_DB}.{label}"
+    if not spark.catalog.tableExists(name):
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"create database if not exists {_IVF_IDX_DB}")
+        for t in spark.catalog.listTables(_IVF_IDX_DB):
+            if t.name.startswith(f"ivf_cells_{tag}_") and t.name != label:
+                spark.sql(f"drop table if exists {_IVF_IDX_DB}.{t.name}")
+        # the session catalog is per-process but the warehouse directory
+        # persists: locations from an earlier process are not registered
+        # here (so not trustworthy) and must be cleared — including this
+        # label's own, else saveAsTable refuses with
+        # LOCATION_ALREADY_EXISTS.  Within one process the tableExists
+        # check above keeps the build truly once.
+        import glob
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for stale in glob.glob(f"{wh}/{_IVF_IDX_DB}.db/ivf_cells_{tag}_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = S.ivf_index_frame(emb)
+        (Waimak.spark_flow(spark)
+         .open(label, lambda c, df=idx: df)
+         .write_bucketed_table(_IVF_IDX_DB, label, ["cell"],
+                               S.IVF_CENTROIDS,
+                               sort_cols=["cell", "vec_id"])
+         .execute())
+    return name
+
+
+def ann_ivf_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN against the STORED bucketed IVF index — the posture a
+    100 TB vector store runs: the corpus's cell assignments and norms are
+    computed and shuffled exactly once at build time; each probe prunes
+    the scan to its probed buckets (plan-locked ``SelectedBucketsCount``)
+    and broadcasts the tiny query side.  The oracle recomputes the whole
+    index + probe in SQL, certifying the stored path end-to-end."""
+    tbl = _ivf_index_table(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_topk_from_index(spark.table(tbl), emb, QUERY_IDS, k=5)
+
+
 def embedding_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster representative vectors (nearest-to-centroid top-3 after
     the k-means rounds) — the exemplar-selection step of a diversity
@@ -155,6 +245,12 @@ ENTRIES = {
     "ann_ivf_recall": {
         "fn": ann_ivf_recall,
         "oracle": _recall_oracle(),
+    },
+    "ann_ivf_probe_stored": {
+        "fn": ann_ivf_probe_stored,
+        # identical semantics to the inline path — the index stores
+        # exactly ivf_index_frame, so the same SQL certifies the build
+        "oracle": S.ivf_topk_sql(QUERY_IDS, k=5),
     },
     "embedding_cluster_exemplars": {
         "fn": embedding_cluster_exemplars,

@@ -131,11 +131,19 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_logprob(_docs(spark, sf_dir))
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram/unigram perplexity proxy: per-doc mean
+    -ln p(cur | prev) under a 0.5/0.5 add-1-smoothed mixture — catches
+    word-order damage the unigram score cannot."""
+    return T.bigram_logprob(_docs(spark, sf_dir))
+
 
 ENTRIES = {
     "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
     "unigram_logprob": {"fn": unigram_logprob,
                         "oracle": T.unigram_logprob_sql()},
+    "bigram_logprob": {"fn": bigram_logprob,
+                       "oracle": T.bigram_logprob_sql()},
     "lang_id": {"fn": lang_id, "oracle": T.lang_id_sql()},
     "token_counts": {"fn": token_counts, "oracle": TOKEN_COUNTS_ORACLE},
     "doc_fingerprint": {"fn": doc_fingerprint, "oracle": FINGERPRINT_ORACLE},

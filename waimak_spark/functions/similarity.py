@@ -681,6 +681,28 @@ def _ivf_query_features(n_centroids: int, dims: int, nprobe: int):
     return feat
 
 
+def ivf_index_frame(emb: DataFrame, n_centroids: int = IVF_CENTROIDS,
+                    dims: int = 64, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The IVF index content: ``(id, v, cell, nrm)`` per corpus vector —
+    nearest-centroid cell plus the precomputed norm.  This is what a
+    "build once, probe many" deployment PERSISTS (as a table bucketed by
+    ``cell`` — see ``ivf_topk_from_index``); ``ivf_topk`` computes it
+    inline for one-shot queries."""
+    from .dedup import spread_for_compute
+
+    emb = valid_embeddings(emb, dims, vec_col)
+    v = as_double(F.col(vec_col))
+    corpus_feat = _ivf_corpus_features(n_centroids, dims)
+    return (
+        spread_for_compute(emb)
+        .select(F.col(id_col), v.alias("v"))
+        .select("*", corpus_feat(F.col("v")).alias("_f"))
+        .select(F.col(id_col), "v",
+                F.col("_f.cell").alias("cell"), F.col("_f.nrm").alias("nrm"))
+    )
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
              dims: int = 64, id_col: str = "vec_id",
@@ -698,18 +720,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     ~nprobe/n_centroids of brute force."""
     from pyspark.sql import Window as W
 
-    from .dedup import spread_for_compute
-
+    base = ivf_index_frame(emb, n_centroids, dims, id_col, vec_col)
     emb = valid_embeddings(emb, dims, vec_col)
     v = as_double(F.col(vec_col))
-    corpus_feat = _ivf_corpus_features(n_centroids, dims)
-    base = (
-        spread_for_compute(emb)
-        .select(F.col(id_col), v.alias("v"))
-        .select("*", corpus_feat(F.col("v")).alias("_f"))
-        .select(F.col(id_col), "v",
-                F.col("_f.cell").alias("cell"), F.col("_f.nrm").alias("nrm"))
-    )
     query_feat = _ivf_query_features(n_centroids, dims, nprobe)
     queries = (
         emb.where(F.col(id_col).isin(query_ids))
@@ -788,6 +801,55 @@ def ivf_topk_sql(query_ids: list[int], k: int = 5,
         )
         where rank <= {k}
     """
+
+
+def ivf_topk_from_index(index: DataFrame, query_src: DataFrame,
+                        query_ids: list[int], k: int = 5,
+                        n_centroids: int = IVF_CENTROIDS,
+                        nprobe: int = IVF_NPROBE, dims: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Top-k against a PRE-BUILT IVF index — the "build once, probe many"
+    posture a 100 TB vector store actually runs.
+
+    ``index`` is the stored ``ivf_index_frame`` output, ideally a managed
+    table BUCKETED by ``cell`` (``write_bucketed_table``): the probe then
+    never recomputes corpus features, never shuffles the corpus, and only
+    SCANS the probed buckets — the probe-cell set (``nprobe`` ×
+    ``len(query_ids)`` ints, an aggregate-sized collect) becomes an
+    ``isin`` filter on the bucket column, which Spark turns into bucket
+    pruning at the file-scan level (``SelectedBucketsCount`` in the plan,
+    locked by test_plans.py).  The query side broadcasts; exact cosine
+    uses the index's stored norms."""
+    from pyspark.sql import Window as W
+
+    emb = valid_embeddings(query_src, dims, vec_col)
+    v = as_double(F.col(vec_col))
+    query_feat = _ivf_query_features(n_centroids, dims, nprobe)
+    queries = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), v.alias("qv"))
+        .select("*", query_feat(F.col("qv")).alias("_f"))
+        .select("query_id", "qv", F.col("_f.nrm").alias("qn"),
+                F.explode("_f.probes").alias("cell"))
+    )
+    # tiny collect (≤ nprobe × |queries| ints): the literal cell list is
+    # what lets the scan prune buckets — a join alone cannot
+    probe_cells = sorted({r["cell"]
+                          for r in queries.select("cell").distinct()
+                          .collect()})
+    pruned = index.where(F.col("cell").isin(probe_cells))
+    sim = F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    cand = (pruned.join(F.broadcast(queries), "cell")
+            .where(F.col(id_col) != F.col("query_id"))
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    sim.alias("cosine_sim")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
+                                          F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine_sim"))
 
 
 def lsh_ann_pairs_sql(n_planes: int = DEFAULT_PLANES, dims: int = 64,

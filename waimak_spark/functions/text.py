@@ -300,6 +300,105 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg("nlp"), 4).alias("avg_neg_logp")))
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.5) -> DataFrame:
+    """(doc_id, n_bigrams, avg_neg_logp): mean −ln p(wᵢ | wᵢ₋₁) per
+    document under a ``lam``-interpolated add-1-smoothed bigram/unigram
+    mixture — a materially better perplexity proxy than the unigram score
+    (word-order damage, shuffled boilerplate and wrong-collocation text
+    score high even when their token MIX looks normal).  Docs with fewer
+    than two tokens drop out (no bigram positions — same on both
+    engines).
+
+    p = lam·(c(prev,cur)+1)/(c(prev)+V) + (1−lam)·(c(cur)+1)/(T+V)
+
+    Scale shape: bigram pairs come from two SLICES of the token array
+    zipped in place — no window, no positional self-join; the bigram
+    frequency table shuffles on the pair key and the two unigram lookups
+    shuffle on the token key (vocab-bound tables — AQE converts the
+    lookup joins to broadcasts when the vocab fits, and falls back to
+    sort-merge at 100 TB vocabularies; the heavy keys ARE the frequent
+    tokens every partition holds, so join skew matches data skew and AQE
+    splits oversized partitions)."""
+    from .cache_registry import tracked_persist
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")))
+    bg = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(pair).alias("p"))
+          .select("doc_id", F.col("p.prev").alias("prev"),
+                  F.col("p.cur").alias("cur")))
+    # read three times (bigram freq build + scoring join + the unigram
+    # side derives from the same exploded tokens) — materialize once
+    bg = tracked_persist(bg)
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    ufreq = tracked_persist(tok.groupBy("tok").agg(F.count("*").alias("c")))
+    totals = ufreq.agg(F.sum("c").alias("t_total"),
+                       F.count("*").alias("vocab"))
+    bfreq = (bg.groupBy("prev", "cur").agg(F.count("*").alias("bc")))
+    scored = (
+        bg.join(bfreq, ["prev", "cur"])
+        .join(ufreq.select(F.col("tok").alias("prev"),
+                           F.col("c").alias("pc")), "prev")
+        .join(ufreq.select(F.col("tok").alias("cur"),
+                           F.col("c").alias("cc")), "cur")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "nlp",
+            -F.log(F.lit(lam) * ((F.col("bc") + F.lit(1.0))
+                                 / (F.col("pc") + F.col("vocab")))
+                   + F.lit(1.0 - lam) * ((F.col("cc") + F.lit(1.0))
+                                         / (F.col("t_total")
+                                            + F.col("vocab"))))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("nlp"), 4).alias("avg_neg_logp")))
+
+
+def bigram_logprob_sql(lam: float = 0.5) -> str:
+    """DuckDB oracle: the same mixture via lag() over per-doc token
+    positions (parallel unnest zips token and position)."""
+    return f"""
+        with tok as (
+            select doc_id, {TOKENS_SQL.format(col='text')} as t
+            from documents
+        ), pos as (
+            select doc_id, unnest(t) as tok,
+                   unnest(range(1, len(t) + 1)) as pos
+            from tok
+        ), bg as (
+            select doc_id,
+                   lag(tok) over (partition by doc_id order by pos) as prev,
+                   tok as cur
+            from pos
+            qualify prev is not null
+        ), ufreq as (
+            select tok, count(*) as c from pos group by tok
+        ), tot as (
+            select sum(c) as t_total, count(*) as vocab from ufreq
+        ), bfreq as (
+            select prev, cur, count(*) as bc from bg group by prev, cur
+        )
+        select bg.doc_id, count(*) as n_bigrams,
+               round(avg(-ln({lam} * ((bc + 1.0) / (pc + vocab))
+                             + {1.0 - lam} * ((cc + 1.0)
+                                              / (t_total + vocab)))), 4)
+                   as avg_neg_logp
+        from bg
+        join bfreq using (prev, cur)
+        join (select tok as prev, c as pc from ufreq) using (prev)
+        join (select tok as cur, c as cc from ufreq) using (cur)
+        cross join tot
+        group by bg.doc_id
+    """
+
+
 def unigram_logprob_sql() -> str:
     return f"""
         with tok as (
