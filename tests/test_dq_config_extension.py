@@ -184,3 +184,113 @@ class TestConfigDrivenChecks:
              .execute())
         alerts = [a for h in _COLLECTED for a in h.alerts]
         assert len(alerts) == 1 and "No new data" in alerts[0].alert_message
+
+
+class TestConfigDrivenAnomalyChecks:
+    """Round 6: Deequ addAnomalyCheck enabled purely from Spark conf —
+    metric + strategy + metricsStoragePath, no code at the call site."""
+
+    def _anomaly_conf(self, tmp_path, strategy_conf: dict[str, str]):
+        conf = dict(BASE_CONF)
+        conf.update({
+            "spark.waimak.dataquality.deequ.metricsStoragePath":
+                str(tmp_path / "metrics"),
+            "spark.waimak.dataquality.deequ.labels.items.checks":
+                "anomalyCheck",
+        })
+        pfx = "spark.waimak.dataquality.deequ.labels.items.anomalyCheck."
+        conf.update({pfx + k: v for k, v in strategy_conf.items()})
+        return conf
+
+    def _run_sized(self, spark, tmp_path, conf, n_rows: int, ts: str):
+        conf = dict(conf)
+        conf["spark.waimak.dataquality.deequ.labels.items."
+             "anomalyCheck.datasetTimestamp"] = ts
+        rows = [(i, f"Thingy {i}") for i in range(n_rows)]
+        with dq_conf(spark, conf):
+            _run_flow(spark, tmp_path, rows)
+
+    def test_absolute_change_over_size_from_conf_alone(self, spark,
+                                                       tmp_path):
+        conf = self._anomaly_conf(tmp_path, {
+            "metric": "size",
+            "strategy": "absoluteChange",
+            "maxRateIncrease": "2.0",
+        })
+        _COLLECTED.clear()
+        # run 1: no history -> silent first run
+        self._run_sized(spark, tmp_path, conf, 2, "2024-01-01T00:00:00")
+        # run 2: +1 row, within the allowed absolute change
+        self._run_sized(spark, tmp_path, conf, 3, "2024-01-02T00:00:00")
+        assert [a for h in _COLLECTED for a in h.alerts] == []
+        # run 3: +4 rows > maxRateIncrease=2 -> anomaly
+        self._run_sized(spark, tmp_path, conf, 7, "2024-01-03T00:00:00")
+        alerts = [a for h in _COLLECTED for a in h.alerts]
+        assert len(alerts) == 1
+        assert "size" in alerts[0].alert_message
+        assert alerts[0].importance == AlertImportance.WARNING
+        # the conf-built repository persisted one metric row per run
+        from waimak_spark.dataquality.metrics import (
+            StorageLayerMetricsRepository,
+        )
+
+        hist = StorageLayerMetricsRepository(
+            spark, str(tmp_path / "metrics")).load()
+        sizes = (hist.where("metric_name = 'size'")
+                 .orderBy("dataset_ts").collect())
+        assert [r["metric_value"] for r in sizes] == [2.0, 3.0, 7.0]
+
+    def test_relative_rate_with_column_metric(self, spark, tmp_path):
+        conf = self._anomaly_conf(tmp_path, {
+            "metric": "sum:id",
+            "strategy": "relativeRateOfChange",
+            "maxRateIncrease": "3.0",
+            "level": "critical",
+        })
+        _COLLECTED.clear()
+        # sums of id over ranges: 1 -> 3 (rate 3, allowed) -> 21 (rate 7)
+        self._run_sized(spark, tmp_path, conf, 2, "2024-02-01T00:00:00")
+        self._run_sized(spark, tmp_path, conf, 3, "2024-02-02T00:00:00")
+        assert [a for h in _COLLECTED for a in h.alerts] == []
+        self._run_sized(spark, tmp_path, conf, 7, "2024-02-03T00:00:00")
+        alerts = [a for h in _COLLECTED for a in h.alerts]
+        assert len(alerts) == 1
+        assert "sum(id)" in alerts[0].alert_message
+        assert alerts[0].importance == AlertImportance.CRITICAL
+
+    def test_anomaly_without_metrics_path_fails_loudly(self, spark,
+                                                       tmp_path):
+        conf = self._anomaly_conf(tmp_path, {"metric": "size"})
+        del conf["spark.waimak.dataquality.deequ.metricsStoragePath"]
+        _COLLECTED.clear()
+        with dq_conf(spark, conf):
+            with pytest.raises(DataFlowException) as e:
+                _run_flow(spark, tmp_path)
+        assert "metricsStoragePath" in str(e.value)
+
+    def test_unknown_strategy_and_metric_fail_loudly(self, spark,
+                                                     tmp_path):
+        for bad in ({"strategy": "zscore"}, {"metric": "median:id"},
+                    {"metric": "rowcount"}):
+            conf = self._anomaly_conf(tmp_path, bad)
+            with dq_conf(spark, conf):
+                with pytest.raises(DataFlowException):
+                    _run_flow(spark, tmp_path)
+
+    def test_batch_normal_window_from_conf(self, spark, tmp_path):
+        conf = self._anomaly_conf(tmp_path, {
+            "metric": "size",
+            "strategy": "batchNormal",
+            "windowSize": "4",
+            "minHistory": "3",
+        })
+        _COLLECTED.clear()
+        # steady history of 5,6,5 then a spike far outside mean±3σ
+        for i, (n, ts) in enumerate([(5, "2024-03-01T00:00:00"),
+                                     (6, "2024-03-02T00:00:00"),
+                                     (5, "2024-03-03T00:00:00")]):
+            self._run_sized(spark, tmp_path, conf, n, ts)
+        assert [a for h in _COLLECTED for a in h.alerts] == []
+        self._run_sized(spark, tmp_path, conf, 50, "2024-03-04T00:00:00")
+        alerts = [a for h in _COLLECTED for a in h.alerts]
+        assert len(alerts) == 1 and "size" in alerts[0].alert_message

@@ -115,37 +115,83 @@ class TestDecodeAndFeatures:
             e.value, NotImplementedError)
 
 
-class TestPillowPath:
-    """The real-codec branch of _decode_one (VERDICT r3 item 5: keep the
-    optional Pillow path from rotting). Skipped where Pillow is absent —
-    the container ships without it; these run wherever it's installed."""
+def _png_bytes(w: int, h: int, color_type: int) -> bytes:
+    """A real PNG signature + IHDR chunk (what the header parser reads —
+    no IDAT needed for dimension extraction)."""
+    import struct
+    import zlib
 
-    def test_pillow_decode_real_png(self, spark):
-        pytest.importorskip("PIL")
-        import io
+    ihdr = struct.pack(">II5B", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
 
-        from PIL import Image
 
-        buf = io.BytesIO()
-        Image.new("RGB", (7, 5)).save(buf, format="PNG")
-        df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+def _jpeg_bytes(w: int, h: int, components: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 — the marker walk the parser performs."""
+    import struct
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * components) + b"\x08"
+            + struct.pack(">HH", h, w) + bytes([components])
+            + b"\x01\x11\x00" * components)
+    return b"\xff\xd8" + app0 + sof0
+
+
+class TestRealFormatHeaders:
+    """The real-format branch of _decode_one: pure-Python PNG/JPEG/GIF
+    header parsing, covered in-sandbox with hand-built magic bytes (round
+    6 — previously this branch needed Pillow and was skip-marked here).
+    Pillow remains the fallback for formats without a parser."""
+
+    def test_png_rgb_header(self, spark):
+        df = spark.createDataFrame([(1, bytearray(_png_bytes(7, 5, 2)))],
                                    "id int, data binary")
         img = M.decode_image(df).collect()[0]["image"]
         assert (img["width"], img["height"], img["channels"]) == (7, 5, 3)
-        assert img["n_pixel_bytes"] == len(buf.getvalue())
+        assert img["n_pixel_bytes"] == len(_png_bytes(7, 5, 2))
 
-    def test_pillow_single_band(self, spark):
-        pytest.importorskip("PIL")
-        import io
+    def test_png_band_counts_match_pillow_convention(self, spark):
+        # color types: gray, RGB, palette, gray+alpha, RGBA
+        rows = [(ct, bytearray(_png_bytes(3, 2, ct)))
+                for ct in (0, 2, 3, 4, 6)]
+        df = spark.createDataFrame(rows, "ct int, data binary")
+        got = {r["ct"]: r["image"]["channels"]
+               for r in M.decode_image(df).collect()}
+        assert got == {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-        from PIL import Image
+    def test_jpeg_sof_header(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(_jpeg_bytes(640, 480, 3)))],
+            "id int, data binary")
+        img = M.decode_image(df).collect()[0]["image"]
+        assert (img["width"], img["height"], img["channels"]) == (640, 480, 3)
 
-        buf = io.BytesIO()
-        Image.new("L", (3, 2)).save(buf, format="PNG")
-        df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+    def test_jpeg_single_component(self, spark):
+        df = spark.createDataFrame([(1, bytearray(_jpeg_bytes(3, 2, 1)))],
                                    "id int, data binary")
         img = M.decode_image(df).collect()[0]["image"]
         assert (img["width"], img["height"], img["channels"]) == (3, 2, 1)
+
+    def test_gif_header(self, spark):
+        import struct
+
+        gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 4
+        df = spark.createDataFrame([(1, bytearray(gif))],
+                                   "id int, data binary")
+        img = M.decode_image(df).collect()[0]["image"]
+        assert (img["width"], img["height"], img["channels"]) == (12, 34, 1)
+
+    def test_truncated_signature_still_raises(self, spark):
+        # full 8-byte PNG signature required: a prefix match must not be
+        # parsed as PNG — it falls through to the no-codec error
+        df = spark.createDataFrame([(1, bytearray(b"\x89PNGxxxx____"))],
+                                   "id int, data binary")
+        with pytest.raises(Exception) as e:
+            M.decode_image(df).collect()
+        assert "NotImplementedError" in str(e.value) or isinstance(
+            e.value, NotImplementedError)
 
 
 class TestByteFeaturesVectorized:

@@ -217,6 +217,84 @@ def _recent_timestamp(context, prefix: str):
 
 
 @dataclass
+class _AnomalyCheckConfig:
+    metric: str = "size"
+    strategy: str = "absoluteChange"
+    maxRateIncrease: Optional[float] = None
+    maxRateDecrease: Optional[float] = None
+    lowerDeviationFactor: Optional[float] = 3.0
+    upperDeviationFactor: Optional[float] = 3.0
+    windowSize: int = 10
+    minHistory: int = 3
+    level: str = "warning"
+    datasetTimestamp: Optional[str] = None
+
+
+_ANOMALY_METRICS = {"size", "mean", "sum", "min", "max"}
+
+
+@register_prefab_check("anomalyCheck")
+def _anomaly_check(context, prefix: str):
+    """Conf-driven trend/window anomaly monitoring (round 6): Deequ's
+    ``addAnomalyCheck(strategy, analyzer)`` enabled purely from Spark
+    conf.  ``metric`` is ``size`` or ``<agg>:<column>`` (mean/sum/min/
+    max); ``strategy`` is ``absoluteChange`` / ``relativeRateOfChange``
+    / ``batchNormal`` with that strategy's own parameters.  The metric
+    history lives in the repository built from
+    ``spark.waimak.dataquality.deequ.metricsStoragePath`` — required,
+    the extension fails loudly without it."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from .checks import AnomalyCheck, CheckLevel, ComposableCheck, size_metric
+    from .metrics import (
+        AbsoluteChangeStrategy,
+        BatchNormalStrategy,
+        RelativeRateOfChangeStrategy,
+    )
+
+    c = parse_config(_AnomalyCheckConfig, context, prefix)
+    if c.metric == "size":
+        name, agg = size_metric()
+    elif ":" in c.metric:
+        kind, col = c.metric.split(":", 1)
+        if kind not in _ANOMALY_METRICS or not col:
+            raise DataFlowException(
+                f"{prefix}metric [{c.metric}] not understood — use 'size' "
+                f"or '<agg>:<column>' with agg in "
+                f"{sorted(_ANOMALY_METRICS - {'size'})}")
+        name = f"{kind}({col})"
+        agg = {"mean": F.avg, "sum": F.sum, "min": F.min,
+               "max": F.max}[kind](col)
+    else:
+        raise DataFlowException(
+            f"{prefix}metric [{c.metric}] not understood — use 'size' or "
+            f"'<agg>:<column>'")
+    if c.strategy == "absoluteChange":
+        strategy = AbsoluteChangeStrategy(c.maxRateDecrease,
+                                          c.maxRateIncrease)
+    elif c.strategy == "relativeRateOfChange":
+        strategy = RelativeRateOfChangeStrategy(c.maxRateDecrease,
+                                                c.maxRateIncrease)
+    elif c.strategy == "batchNormal":
+        strategy = BatchNormalStrategy(c.lowerDeviationFactor,
+                                       c.upperDeviationFactor,
+                                       c.windowSize, c.minHistory)
+    else:
+        raise DataFlowException(
+            f"{prefix}strategy [{c.strategy}] not understood — use "
+            f"absoluteChange, relativeRateOfChange or batchNormal")
+    level = (CheckLevel.ERROR if c.level.lower() in ("critical", "error")
+             else CheckLevel.WARNING)
+    ts = (datetime.fromisoformat(c.datasetTimestamp)
+          if c.datasetTimestamp else None)
+    # repository attached by _checks_for_label from metricsStoragePath
+    return ComposableCheck([], [AnomalyCheck(name, agg, strategy, level)],
+                           dataset_ts=ts)
+
+
+@dataclass
 class _GenericSQLCheckConfig:
     warningChecks: list[str] = field(
         default_factory=list, metadata={"waimak_separator": ";"})
@@ -245,10 +323,19 @@ class _DeequConfig:
 
 @register_configuration_extension
 class DataQualityConfigExtension(DataFlowConfigurationExtension):
-    """Attach conf-declared prefab checks (and, with a storage path, a
-    metrics repository for anomaly-capable checks) to conf-declared
-    labels — enabled by listing ``deequ`` in
-    ``spark.waimak.dataflow.extensions``."""
+    """Attach conf-declared prefab checks to conf-declared labels —
+    enabled by listing ``deequ`` in ``spark.waimak.dataflow.extensions``.
+
+    With ``metricsStoragePath`` set (DeequConfiguration.scala:21), a
+    :class:`~waimak_spark.dataquality.metrics.StorageLayerMetricsRepository`
+    at that path is attached to every ComposableCheck-based check the
+    extension builds: their evaluated scalar metrics persist per run, and
+    the conf-driven ``anomalyCheck`` compares against that history (it
+    REQUIRES the path — the extension fails loudly otherwise).  The
+    ``DatasetChecks``-based prefabs (completeness/uniqueness/timestamp/
+    SQL) evaluate whole metric FRAMES, not scalar aggregates, so they
+    have nothing to persist — matching the reference, where the
+    repository likewise only feeds Deequ's analyzer metrics."""
 
     extension_key = "deequ"
 
@@ -261,11 +348,21 @@ class DataQualityConfigExtension(DataFlowConfigurationExtension):
                 "data quality extension "
                 f"({DATAQUALITY_ALERTERS} is empty)")
         conf = parse_config(_DeequConfig, context, DEEQU_CONFIG)
+        repo = None
+        if conf.metricsStoragePath:
+            from .metrics import StorageLayerMetricsRepository
+
+            repo = StorageLayerMetricsRepository(context.spark,
+                                                 conf.metricsStoragePath)
         for label in conf.labelsToMonitor:
-            flow = self._checks_for_label(flow, context, label, alerters)
+            flow = self._checks_for_label(flow, context, label, alerters,
+                                          repo)
         return flow
 
-    def _checks_for_label(self, flow, context, label: str, alerters):
+    def _checks_for_label(self, flow, context, label: str, alerters,
+                          repo=None):
+        from .checks import ComposableCheck
+
         base = f"{DEEQU_CONFIG}labels.{label}"
         raw = context.spark.conf.get(f"{base}.checks", "")
         active = [c.strip() for c in raw.split(",") if c.strip()]
@@ -276,5 +373,12 @@ class DataQualityConfigExtension(DataFlowConfigurationExtension):
                 f"found: [{','.join(sorted(missing))}]")
         for name in active:
             check = _PREFAB_CHECK_BUILDERS[name](context, f"{base}.{name}.")
+            if isinstance(check, ComposableCheck) and check.repository is None:
+                if check.anomaly_checks and repo is None:
+                    raise DataFlowException(
+                        f"check [{name}] for label [{label}] needs a "
+                        f"metrics history — set "
+                        f"{DEEQU_CONFIG}metricsStoragePath")
+                check.repository = repo
             flow = flow.add_data_quality_check(label, check, *alerters)
         return flow

@@ -4,11 +4,13 @@ operators over ``mapInPandas``.
 
 North-star extension (not in the reference — BASELINE.json): the Spark-side
 plumbing is fully real — schemas, partition spreading, mapInPandas batch
-shapes, binary payload round trips. Actual image/audio codecs are NOT
-available in this environment, so ``decode_image`` uses Pillow when
-importable and otherwise only understands the deterministic ``FAKEIMG1``
-payload format (raising ``NotImplementedError`` for real formats) — the
-operator contract and distributed execution path are identical either way.
+shapes, binary payload round trips. ``decode_image`` understands the
+deterministic ``FAKEIMG1`` payload format, extracts dimensions/channels
+from real PNG/JPEG/GIF HEADERS with a pure-Python magic-byte parser (no
+codec needed — covered in-sandbox), and falls back to Pillow when
+importable for other formats / full decodes, raising
+``NotImplementedError`` otherwise — the operator contract and distributed
+execution path are identical in every case.
 
 Scale notes (100 TB posture): payload bytes never hit the driver — fetch
 and decode run inside Arrow batches on executors; feature columns are tiny
@@ -124,24 +126,71 @@ IMAGE_INFO_SCHEMA = StructType([
 ])
 
 
+#: PNG color type → band count (matches Pillow's len(img.getbands()):
+#: gray, RGB, palette ('P' is one band), gray+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_image_header(b: bytes):
+    """Pure-Python dimension/channel extraction from PNG/JPEG/GIF magic
+    bytes — NO codec, header fields only (round-6: gives the real-format
+    decode path in-sandbox coverage; Pillow stays the fallback for full
+    decodes and formats without a parser here).  Returns (width, height,
+    channels) or None when the payload is not a recognized format."""
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        depth_color = b[24:26]
+        channels = _PNG_CHANNELS.get(depth_color[1]) if depth_color else None
+        if channels is not None:
+            return int(w), int(h), channels
+        return None
+    if b[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF marker
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None  # corrupt segment stream
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if (0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)):  # SOFn
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return int(w), int(h), int(b[i + 9])
+            (seg_len,) = struct.unpack(">H", b[i + 2:i + 4])
+            i += 2 + seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return int(w), int(h), 1  # palette-indexed, one band like 'P'
+    return None
+
+
 def _decode_one(data: Optional[bytes]):
     if data is None:
         return None, None, None, None
-    if bytes(data[:8]) == FAKE_IMAGE_MAGIC:
+    b = bytes(data)
+    if b[:8] == FAKE_IMAGE_MAGIC:
         return (int(data[8:12]), int(data[12:16]), int(data[16:17]),
                 len(data) - 17)
-    try:  # real codecs only when Pillow happens to be importable
+    parsed = _parse_image_header(b)
+    if parsed is not None:
+        w, h, channels = parsed
+        return w, h, channels, len(data)
+    try:  # full codecs / other formats only when Pillow is importable
         import io
 
         from PIL import Image  # noqa: WPS433
 
-        img = Image.open(io.BytesIO(bytes(data)))
+        img = Image.open(io.BytesIO(b))
         return (img.width, img.height, len(img.getbands()), len(data))
     except ImportError:
         raise NotImplementedError(
-            "No image codec available in this environment: only the "
-            "deterministic FAKEIMG1 payload format is decodable. Install "
-            "Pillow for real formats.")
+            "No image codec available in this environment: FAKEIMG1 and "
+            "PNG/JPEG/GIF header parsing are built in; install Pillow "
+            "for other formats or full decodes.")
 
 
 def decode_image(df: DataFrame, data_col: str = "data",
