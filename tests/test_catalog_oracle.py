@@ -121,7 +121,27 @@ def test_driver_window_covers_all_unchecked_entries():
                   if isinstance(v, dict) and v.get("hash_match")}
     names = list(ALL_ENTRIES)
     window = set(names[:50])
-    unchecked = [n for n in names if n not in green and n not in window]
+    # Staged entries (catalog.STAGED_NEXT_ROUND): genuinely NEW entries
+    # the current window cannot hold — legal outside the window for ONE
+    # round, and only while absent from every official file (an entry
+    # with any official history cannot be "staged"; that would be
+    # parking).  They must be fronted next round, which this test then
+    # enforces automatically: the moment a round's file lands without
+    # them, staying outside the window keeps them in `unchecked`.
+    from waimak_spark.catalog import STAGED_NEXT_ROUND
+
+    ever: set[str] = set()
+    for path in files:
+        with open(path) as fh:
+            ever |= set(json.load(fh))
+    staged_ok = {n for n in STAGED_NEXT_ROUND if n not in ever}
+    parked = [n for n in STAGED_NEXT_ROUND if n in ever]
+    assert not parked, (
+        f"STAGED_NEXT_ROUND entries with official history (parking, not "
+        f"staging): {parked}")
+    unchecked = [n for n in names
+                 if n not in green and n not in window
+                 and n not in staged_ok]
     assert not unchecked, (
         f"entries never driver-checked AND outside the 50-entry window: "
         f"{unchecked} — reorder catalog/__init__.py")

@@ -86,9 +86,25 @@ _FRONT: tuple[str, ...] = (
     "multimodal_byte_features", "multimodal_image_decode",
 )
 
+# Entries NEW this round that the window cannot hold (round 6: the 45
+# forced r4-latest entries + 5 changed/new slots consume all 50).  The
+# sanctioned staging path: they are local-oracle-verified this round
+# (every pytest run + verify_drive) and MUST be fronted next round — the
+# rotation invariant test treats a staged entry as legal outside the
+# window ONLY while it has never appeared in any official CORRECTNESS
+# file (i.e. it is genuinely new, not an old entry being parked).
+STAGED_NEXT_ROUND: tuple[str, ...] = (
+    "contamination_overlap", "chunk_overlapping_windows",
+)
+
 _missing = [n for n in _FRONT if n not in _MERGED]
 if _missing:
     raise ValueError(f"_FRONT names not in catalog: {_missing}")
+_bad_staged = [n for n in STAGED_NEXT_ROUND
+               if n not in _MERGED or n in _FRONT]
+if _bad_staged:
+    raise ValueError(
+        f"STAGED_NEXT_ROUND names missing or already fronted: {_bad_staged}")
 
 ALL_ENTRIES: dict[str, dict] = {n: _MERGED[n] for n in _FRONT}
 ALL_ENTRIES.update((n, e) for n, e in _MERGED.items() if n not in ALL_ENTRIES)

@@ -443,6 +443,62 @@ DECONTAMINATE_ORACLE = f"""
 """
 
 
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED contamination (round 6, staged for the r7 window): per
+    non-benchmark doc, the fraction of its distinct shingles that occur
+    in the held-out benchmark — the score a pipeline thresholds instead
+    of the boolean drop `decontaminate_against_benchmark` applies.  Docs
+    with fewer tokens than one shingle produce no rows (no shingles to
+    score — same on both engines).
+
+    Scale shape: the benchmark shingle set is benchmark-sized (small by
+    construction — it's a held-out eval set), so it broadcasts like the
+    boolean variant; the corpus side is one shingle explode + one
+    groupBy(doc) — no corpus self-join."""
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") <= BENCHMARK_DOC_MAX
+    bench = (_shingle_hashes(docs.where(is_bench))
+             .select("_h").distinct().withColumn("_hit", F.lit(1)))
+    corpus_sh = _shingle_hashes(docs.where(~is_bench))
+    return (corpus_sh.join(F.broadcast(bench), "_h", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("_hit").alias("n_contaminated"))
+            .select("doc_id", "n_shingles", "n_contaminated",
+                    F.round(F.col("n_contaminated") / F.col("n_shingles"), 4)
+                    .alias("contamination")))
+
+
+CONTAMINATION_ORACLE = f"""
+    with tok as (
+        select doc_id, {T.TOKENS_SQL.format(col='text')} as t
+        from documents
+    ), sh as (
+        select distinct doc_id,
+               unnest({T.shingles_sql('t', 3)}) as s
+        from tok
+    ), h as (
+        select doc_id, {T.md5_hash32_sql('s')} as h from sh
+    ), bench as (
+        select distinct h from h where doc_id <= {BENCHMARK_DOC_MAX}
+    )
+    select h.doc_id,
+           count(*) as n_shingles,
+           count(b.h) as n_contaminated,
+           round(count(b.h) * 1.0 / count(*), 4) as contamination
+    from h left join bench b on h.h = b.h
+    where h.doc_id > {BENCHMARK_DOC_MAX}
+    group by h.doc_id
+"""
+
+
+def chunk_overlapping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (round 6, staged for the r7 window): the
+    RAG / context-window stage — overlapping 64-token windows every 48
+    tokens, emitted as metadata + window-text hash."""
+    return C.chunk_sliding_windows(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # corpus vocabulary: global token term/document frequencies
 # ---------------------------------------------------------------------------
@@ -687,6 +743,12 @@ ENTRIES = {
     "decontaminate_against_benchmark": {
         "fn": decontaminate_against_benchmark,
         "oracle": DECONTAMINATE_ORACLE},
+    "contamination_overlap": {
+        "fn": contamination_overlap,
+        "oracle": CONTAMINATION_ORACLE},
+    "chunk_overlapping_windows": {
+        "fn": chunk_overlapping_windows,
+        "oracle": C.chunk_sliding_windows_sql()},
     "corpus_vocabulary": {"fn": corpus_vocabulary, "oracle": VOCAB_ORACLE},
     "tfidf_top_terms": {"fn": tfidf_top_terms, "oracle": TFIDF_ORACLE},
     "pack_sequences": {"fn": pack_sequences, "oracle": _pack_oracle()},

@@ -292,6 +292,81 @@ def chunk_and_pack_sql(chunk_size: int = CHUNK_SIZE,
     """
 
 
+WINDOW_TOKENS = 64   # tokens per overlapping window
+WINDOW_OVERLAP = 16  # tokens shared between consecutive windows
+
+
+def chunk_sliding_windows(df: DataFrame,
+                          window_tokens: int = WINDOW_TOKENS,
+                          overlap: int = WINDOW_OVERLAP,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Overlapping token windows per document — the RAG / context-window
+    chunking stage: windows of ``window_tokens`` tokens starting every
+    ``window_tokens − overlap`` tokens, the last window shortened to the
+    document tail.  One row per window: (doc_id, chunk_index,
+    start_token, n_chunk_tokens, chunk_hash) — the HASH of the joined
+    window text, not the text itself, so the output stays metadata-sized
+    (and driver-canonicalizable) while remaining value-checkable.
+
+    Scale shape: map-only — tokenize once per row (own projection, so
+    the token array is a bound reference for the explode and slices, not
+    a re-run of the tokenizer), one Generate over the in-row window
+    structs, no shuffle.  Empty docs produce no rows on both engines."""
+    from .text import md5_hash32, tokens
+
+    if overlap >= window_tokens:
+        raise ValueError("overlap must be smaller than window_tokens")
+    stride = window_tokens - overlap
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                        F.lit(stride))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(F.col("_t"), s, window_tokens).alias("toks")))
+    exploded = (base.where(n > 0)
+                .select("doc_id", F.posexplode(wins).alias("_i", "w")))
+    return exploded.select(
+        "doc_id",
+        (F.col("_i") + 1).cast("int").alias("chunk_index"),
+        F.col("w.start").cast("int").alias("start_token"),
+        F.size("w.toks").alias("n_chunk_tokens"),
+        md5_hash32(F.concat_ws(" ", F.col("w.toks"))).alias("chunk_hash"))
+
+
+def chunk_sliding_windows_sql(window_tokens: int = WINDOW_TOKENS,
+                              overlap: int = WINDOW_OVERLAP) -> str:
+    """DuckDB mirror: window starts from an exclusive-stop ``range`` (==
+    Spark's inclusive ``sequence``), index derived arithmetically."""
+    from .text import TOKENS_SQL, md5_hash32_sql
+
+    stride = window_tokens - overlap
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        with tok as (
+            select doc_id, {toks} as t from documents
+        ), st as (
+            select doc_id, t,
+                   unnest(range(1, greatest(len(t) - {overlap}, 1) + 1,
+                                {stride})) as start
+            from tok where len(t) > 0
+        )
+        select doc_id,
+               ((start - 1) // {stride} + 1)::INTEGER as chunk_index,
+               start::INTEGER as start_token,
+               len(t[start : start + {window_tokens - 1}])::INTEGER
+                   as n_chunk_tokens,
+               {md5_hash32_sql(
+                   f"array_to_string(t[start : start + {window_tokens - 1}],"
+                   f" ' ')")} as chunk_hash
+        from st
+    """
+
+
 # ---------------------------------------------------------------------------
 # weighted (importance) sampling: keep-probability per ROW, derived from a
 # data column — deterministic via the same md5-prefix trick as sample_keep,
