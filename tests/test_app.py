@@ -376,3 +376,115 @@ class TestPropertiesSeparators:
             assert p.get("weird") == "colon:in:value"
         finally:
             ctx.spark.conf.unset(PROPERTIES_FILE_URI)
+
+
+class TestDatabricksSecretsProvider:
+    """DatabricksSecretsPropertyProviderBuilder
+    (DatabricksSecretsPropertyProviderBuilder.scala:20-60): scope search
+    order, key sanitization, all-scopes fallback — exercised through an
+    injected secrets API with the dbutils.secrets shape (the real
+    dbutils exists only on Databricks runtimes)."""
+
+    class FakeSecrets:
+        def __init__(self, scopes: dict[str, dict[str, str]]):
+            self.scopes = scopes
+            self.gets: list[tuple[str, str]] = []
+
+        def listScopes(self):
+            import types
+
+            return [types.SimpleNamespace(name=n) for n in self.scopes]
+
+        def get(self, scope: str, key: str) -> str:
+            self.gets.append((scope, key))
+            try:
+                return self.scopes[scope][key]
+            except KeyError:
+                raise Exception(f"Secret does not exist: {scope}/{key}")
+
+    def _ctx(self, spark, tmp_path):
+        from waimak_spark.dataflow.spark_flow import SparkFlowContext
+
+        return SparkFlowContext(spark, str(tmp_path / "tmp"))
+
+    def test_scope_order_and_key_sanitization(self, spark, tmp_path):
+        from waimak_spark.app.config import (
+            DATABRICKS_SECRET_SCOPES,
+            DatabricksSecretsPropertyProviderBuilder,
+        )
+
+        # "myapp.api_token" sanitizes to "myapp-api-token"
+        api = self.FakeSecrets({"a": {}, "b": {"myapp-api-token": "tok"}})
+        spark.conf.set(DATABRICKS_SECRET_SCOPES, "a,b")
+        try:
+            provider = DatabricksSecretsPropertyProviderBuilder(
+                api).get_property_provider(self._ctx(spark, tmp_path))
+            assert provider.get("myapp.api_token") == "tok"
+            # searched scope a first (miss), then b (hit)
+            assert api.gets == [("a", "myapp-api-token"),
+                                ("b", "myapp-api-token")]
+            assert provider.get("absent.key") is None
+        finally:
+            spark.conf.unset(DATABRICKS_SECRET_SCOPES)
+
+    def test_unset_scopes_searches_all_available(self, spark, tmp_path):
+        from waimak_spark.app.config import (
+            DatabricksSecretsPropertyProviderBuilder,
+        )
+
+        api = self.FakeSecrets({"s1": {}, "s2": {"k": "v"}})
+        provider = DatabricksSecretsPropertyProviderBuilder(
+            api).get_property_provider(self._ctx(spark, tmp_path))
+        assert provider.get("k") == "v"
+
+    def test_parse_config_through_dotted_path(self, spark, tmp_path):
+        import dataclasses
+        import sys
+        import types
+
+        from waimak_spark.app.config import (
+            DATABRICKS_SECRET_SCOPES,
+            PROPERTY_PROVIDER_BUILDER_MODULES,
+            DatabricksSecretsPropertyProviderBuilder,
+            parse_config,
+        )
+
+        api = self.FakeSecrets({"prod": {"myapp-api-token": "dbx-secret"}})
+
+        class FakeDbxBuilder(DatabricksSecretsPropertyProviderBuilder):
+            def __init__(self):
+                super().__init__(api)
+
+        mod = types.ModuleType("_dbx_secrets_test_mod")
+        mod.FakeDbxBuilder = FakeDbxBuilder
+        sys.modules["_dbx_secrets_test_mod"] = mod
+
+        @dataclasses.dataclass
+        class SecretConf:
+            api_token: str
+
+        spark.conf.set(PROPERTY_PROVIDER_BUILDER_MODULES,
+                       "_dbx_secrets_test_mod.FakeDbxBuilder")
+        spark.conf.set(DATABRICKS_SECRET_SCOPES, "prod")
+        try:
+            conf = parse_config(SecretConf, self._ctx(spark, tmp_path),
+                                prefix="myapp.")
+            assert conf.api_token == "dbx-secret"
+        finally:
+            spark.conf.unset(PROPERTY_PROVIDER_BUILDER_MODULES)
+            spark.conf.unset(DATABRICKS_SECRET_SCOPES)
+            del sys.modules["_dbx_secrets_test_mod"]
+
+    def test_without_runtime_or_injection_fails_loudly(self, spark,
+                                                       tmp_path):
+        import pytest as _pt
+
+        from waimak_spark.app.config import (
+            ConfigException,
+            DatabricksSecretsPropertyProviderBuilder,
+        )
+
+        with _pt.raises(ConfigException) as e:
+            DatabricksSecretsPropertyProviderBuilder(
+            ).get_property_provider(self._ctx(spark, tmp_path))
+        assert "Databricks" in str(e.value)

@@ -327,3 +327,78 @@ class TestUnigramLogprob:
         exp = -(2 * math.log(3 / 5) + math.log(2 / 5)) / 3
         [r] = unigram_logprob(df).collect()
         assert abs(r["avg_neg_logp"] - round(exp, 4)) < 1e-9
+
+
+class TestChunkSlidingWindows:
+    def _chunks(self, spark, text, window=8, overlap=2):
+        from waimak_spark.functions.curation import chunk_sliding_windows
+
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        return sorted(
+            chunk_sliding_windows(df, window, overlap).collect(),
+            key=lambda r: r["chunk_index"])
+
+    def test_windows_cover_every_token_with_exact_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(20))
+        rows = self._chunks(spark, text, window=8, overlap=2)
+        stride = 6
+        assert [r["start_token"] for r in rows] == [1, 7, 13]
+        # coverage: last window reaches the final token
+        last = rows[-1]
+        assert last["start_token"] + last["n_chunk_tokens"] - 1 == 20
+        # every non-tail window is full-size; consecutive starts differ
+        # by exactly window - overlap
+        assert all(r["n_chunk_tokens"] == 8 for r in rows[:-1])
+        assert all(b["start_token"] - a["start_token"] == stride
+                   for a, b in zip(rows, rows[1:]))
+
+    def test_short_doc_single_window(self, spark):
+        rows = self._chunks(spark, "a b c", window=8, overlap=2)
+        assert len(rows) == 1
+        assert rows[0]["n_chunk_tokens"] == 3
+        assert rows[0]["chunk_index"] == 1
+
+    def test_empty_doc_no_rows(self, spark):
+        assert self._chunks(spark, "   ") == []
+
+    def test_overlap_must_be_smaller_than_window(self, spark):
+        import pytest as _pt
+
+        from waimak_spark.functions.curation import chunk_sliding_windows
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+        with _pt.raises(ValueError):
+            chunk_sliding_windows(df, window_tokens=4, overlap=4)
+
+
+class TestContaminationOverlap:
+    def test_ratio_counts_shared_shingles(self, spark, sf_dir):
+        from waimak_spark.catalog.curation import (
+            BENCHMARK_DOC_MAX,
+            contamination_overlap,
+        )
+
+        out = contamination_overlap(spark, sf_dir)
+        rows = out.collect()
+        assert rows, "no scored docs"
+        assert all(r["doc_id"] > BENCHMARK_DOC_MAX for r in rows)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        for r in rows:
+            assert 0 <= r["n_contaminated"] <= r["n_shingles"]
+            # Spark rounds HALF_UP (3/96 = .03125 -> .0313), Python's
+            # round() banker's-rounds — compare in HALF_UP
+            exp = float(Decimal(r["n_contaminated"] / r["n_shingles"])
+                        .quantize(Decimal("0.0001"), ROUND_HALF_UP))
+            assert abs(r["contamination"] - exp) < 1e-9
+        # consistency with the boolean decontamination: a doc the boolean
+        # path drops must carry a non-zero score here
+        from waimak_spark.catalog.curation import (
+            decontaminate_against_benchmark,
+        )
+
+        kept = {r["doc_id"] for r in
+                decontaminate_against_benchmark(spark, sf_dir).collect()}
+        scored = {r["doc_id"]: r["contamination"] for r in rows}
+        dropped = set(scored) - kept
+        assert all(scored[d] > 0 for d in dropped)

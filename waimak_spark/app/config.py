@@ -45,6 +45,9 @@ SECRET_FILES_DIR = f"{CONFIG_PARAM_PREFIX}.secretFilesDir"
 REPLACE_SPECIAL_CHARACTERS_IN_KEY = (
     f"{CONFIG_PARAM_PREFIX}.replaceSpecialCharactersInKey")
 REPLACE_SPECIAL_CHARACTERS_IN_KEY_DEFAULT = True
+#: comma list of Databricks secret scopes to search (empty → all scopes)
+DATABRICKS_SECRET_SCOPES = (
+    f"{CONFIG_PARAM_PREFIX}.databricksSecretScopes")
 
 T = TypeVar("T")
 
@@ -197,6 +200,58 @@ class SecretFilesPropertyProviderBuilder(PropertyProviderBuilder):
                 return ctx.file_ops.read_string(path).strip()
 
         return _FileProvider()
+
+
+class DatabricksSecretsPropertyProviderBuilder(PropertyProviderBuilder):
+    """Databricks secret-scope-backed secrets
+    (DatabricksSecretsPropertyProviderBuilder.scala:20-60): searches the
+    scopes named by ``databricksSecretScopes`` (all available scopes when
+    unset) in order, sanitizing keys to ``[a-zA-Z0-9-]`` per the
+    ``replaceSpecialCharactersInKey`` conf (default true — secret stores
+    backed by repositories reject special characters), and returns the
+    first scope that holds the key.
+
+    ``dbutils`` is resolved LAZILY at provider-build time via the public
+    ``pyspark.dbutils.DBUtils`` entry point (present only on Databricks
+    runtimes), so importing this module costs nothing elsewhere;
+    ``secrets_api`` is injectable for tests and non-Databricks secret
+    services with the same list-scopes/get shape."""
+
+    def __init__(self, secrets_api=None):
+        self._secrets_api = secrets_api
+
+    def _resolve_secrets(self, context):
+        if self._secrets_api is not None:
+            return self._secrets_api
+        try:  # public Databricks runtime entry point
+            from pyspark.dbutils import DBUtils  # noqa: WPS433
+
+            return DBUtils(context.spark).secrets
+        except Exception as e:
+            raise ConfigException(
+                "DatabricksSecretsPropertyProviderBuilder needs a "
+                "Databricks runtime (pyspark.dbutils) or an injected "
+                f"secrets_api: {e}")
+
+    def get_property_provider(self, context) -> PropertyProvider:
+        secrets = self._resolve_secrets(context)
+        scopes_raw = _spark_conf_get(context, DATABRICKS_SECRET_SCOPES, "")
+        names = [s.strip() for s in scopes_raw.split(",") if s.strip()]
+        sanitize = lambda key: _sanitize_key(context, key, "-")
+
+        class _DatabricksProvider(PropertyProvider):
+            def get(self, key: str) -> Optional[str]:
+                scopes = names or [getattr(s, "name", s)
+                                   for s in secrets.listScopes()]
+                name = sanitize(key)
+                for scope in scopes:
+                    try:
+                        return secrets.get(scope, name)
+                    except Exception:
+                        continue  # key absent in this scope — try the next
+                return None
+
+        return _DatabricksProvider()
 
 
 def resolve_property_providers(context) -> list[PropertyProvider]:
