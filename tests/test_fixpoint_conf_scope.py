@@ -46,7 +46,8 @@ def test_concurrent_plan_keeps_session_default_mid_loop(spark, monkeypatch):
         pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 7)],
                                       "id_a int, id_b int")
         out = {r["id"]: r["canonical_id"]
-               for r in S.resolve_duplicates_fixpoint(ids, pairs).collect()}
+               for r in S.resolve_duplicates_fixpoint(
+                   ids, pairs, local_max_edges=0).collect()}
         assert out == {i: 1 for i in range(1, 8)}
 
         # the sizing path ran (32 -> floor of 4) ...
@@ -90,6 +91,7 @@ def test_unparseable_conf_skips_sizing_not_the_resolve(spark, monkeypatch):
     ids = spark.createDataFrame([(1,), (2,), (3,)], "id int")
     pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
     got = {r["id"]: r["canonical_id"]
-           for r in S.resolve_duplicates_fixpoint(ids, pairs).collect()}
+           for r in S.resolve_duplicates_fixpoint(
+               ids, pairs, local_max_edges=0).collect()}
     assert got == {1: 1, 2: 1, 3: 3}
     assert seen["loop_parts"] is None

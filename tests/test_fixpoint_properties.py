@@ -35,9 +35,14 @@ def _reference_components(n_ids: int, edges: list[tuple[int, int]]):
     n_ids=st.integers(min_value=1, max_value=24),
     edge_picks=st.lists(
         st.tuples(st.integers(0, 23), st.integers(0, 23)), max_size=40),
+    # both resolve paths: the default hybrid takes the driver-side
+    # union-find at these sizes; local_max_edges=0 forces the
+    # distributed min-label loop — both must equal the reference
+    local_max_edges=st.sampled_from([0, None]),
 )
 @SPARK_SETTINGS
-def test_fixpoint_matches_union_find(spark, n_ids, edge_picks):
+def test_fixpoint_matches_union_find(spark, n_ids, edge_picks,
+                                     local_max_edges):
     edges = [(a % n_ids, b % n_ids) for a, b in edge_picks
              if a % n_ids != b % n_ids]
     expected = _reference_components(n_ids, edges)
@@ -47,6 +52,9 @@ def test_fixpoint_matches_union_find(spark, n_ids, edge_picks):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     else:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
+    kwargs = ({} if local_max_edges is None
+              else {"local_max_edges": local_max_edges})
     out = {r["id"]: r["canonical_id"]
-           for r in resolve_duplicates_fixpoint(ids, pairs).collect()}
+           for r in resolve_duplicates_fixpoint(ids, pairs,
+                                                **kwargs).collect()}
     assert out == expected

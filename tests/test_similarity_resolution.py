@@ -24,16 +24,25 @@ class TestFixpointResolution:
         assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
     def test_long_chain_and_iteration_bound(self, spark):
-        # a 6-node path needs several propagation rounds; max_iters caps it
+        # a 6-node path needs several propagation rounds; max_iters caps
+        # the DISTRIBUTED loop (forced here with local_max_edges=0 — the
+        # sub-threshold local solve always fully converges)
         edges = [(i, i + 1) for i in range(1, 6)]
         out = S.resolve_duplicates_fixpoint(_ids(spark, 6),
-                                            _pairs(spark, edges))
+                                            _pairs(spark, edges),
+                                            local_max_edges=0)
         assert {r["canonical_id"] for r in out.collect()} == {1}
         # with max_iters=1 the far end cannot have converged to 1
         partial = S.resolve_duplicates_fixpoint(
-            _ids(spark, 6), _pairs(spark, edges), max_iters=1)
+            _ids(spark, 6), _pairs(spark, edges), max_iters=1,
+            local_max_edges=0)
         got = {r["id"]: r["canonical_id"] for r in partial.collect()}
         assert got[2] == 1 and got[6] != 1
+        # the default hybrid takes the local path on this tiny graph and
+        # converges regardless of max_iters
+        full = S.resolve_duplicates_fixpoint(
+            _ids(spark, 6), _pairs(spark, edges), max_iters=1)
+        assert {r["canonical_id"] for r in full.collect()} == {1}
 
     def test_no_edges_is_identity(self, spark):
         out = S.resolve_duplicates_fixpoint(

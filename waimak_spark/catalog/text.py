@@ -122,7 +122,13 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_verified_resolve(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    return D.minhash_verified_resolve(_docs(spark, sf_dir))
+    # local_max_edges=0: this entry is the catalog's loop-covering
+    # witness — it pins the DISTRIBUTED fixpoint so the official driver
+    # gate keeps verifying that path, while the sibling resolve entries
+    # exercise the sub-threshold local solve the hybrid picks at gate
+    # scale (both paths are oracle-identical by construction).
+    return D.minhash_verified_resolve(_docs(spark, sf_dir),
+                                      local_max_edges=0)
 
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

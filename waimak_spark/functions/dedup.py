@@ -728,18 +728,26 @@ def ngram_jaccard_pairs_sql(n: int = SHINGLE_N, min_jaccard: float = 0.1) -> str
 
 
 def _resolve_pairs(df: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   local_max_edges: int | None = None) -> DataFrame:
     """Collapse candidate pairs to per-doc canonical assignment via
     min-label propagation over the edge subgraph
     (:func:`~waimak_spark.functions.similarity.resolve_duplicates_fixpoint`);
     ``keep`` marks the component minimum — the one row a dedup pipeline
-    retains."""
-    from .similarity import resolve_duplicates_fixpoint
+    retains.  ``local_max_edges=None`` keeps the resolve's default
+    sub-threshold local solve; pass ``0`` to force the distributed loop."""
+    from .similarity import (
+        FIXPOINT_LOCAL_MAX_EDGES,
+        resolve_duplicates_fixpoint,
+    )
 
+    if local_max_edges is None:
+        local_max_edges = FIXPOINT_LOCAL_MAX_EDGES
     ids = df.select(F.col(id_col).alias("id"))
     edges = pairs.select(F.col("doc_a").alias("id_a"),
                          F.col("doc_b").alias("id_b"))
-    out = resolve_duplicates_fixpoint(ids, edges)
+    out = resolve_duplicates_fixpoint(ids, edges,
+                                      local_max_edges=local_max_edges)
     return out.select(
         F.col("id").alias(id_col),
         F.col("canonical_id"),
@@ -856,10 +864,12 @@ def minhash_verified_pairs(df: DataFrame,
 
 def minhash_verified_resolve(df: DataFrame,
                              min_jaccard: float = VERIFY_MIN_JACCARD,
-                             id_col: str = "doc_id") -> DataFrame:
+                             id_col: str = "doc_id",
+                             local_max_edges: int | None = None) -> DataFrame:
     """End-to-end dedup: candidates → verify → one keep/drop row per doc."""
     pairs = minhash_verified_pairs(df, min_jaccard, id_col=id_col)
-    return _resolve_pairs(df, pairs.drop("jaccard"), id_col)
+    return _resolve_pairs(df, pairs.drop("jaccard"), id_col,
+                          local_max_edges)
 
 
 def minhash_verified_pairs_sql(min_jaccard: float = VERIFY_MIN_JACCARD,
