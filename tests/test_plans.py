@@ -171,3 +171,40 @@ class TestCurationPlans:
         assert "SortMergeJoin" not in plan
 
 
+
+
+class TestResolvePlans:
+    def _spy_paths(self, monkeypatch):
+        import waimak_spark.functions.similarity as S
+
+        calls = []
+        real_local, real_loop = S._fixpoint_local, S._fixpoint_loop
+        monkeypatch.setattr(
+            S, "_fixpoint_local",
+            lambda *a, **k: (calls.append("local"), real_local(*a, **k))[1])
+        monkeypatch.setattr(
+            S, "_fixpoint_loop",
+            lambda *a, **k: (calls.append("loop"), real_loop(*a, **k))[1])
+        return calls
+
+    def test_hybrid_routes_local_at_gate_scale(self, spark, sf_dir,
+                                               monkeypatch):
+        """At gate scale the resolve entries take the driver-side
+        union-find path (edge subgraph far under the 200k-row
+        threshold), and the tiny label table is BROADCAST back onto the
+        corpus — a sort-merge join here would shuffle the corpus for a
+        3 MB-bounded label set."""
+        calls = self._spy_paths(monkeypatch)
+        plan = plan_of("dedup_simhash_resolve", spark, sf_dir)
+        assert calls == ["local"]
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_loop_witness_entry_stays_distributed(self, spark, sf_dir,
+                                                  monkeypatch):
+        """dedup_minhash_verified_resolve pins local_max_edges=0 so the
+        official correctness gate keeps exercising the distributed
+        min-label loop every round."""
+        calls = self._spy_paths(monkeypatch)
+        plan_of("dedup_minhash_verified_resolve", spark, sf_dir)
+        assert calls == ["loop"]
