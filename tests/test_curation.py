@@ -402,3 +402,49 @@ class TestContaminationOverlap:
         scored = {r["doc_id"]: r["contamination"] for r in rows}
         dropped = set(scored) - kept
         assert all(scored[d] > 0 for d in dropped)
+
+
+class TestChunkWindowProperties:
+    """Property lock for the sliding-window chunker: for arbitrary doc
+    lengths and (window, overlap) shapes, the emitted windows must tile
+    the token sequence exactly — full coverage, fixed stride, bounded
+    width, correct tail."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n_tokens=st.integers(min_value=0, max_value=120),
+        window=st.integers(min_value=2, max_value=40),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_windows_tile_the_token_sequence(self, spark, n_tokens,
+                                             window, overlap_frac):
+        from waimak_spark.functions.curation import chunk_sliding_windows
+
+        overlap = min(int(window * overlap_frac), window - 1)
+        stride = window - overlap
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        rows = sorted(chunk_sliding_windows(df, window, overlap).collect(),
+                      key=lambda r: r["chunk_index"])
+        if n_tokens == 0:
+            assert rows == []
+            return
+        # starts: 1, 1+stride, ... <= max(n-overlap, 1)
+        exp_starts = list(range(1, max(n_tokens - overlap, 1) + 1, stride))
+        assert [r["start_token"] for r in rows] == exp_starts
+        assert [r["chunk_index"] for r in rows] == list(
+            range(1, len(exp_starts) + 1))
+        for r in rows:
+            assert 1 <= r["n_chunk_tokens"] <= window
+            assert r["n_chunk_tokens"] == min(
+                window, n_tokens - r["start_token"] + 1)
+        # coverage: every token index belongs to >= 1 window
+        covered = set()
+        for r in rows:
+            covered.update(range(r["start_token"],
+                                 r["start_token"] + r["n_chunk_tokens"]))
+        assert covered == set(range(1, n_tokens + 1))

@@ -330,3 +330,29 @@ class TestInt8Quantization:
         rows = ann_int8_recall(spark, sf_dir).collect()
         mean = sum(r["recall_at_k"] for r in rows) / len(rows)
         assert mean >= 0.8
+
+
+class TestStoredIVFIndex:
+    def test_stored_probe_matches_inline_topk(self, spark, sf_dir):
+        """Build-once/probe-many must be a pure execution-strategy
+        choice: probing the stored bucketed index returns exactly the
+        inline ivf_topk answer (the index stores precisely
+        ivf_index_frame), and a second probe reuses the table without
+        rebuilding."""
+        from waimak_spark.catalog.similarity import (
+            _ivf_index_table,
+            ann_ivf_probe_stored,
+            ann_ivf_topk,
+        )
+
+        inline = sorted(map(tuple, ann_ivf_topk(spark, sf_dir).collect()))
+        stored = sorted(map(tuple,
+                            ann_ivf_probe_stored(spark, sf_dir).collect()))
+        assert stored == inline
+        # build-once: the second call resolves the same table name and
+        # the table already exists
+        name = _ivf_index_table(spark, sf_dir)
+        assert spark.catalog.tableExists(name)
+        stored2 = sorted(map(tuple,
+                             ann_ivf_probe_stored(spark, sf_dir).collect()))
+        assert stored2 == inline
