@@ -8,8 +8,12 @@ import pytest
 from waimak_spark.catalog import ALL_ENTRIES
 
 
+def build_entry(name, spark, sf_dir):
+    return ALL_ENTRIES[name]["fn"](spark, sf_dir)
+
+
 def plan_of(name, spark, sf_dir) -> str:
-    df = ALL_ENTRIES[name]["fn"](spark, sf_dir)
+    df = build_entry(name, spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -47,13 +51,23 @@ CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))
 def test_no_catastrophic_joins_or_row_udfs(name, spark, sf_dir):
-    # one plan build per entry covers both locks (plan_of EXECUTES the
-    # streaming entries, so building plans twice would double suite time):
-    # no scale-killer join strategies, and no row-at-a-time Python UDFs
-    # (BatchEvalPython serializes per row — the 10-100x slow path;
+    # one plan build per entry covers all three locks (plan_of EXECUTES
+    # the streaming entries, so building plans twice would double suite
+    # time): no scale-killer join strategies, no row-at-a-time Python
+    # UDFs (BatchEvalPython serializes per row — the 10-100x slow path;
     # Arrow-batched nodes like ArrowEvalPython / MapInPandas remain the
-    # sanctioned Python escape hatch).
-    plan = plan_of(name, spark, sf_dir)
+    # sanctioned Python escape hatch), and SCALAR output columns only —
+    # the external driver's canonicalizer pandas-sorts result rows, and
+    # an array/map/struct column crashes it (unhashable type).
+    df = build_entry(name, spark, sf_dir)
+    from pyspark.sql.types import AtomicType
+
+    non_scalar = [f.name for f in df.schema.fields
+                  if not isinstance(f.dataType, AtomicType)]
+    assert not non_scalar, (
+        f"{name}: non-scalar output columns {non_scalar} would crash the "
+        f"driver's row canonicalizer")
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
     if name in CROSS_OK:
         return
