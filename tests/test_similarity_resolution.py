@@ -356,3 +356,33 @@ class TestStoredIVFIndex:
         stored2 = sorted(map(tuple,
                              ann_ivf_probe_stored(spark, sf_dir).collect()))
         assert stored2 == inline
+
+    def test_index_invalidates_on_dataset_fingerprint_change(self, spark,
+                                                             sf_dir,
+                                                             tmp_path):
+        """The stored index is keyed on a size+mtime fingerprint of the
+        source dataset: regenerating the data in place must produce a
+        NEW table name and drop the superseded build, never serve stale
+        cells."""
+        import os
+        import shutil
+
+        from waimak_spark.catalog.similarity import (
+            _IVF_IDX_DB,
+            _ivf_index_table,
+        )
+
+        alt = tmp_path / "sfcopy"
+        alt.mkdir()
+        shutil.copy(f"{sf_dir}/embeddings.parquet",
+                    alt / "embeddings.parquet")
+        first = _ivf_index_table(spark, str(alt))
+        assert spark.catalog.tableExists(first)
+        # "regenerate" the dataset in place: bump mtime only
+        os.utime(alt / "embeddings.parquet", (1_700_000_000, 1_700_000_000))
+        second = _ivf_index_table(spark, str(alt))
+        assert second != first
+        assert spark.catalog.tableExists(second)
+        # the stale sibling build was dropped, not left to accumulate
+        assert not spark.catalog.tableExists(first)
+        spark.sql(f"drop table if exists {second}")
