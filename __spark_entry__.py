@@ -13,7 +13,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Spark's Python WORKERS resolve cloudpickled UDFs by module name via
+# PYTHONPATH, not the driver's sys.path — without this, a harness that
+# imports this file from another cwd fails inside Arrow UDF stages with
+# ModuleNotFoundError: waimak_spark.
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 from waimak_spark import catalog  # noqa: E402
 

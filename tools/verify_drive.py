@@ -1,9 +1,16 @@
 """End-to-end verify drive per .claude/skills/verify recipe."""
+import os
 import shutil
 import sys
 import tempfile
 
 sys.path.insert(0, "/root/repo")
+# Python WORKERS don't inherit the driver's sys.path mutation: cloudpickled
+# UDFs reference waimak_spark by module name, so a run launched from any
+# other cwd dies with ModuleNotFoundError in the worker.  PYTHONPATH is
+# read by the worker launcher, making the drive cwd-independent.
+os.environ["PYTHONPATH"] = (
+    "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 import duckdb
 from pyspark.sql import SparkSession
