@@ -91,6 +91,24 @@ def test_parity_doc_entry_count_matches_catalog():
         f"{len(ALL_ENTRIES)} — update the rotation section")
 
 
+def test_entry_module_exports_repo_on_worker_pythonpath():
+    """Spark Python workers resolve cloudpickled UDFs by module name via
+    PYTHONPATH, not the driver's sys.path — importing the driver contract
+    must make the repo importable for workers regardless of the harness
+    cwd (a /tmp-launched drive died in Arrow UDF stages without this)."""
+    import importlib
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    try:
+        importlib.import_module("__spark_entry__")
+    finally:
+        sys.path.remove(repo)
+    assert repo in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
 def test_driver_window_covers_all_unchecked_entries():
     """The driver's correctness gate records only the FIRST 50 entries of
     ALL_ENTRIES in insertion order (observed: CORRECTNESS_r03 ==
