@@ -11,7 +11,14 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS resolve cloudpickled UDFs via PYTHONPATH (read at session
+# start), not the driver's sys.path — export it so the bench runs from any
+# cwd (see tools/verify_drive.py for the failure mode).
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -153,8 +160,12 @@ def main() -> None:
     assert len({short_name(n) for n in timings}) == len(timings), \
         "bench short-name collision"
     short = short_name
+    # A SPARK_GRAFT_QUERIES subset run (the per-entry iteration loop) must
+    # not clobber the committed full-catalog artifact — side-write it.
+    runs_name = ("BENCH_RUNS.json" if not os.environ.get("SPARK_GRAFT_QUERIES")
+                 else "BENCH_RUNS.subset.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_RUNS.json"), "w") as fh:
+                           runs_name), "w") as fh:
         json.dump({"runs": runs, "mins": timings, "laps": N_TIMED_LAPS,
                    "sf": sf,
                    "stdout_name_rule": ("qN_* emitted as qN; others as "
