@@ -386,3 +386,76 @@ class TestStoredIVFIndex:
         # the stale sibling build was dropped, not left to accumulate
         assert not spark.catalog.tableExists(first)
         spark.sql(f"drop table if exists {second}")
+
+
+class TestSemanticDedup:
+    """SemDeDup-style cluster-blocked dedup (functions/similarity.py
+    semantic_dedup) — the catalog entry (static k) is oracle-checked by
+    test_catalog_oracle; here: the AUTO-SCALED-k path against a
+    dynamically built SQL oracle, the keep-rule invariants, and the
+    auto-k arithmetic."""
+
+    def test_scaled_k_matches_dynamic_oracle(self, spark, sf_dir):
+        """k=None with a small target cluster size resolves to k > 8 —
+        the 100 TB operating point — and must still match the unrolled
+        SQL oracle built for that k."""
+        import duckdb
+
+        from waimak_spark.functions.similarity import (
+            semantic_dedup,
+            semantic_dedup_sql,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        target = 50
+        k = max(8, -(-n // target))
+        assert k > 8  # the point of the test: NOT the static-oracle k
+        got = sorted(
+            map(tuple,
+                semantic_dedup(emb, target_cluster_size=target).collect()))
+        con = duckdb.connect()
+        con.execute(f"create view embeddings as select * from "
+                    f"'{sf_dir}/embeddings.parquet'")
+        want = sorted(map(tuple,
+                          con.execute(semantic_dedup_sql(k=k)).fetchall()))
+        assert len(got) == len(want)
+        for (gi, gc, gs, gk), (wi, wc, ws, wk) in zip(got, want):
+            assert (gi, gc, gk) == (wi, wc, wk)
+            assert round(gs, 4) == round(ws, 4)
+
+    def test_rank_one_always_kept_and_identicals_collapse(self, spark):
+        """Every cluster's most-diverse member survives, and a pile of
+        identical vectors keeps exactly one."""
+        from pyspark.sql import functions as F
+
+        from waimak_spark.functions.similarity import semantic_dedup
+
+        dims = 8
+        rows = [(i, [1.0] * dims) for i in range(20)]  # identical docs
+        rows += [(100 + i, [float(j == i) for j in range(dims)])
+                 for i in range(dims)]  # orthogonal singletons
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+        out = semantic_dedup(df, k=4, dims=dims).toPandas()
+        assert len(out) == len(rows)
+        # identical vectors: cosine 1.0 >= tau, same cluster -> one kept
+        ident = out[out.vec_id < 100]
+        assert ident.keep.sum() == 1
+        # the survivor is the rank-1 member: lowest (centroid_sim, id)
+        grp = ident.sort_values(["centroid_sim", "vec_id"])
+        assert grp.iloc[0]["keep"] == 1
+        # orthogonal vectors: cosine 0 < tau, all kept
+        assert (out[out.vec_id >= 100].keep == 1).all()
+
+    def test_auto_k_arithmetic(self, spark, sf_dir):
+        """At every gate scale the auto-k resolves to the static-oracle
+        KMEANS_K — the invariant that keeps the catalog entry's fixed
+        SQL string exact (PARITY rotation note)."""
+        from waimak_spark.functions.similarity import (
+            KMEANS_K,
+            SEMDEDUP_TARGET_CLUSTER,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        assert max(KMEANS_K, -(-n // SEMDEDUP_TARGET_CLUSTER)) == KMEANS_K

@@ -49,6 +49,9 @@ DOC_QUERIES = [
     "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
     "embedding_quantize_int8", "ann_int8_recall",
     "embedding_cluster_exemplars", "sample_lang_balanced",
+    # round-6 entries
+    "ann_ivf_probe_stored", "bigram_logprob", "contamination_overlap",
+    "chunk_overlapping_windows", "dedup_semantic_kmeans",
 ]
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",

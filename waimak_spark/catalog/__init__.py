@@ -95,6 +95,7 @@ _FRONT: tuple[str, ...] = (
 # file (i.e. it is genuinely new, not an old entry being parked).
 STAGED_NEXT_ROUND: tuple[str, ...] = (
     "contamination_overlap", "chunk_overlapping_windows",
+    "dedup_semantic_kmeans",
 )
 
 _missing = [n for n in _FRONT if n not in _MERGED]

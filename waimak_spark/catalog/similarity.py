@@ -225,6 +225,15 @@ def embedding_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_exemplars(emb)
 
 
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means blocks
+    the corpus, pairs are compared only within a cluster, and each
+    near-duplicate group keeps its least-centroid-similar member.  Output
+    is one verdict row per document (linear, not a pair listing)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.semantic_dedup(emb)
+
+
 ENTRIES = {
     "embedding_kmeans": {
         "fn": embedding_kmeans,
@@ -271,5 +280,9 @@ ENTRIES = {
     "dedup_embedding_cosine_fixpoint": {
         "fn": dedup_embedding_cosine_fixpoint,
         "oracle": S.embedding_cosine_dedup_fixpoint_sql(min_cosine=0.0),
+    },
+    "dedup_semantic_kmeans": {
+        "fn": dedup_semantic_kmeans,
+        "oracle": S.semantic_dedup_sql(),
     },
 }

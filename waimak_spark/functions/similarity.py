@@ -1371,3 +1371,172 @@ def kmeans_exemplars_sql(k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
             from scored
         ) where rank <= {n_exemplars}
     """
+
+
+# ---------------------------------------------------------------------------
+# semantic deduplication (cluster -> intra-cluster cosine, SemDeDup-style)
+# ---------------------------------------------------------------------------
+#
+# The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication", arXiv:2303.09540):
+# k-means the embedding corpus, compare pairs ONLY within a cluster, and
+# inside every near-duplicate group keep the example LEAST similar to its
+# cluster centroid (the most diverse representative).  Candidate
+# generation is therefore O(n^2 / k) instead of all-pairs O(n^2) — the
+# clustering IS the blocking scheme, which is what makes the method run
+# at web scale: k grows with the corpus (the paper uses k = 50k on
+# LAION-scale data) so cluster populations stay roughly constant and the
+# intra-cluster pair stage stays an equi-join on the cluster key with
+# bounded per-key fan-out.  No part of this reuses the reference engine —
+# the reference (waimak) has no semantic dedup; this is the
+# training-data-pipeline extension surface (SURVEY.md §7.2 item 10).
+
+#: pairwise-cosine threshold above which two same-cluster members are
+#: semantic duplicates.  Tuned to the synthetic testdata's similarity
+#: range (intra-cluster cosines top out near 0.5): yields a meaningful
+#: drop set at every gate scale (141 edges at sf0.001, ~2k at sf0.1)
+#: while keeping the survivor majority.
+SEMDEDUP_TAU = 0.35
+
+#: target cluster population for the auto-scaled k: per-cluster work is
+#: quadratic in population, so ``k`` must grow linearly with the corpus
+#: (the paper's operating point — k = 50k on LAION-scale data).  250
+#: keeps the per-cluster similarity matrix well under a MB while leaving
+#: k = KMEANS_K (static-oracle compatible) at every gate scale (n <=
+#: 2000); measured at 10x: fixed k=8 scaled 33.7x (quadratic), auto
+#: k=80 restored near-linear scaling.
+SEMDEDUP_TARGET_CLUSTER = 250
+
+
+def semantic_dedup(emb: DataFrame, min_cosine: float = SEMDEDUP_TAU,
+                   k: int | None = None, n_iters: int = KMEANS_ITERS,
+                   dims: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER,
+                   materialize=None) -> DataFrame:
+    """Per-document semantic-dedup verdict: ``(id, cluster, centroid_sim,
+    keep)`` — linear output (one row per input document, never a pair
+    list), so the operator composes directly with a downstream filter.
+
+    Within each fitted k-means cluster, members are ranked by cosine
+    similarity TO THE CENTROID ascending (id tiebreak): rank 1 is the
+    most diverse member and is always kept.  A member is dropped when
+    any BETTER-ranKED member of its cluster is within ``min_cosine``
+    pairwise cosine — exactly the upper-triangular keep rule of the
+    SemDeDup paper (one representative survives per duplicate group, and
+    it is the least-centroid-similar one).
+
+    Engine parity: centroid similarities and pairwise cosines are
+    sequential-order dots (bit-identical to DuckDB ``list_dot_product``)
+    rounded to 4 decimals BEFORE feeding the rank / threshold — the
+    float-comparison recipe used across the catalog.  The fitted
+    centroids enter the plan as literals (same as
+    :func:`kmeans_exemplars`); the oracle recomputes them with the
+    identical unrolled-Lloyd CTE.
+
+    Scale: the pair stage is ONE ``applyInPandas`` over the cluster key —
+    per-key work is quadratic in CLUSTER population and the full n_c x n_c
+    similarity matrix is built in executor memory, so ``k`` must scale
+    with the corpus to keep cluster populations bounded (see module
+    comment — exactly the paper's own operating point, where n_c ~ 1k
+    makes the matrix a few MB).  One shuffle of n rows on the cluster
+    key, zero pair rows materialized (a pair-list self-join was measured
+    4x slower at sf0.1: it shuffles and sorts O(n^2/k) 64-dim vector
+    pairs where this shuffles n vectors once), and nothing touches the
+    driver beyond the k x dims centroid collect already paid by the
+    fit.
+
+    ``k=None`` (default) auto-scales the cluster count to
+    ``max(KMEANS_K, ceil(n / target_cluster_size))`` from one metadata
+    count of the input — the invariant that keeps per-key work bounded
+    at any corpus size.  Every oracle-checked gate scale resolves to
+    ``KMEANS_K``, so the static SQL oracle stays exact there; the
+    scaled-k path is oracle-checked separately with a dynamically built
+    SQL string (test_similarity_resolution.py)."""
+    if k is None:
+        n_rows = emb.count()
+        k = max(KMEANS_K, -(-n_rows // int(target_cluster_size)))
+    base, Wc = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col,
+                           materialize)
+    scored = base.withColumn("cluster",
+                             _kmeans_assign_kernel(Wc)(F.col("v")))
+    tau = float(min_cosine)
+    Wn = np.array(Wc)
+    cw_n2 = np.array(_seq_norms(Wc))
+
+    def _verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        c = int(pdf["cluster"].iloc[0])
+        X = _rows_matrix(pdf["v"])
+        # per-vector norm and centroid similarity with the same
+        # sequential-over-dims accumulation as aggregate(zip_with(...))
+        # and DuckDB list_dot_product (one rounded multiply + one rounded
+        # add per dimension, ascending order) — np elementwise ufuncs
+        # don't fuse multiply-add, so no FMA breaks the lockstep
+        nr = np.sqrt(_seq_rowdot(X, X))
+        w = Wn[c - 1]
+        cs = np.zeros(n)
+        for d in range(X.shape[1]):
+            cs += X[:, d] * w[d]
+        cs = np.round(cs / (nr * np.sqrt(cw_n2[c - 1])), 4)
+        # rank order inside the cluster: centroid_sim asc, id asc (both
+        # engine-stable: sim is rounded, id is exact)
+        order = np.lexsort((pdf["id"].to_numpy(), cs))
+        X, nr = X[order], nr[order]
+        keep = np.ones(n, dtype=np.int32)
+        if n >= 2:
+            # pairwise sequential-order dots (same reasoning as
+            # _seq_matmul; a BLAS X @ X.T would round differently)
+            S = np.zeros((n, n))
+            for d in range(X.shape[1]):
+                S += X[:, d, None] * X[None, :, d]
+            S = np.round(S / (nr[:, None] * nr[None, :]), 4)
+            # doc j is dropped when ANY better-ranked i (i < j) is within
+            # tau — the paper's upper-triangular keep rule
+            dup = np.triu(S >= tau, k=1)
+            keep = (~dup.any(axis=0)).astype(np.int32)
+        return pd.DataFrame({"vec_id": pdf["id"].to_numpy()[order],
+                             "cluster": pdf["cluster"].to_numpy()[order],
+                             "centroid_sim": cs[order],
+                             "keep": keep})
+
+    return (scored.select("id", "cluster", "v")
+            .groupBy("cluster")
+            .applyInPandas(
+                _verdicts,
+                "vec_id long, cluster int, centroid_sim double, keep int")
+            .withColumnRenamed("vec_id", id_col))
+
+
+def semantic_dedup_sql(min_cosine: float = SEMDEDUP_TAU,
+                       k: int = KMEANS_K, n_iters: int = KMEANS_ITERS,
+                       dims: int = 64) -> str:
+    """The identical pipeline in SQL: unrolled Lloyd CTEs, centroid-sim
+    rank, upper-triangular intra-cluster near-dup drops."""
+    ctes, last = _kmeans_sql_ctes(k, n_iters, dims)
+    return ctes + f""", nn as (
+            select vec_id, cluster, v,
+                   sqrt(list_dot_product(v, v)) as nrm
+            from af
+        ), scored as (
+            select n.vec_id, n.cluster, n.v, n.nrm,
+                   round(list_dot_product(n.v, k.w)
+                         / (n.nrm * sqrt(list_dot_product(k.w, k.w))),
+                         4) as centroid_sim
+            from nn n join {last} k on n.cluster = k.c
+        ), rk as (
+            select *, row_number() over (partition by cluster
+                                         order by centroid_sim asc,
+                                                  vec_id asc) as rnk
+            from scored
+        ), drops as (
+            select distinct b.vec_id
+            from rk a join rk b
+              on a.cluster = b.cluster and a.rnk < b.rnk
+            where round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                      >= {min_cosine}
+        )
+        select r.vec_id, r.cluster, r.centroid_sim,
+               (d.vec_id is null)::int as keep
+        from rk r left join drops d on r.vec_id = d.vec_id
+    """
