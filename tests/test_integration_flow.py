@@ -127,3 +127,46 @@ def test_dq_warning_and_commit_coexist(spark, tmp_path):
 
     assert spark.read.parquet(f"{out}/t").count() == 3
     assert handler.alerts, "completeness warning expected"
+
+
+def test_semantic_dedup_as_flow_stage(spark, tmp_path):
+    """The semantic-dedup operator composed THROUGH the dataflow engine:
+    verdicts computed in one action, joined back to the documents in a
+    second, committed through the staged-move committer — proving the
+    operator (applyInPandas + k-means fit inside) behaves as a regular
+    transform under the parallel executor and the commit rewrite."""
+    from waimak_spark.functions.similarity import semantic_dedup
+
+    out = str(tmp_path / "curated")
+    committer = ParquetDataCommitter(out, snapshot_folder="v1")
+
+    flow = (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
+            .open_file_parquet(f"{SF}/embeddings.parquet", "embeddings")
+            .open_file_parquet(f"{SF}/documents.parquet", "documents")
+            .transform("embeddings", output="verdicts",
+                       fn=lambda df: semantic_dedup(df))
+            .sql("documents", "verdicts",
+                 output="kept_docs",
+                 query="""
+                   select d.doc_id, d.lang, v.cluster, v.centroid_sim
+                   from documents d join verdicts v on d.doc_id = v.vec_id
+                   where v.keep = 1
+                 """)
+            .commit("publish", "kept_docs")
+            .push("publish", committer))
+    flow.execute(ParallelDataFlowExecutor(max_jobs=4))
+
+    committed = spark.read.parquet(f"{out}/kept_docs/v1")
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    verdicts = semantic_dedup(
+        spark.read.parquet(f"{SF}/embeddings.parquet")).toPandas()
+    assert len(verdicts) == n_emb
+    n_kept = int(verdicts["keep"].sum())
+    assert 0 < n_kept < n_emb  # tau actually drops something at sf0.001
+    # committed rows = kept verdicts that have a matching document
+    doc_ids = set(r["doc_id"] for r in spark.read.parquet(
+        f"{SF}/documents.parquet").select("doc_id").collect())
+    expect = {int(i) for i in verdicts[verdicts.keep == 1]["vec_id"]
+              if int(i) in doc_ids}
+    got = {r["doc_id"] for r in committed.select("doc_id").collect()}
+    assert got == expect
