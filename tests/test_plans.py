@@ -222,3 +222,20 @@ class TestResolvePlans:
         calls = self._spy_paths(monkeypatch)
         plan_of("dedup_minhash_verified_resolve", spark, sf_dir)
         assert calls == ["loop"]
+
+
+class TestSemanticDedupPlan:
+    def test_single_cluster_exchange_no_pair_rows(self, spark, sf_dir):
+        """dedup_semantic_kmeans' verdict plan must be: persisted (id,v)
+        base -> Arrow-batched cluster assignment -> ONE Exchange on the
+        cluster key -> FlatMapGroupsInPandas.  No join, no Generate —
+        the intra-cluster pair work happens inside the grouped kernel,
+        so zero O(n^2/k) pair rows ever hit a shuffle (the self-join
+        formulation measured 2x slower at sf0.1 and shuffles pair rows
+        of full vectors)."""
+        plan = plan_of("dedup_semantic_kmeans", spark, sf_dir)
+        assert "FlatMapGroupsInPandas" in plan
+        assert "ArrowEvalPython" in plan
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" not in plan
+        assert "Generate" not in plan
