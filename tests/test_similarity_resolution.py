@@ -459,3 +459,90 @@ class TestSemanticDedup:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n = emb.count()
         assert max(KMEANS_K, -(-n // SEMDEDUP_TARGET_CLUSTER)) == KMEANS_K
+
+    def test_matches_pure_python_reference_on_random_inputs(self, spark):
+        """Independent-implementation lockstep (beyond the DuckDB
+        oracles): a naive NumPy re-implementation of the SemDeDup rule —
+        same seed centroids, Lloyd rounds, rank order, and
+        upper-triangular drop — must agree with the Spark operator on
+        random inputs (hypothesis drives shapes and values; sequential
+        dots on both sides keep the comparison exact)."""
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        from waimak_spark.functions.similarity import (
+            KMEANS_ROUND,
+            _kmeans_init,
+            semantic_dedup,
+        )
+
+        dims = 6
+
+        def seq_dots(X, W):
+            acc = np.zeros((X.shape[0], W.shape[0]))
+            for d in range(W.shape[1]):
+                acc += X[:, d, None] * W[:, d][None, :]
+            return acc
+
+        def reference(X, ids, k, n_iters, tau):
+            W = np.array(_kmeans_init(k, dims))
+            for _ in range(n_iters):
+                scores = (seq_dots(W, W).diagonal()[None, :]
+                          - 2 * seq_dots(X, W))
+                a = np.argmin(scores, axis=1)
+                for c in range(k):
+                    if (a == c).any():
+                        W[c] = np.round(X[a == c].mean(axis=0),
+                                        KMEANS_ROUND)
+            scores = (seq_dots(W, W).diagonal()[None, :]
+                      - 2 * seq_dots(X, W))
+            a = np.argmin(scores, axis=1)
+            out = {}
+            for c in range(k):
+                m = np.where(a == c)[0]
+                if len(m) == 0:
+                    continue
+                Xc = X[m]
+                nr = np.sqrt(seq_dots(Xc, Xc).diagonal())
+                cs = np.round(
+                    seq_dots(Xc, W[c:c + 1])[:, 0]
+                    / (nr * np.sqrt(seq_dots(W[c:c + 1],
+                                             W[c:c + 1])[0, 0])), 4)
+                order = np.lexsort((ids[m], cs))
+                S = np.round(seq_dots(Xc[order], Xc[order])
+                             / np.outer(nr[order], nr[order]), 4)
+                dropped = np.triu(S >= tau, k=1).any(axis=0)
+                for pos, keep in zip(order, ~dropped):
+                    out[int(ids[m][pos])] = (int(c + 1), int(keep))
+            return out
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=[
+                      HealthCheck.function_scoped_fixture,
+                      HealthCheck.too_slow])
+        @given(X=arrays(np.float64, st.tuples(
+                            st.integers(min_value=2, max_value=24),
+                            st.just(dims)),
+                        elements=st.floats(min_value=-2, max_value=2,
+                                           allow_nan=False)),
+               tau=st.sampled_from([0.3, 0.8, 0.99]))
+        def check(X, tau):
+            ids = np.arange(len(X))
+            df = spark.createDataFrame(
+                [(int(i), [float(x) for x in row])
+                 for i, row in zip(ids, X)],
+                "vec_id long, embedding array<float>")
+            # float32 storage: reference must see the same doubles Spark
+            # casts from
+            X32 = X.astype(np.float32).astype(np.float64)
+            got = {int(r["vec_id"]): (int(r["cluster"]), int(r["keep"]))
+                   for r in semantic_dedup(
+                       df, min_cosine=tau, k=3, n_iters=2,
+                       dims=dims).collect()}
+            # rows whose vector is all-finite (all are, by construction)
+            want = reference(X32, ids, k=3, n_iters=2, tau=tau)
+            assert got == want
+
+        check()
