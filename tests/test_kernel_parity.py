@@ -107,3 +107,45 @@ def test_shingle_kernel_matches_expression(spark, docs):
         "id", distinct_shingle_kernel(2)(F.col("text")).alias("sh"))
         .collect()}
     assert kern == expr, docs
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(finite, min_size=DIMS, max_size=DIMS),
+                min_size=1, max_size=8))
+def test_kmeans_assign_kernel_matches_expression(spark, vecs):
+    """The Arrow-batched nearest-centroid kernel must pick the same
+    1-based centroid as the interpreted expression form of the score
+    |w|^2 - 2 v.w (sequential dots, ties to lowest index) — the argmin
+    the k-means/semantic-dedup oracles assume."""
+    import numpy as np
+
+    k = 3
+    W = S._kmeans_init(k, DIMS)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "id int, v array<double>")
+    kern = {r["id"]: r["c"] for r in df.select(
+        "id", S._kmeans_assign_kernel(W)(F.col("v")).alias("c")).collect()}
+    n2 = S._seq_norms(W)
+    scores = [
+        F.lit(n2[c]) - 2.0 * S.dot(F.col("v"), F.lit(W[c]))
+        for c in range(k)
+    ]
+    arr = F.array(*scores)
+    expr_c = F.expr(
+        "array_position(arr, array_min(arr))")
+    expr = {r["id"]: r["c"] for r in df.select(
+        "id", arr.alias("arr")).select(
+        "id", expr_c.cast("int").alias("c")).collect()}
+    assert kern == expr
+    # cross-check against plain python argmin on the same doubles
+    for i, v in enumerate(vecs):
+        best = None
+        for c in range(k):
+            acc = 0.0
+            for d in range(DIMS):
+                acc += v[d] * W[c][d]
+            s = n2[c] - 2.0 * acc
+            if best is None or s < best[0]:
+                best = (s, c + 1)
+        assert kern[i] == best[1], f"argmin mismatch on {v}"
