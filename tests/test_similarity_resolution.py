@@ -130,6 +130,18 @@ class TestInvalidEmbeddings:
             assert out[i] == i
         assert out[2] == 1  # the one real near-dup pair resolves
 
+    def test_semantic_dedup_drops_invalid_keeps_valid(self, spark):
+        """semantic_dedup routes through the same valid_embeddings choke
+        point: NULL/ragged/non-finite vectors get NO verdict row (they
+        can be neither kept nor a duplicate witness), and the two valid
+        near-identical vectors collapse to one keep."""
+        from waimak_spark.functions.similarity import semantic_dedup
+
+        out = semantic_dedup(self._emb(spark), min_cosine=0.9, k=2,
+                             dims=4).toPandas()
+        assert set(out.vec_id) == {1, 2}
+        assert out.keep.sum() == 1
+
 
 class TestTextDedupResolve:
     """minhash/simhash end-to-end resolution: pair candidates -> one
