@@ -188,3 +188,34 @@ def test_bench_short_names_unique_and_fit():
         "queries": {s: 99.0 for s in shorts}, "sf": 0.1,
     }, separators=(",", ":"))
     assert len(line) < 1990, f"worst-case bench line {len(line)} chars"
+
+
+def test_parity_round7_front_draft_stays_valid():
+    """PARITY.md precomputes round 7's _FRONT (47 r5-latest entries + the
+    staged set).  Lock the draft against drift: every name must exist in
+    the catalog, no duplicates, it must fill exactly one window, and
+    together with the CURRENT window it must cover the whole catalog —
+    the every-other-round guarantee the rotation exists to provide."""
+    import os
+    import re
+
+    from waimak_spark.catalog import ALL_ENTRIES, STAGED_NEXT_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "PARITY.md")).read()
+    m = re.search(r"r5-latest entries `([^`]+)`", text, re.S)
+    assert m, "PARITY.md round-7 _FRONT draft went missing"
+    draft = [n.strip() for n in m.group(1).replace("\n", " ").split(",")
+             if n.strip()]
+    front = draft + list(STAGED_NEXT_ROUND)
+    assert len(front) == len(set(front)), "duplicate names in the draft"
+    missing = [n for n in front if n not in ALL_ENTRIES]
+    assert not missing, f"draft names not in catalog: {missing}"
+    assert len(front) == 50, (
+        f"draft + staged = {len(front)}, window holds exactly 50")
+    window_now = set(list(ALL_ENTRIES)[:50])
+    uncovered = [n for n in ALL_ENTRIES
+                 if n not in window_now and n not in set(front)]
+    assert not uncovered, (
+        f"entries in neither the current window nor the round-7 draft "
+        f"(would go >2 rounds unchecked): {uncovered}")
