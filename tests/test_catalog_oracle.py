@@ -190,12 +190,13 @@ def test_bench_short_names_unique_and_fit():
     assert len(line) < 1990, f"worst-case bench line {len(line)} chars"
 
 
-def test_parity_round7_front_draft_stays_valid():
-    """PARITY.md precomputes round 7's _FRONT (47 r5-latest entries + the
-    staged set).  Lock the draft against drift: every name must exist in
-    the catalog, no duplicates, it must fill exactly one window, and
-    together with the CURRENT window it must cover the whole catalog —
-    the every-other-round guarantee the rotation exists to provide."""
+def test_parity_round8_front_draft_stays_valid():
+    """PARITY.md precomputes round 8's _FRONT (the 50 r6-latest entries —
+    the stable set-A/set-B alternation at the 100-entry cap).  Lock the
+    draft against drift: every name must exist in the catalog, no
+    duplicates, it must fill exactly one window, and together with the
+    CURRENT window it must cover the whole catalog — the
+    every-other-round guarantee the rotation exists to provide."""
     import os
     import re
 
@@ -203,8 +204,8 @@ def test_parity_round7_front_draft_stays_valid():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     text = open(os.path.join(repo, "PARITY.md")).read()
-    m = re.search(r"r5-latest entries `([^`]+)`", text, re.S)
-    assert m, "PARITY.md round-7 _FRONT draft went missing"
+    m = re.search(r"r6-latest entries `([^`]+)`", text, re.S)
+    assert m, "PARITY.md round-8 _FRONT draft went missing"
     draft = [n.strip() for n in m.group(1).replace("\n", " ").split(",")
              if n.strip()]
     front = draft + list(STAGED_NEXT_ROUND)
@@ -217,5 +218,5 @@ def test_parity_round7_front_draft_stays_valid():
     uncovered = [n for n in ALL_ENTRIES
                  if n not in window_now and n not in set(front)]
     assert not uncovered, (
-        f"entries in neither the current window nor the round-7 draft "
+        f"entries in neither the current window nor the round-8 draft "
         f"(would go >2 rounds unchecked): {uncovered}")

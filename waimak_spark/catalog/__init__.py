@@ -49,54 +49,48 @@ for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES,
 # (test_driver_window_covers_all_unchecked_entries) fails the suite if any
 # entry would go two rounds without an official row.
 #
-# _FRONT for round 6: the 45 entries whose newest green row is r4 (they
-# would otherwise go two rounds unchecked — the rotation invariant forces
-# ALL of them into this window, leaving exactly 5 free slots), plus the
-# two entries NEW this round and the entries whose BEHAVIOR changed
-# (q11 / dq_window_anomaly rounded-threshold gates), plus
-# dedup_simhash_resolve as the in-window representative of the
-# resolve-fixpoint shuffle-sizing rework (the other fixpoint entries
-# share the same code path and r5 green rows; the full-catalog local
-# oracle suite covers them every pytest run).
+# _FRONT for round 7 — the rotation precomputed in PARITY.md's round-6
+# ledger, executed verbatim (CORRECTNESS_r06 matched the committed window
+# exactly, so no re-derivation was needed): the 3 entries staged in round
+# 6 (their first official driver rows) plus the 47 entries whose newest
+# official row is r5.  47 + 3 = 50 — zero free slots; round 7 is a
+# deepen-only round by construction (the catalog sits at the 2×50
+# structural cap).  The only behavior-sensitive code change this round
+# (the semantic-dedup pair-scoring rework) lands on dedup_semantic_kmeans,
+# which is in this window.
 _FRONT: tuple[str, ...] = (
-    # --- new in round 6 ---
-    "ann_ivf_probe_stored", "bigram_logprob",
-    # --- behavior changed in round 6 (rounded float-threshold gates) ---
-    "q11_important_parts", "dq_window_anomaly",
-    # --- fixpoint shuffle-sizing rework representative ---
-    "dedup_simhash_resolve",
-    # --- the 45 entries last officially checked in r4 ---
-    "asof_quote_per_trade", "range_join_shipments",
-    "grouping_sets_quantity", "streaming_tumbling_counts",
-    "streaming_session_counts", "streaming_dedup_pairs",
-    "streaming_trade_quote_join", "sample_stratified",
-    "split_leakage_safe", "pii_redaction", "repetition_metrics",
-    "dedup_against_corpus", "dedup_near_against_corpus", "source_rollup",
-    "sample_quota_per_stratum", "curation_pipeline",
-    "decontaminate_against_benchmark", "corpus_vocabulary",
-    "tfidf_top_terms", "pack_sequences", "sample_weighted",
-    "decontaminate_near", "dq_metrics_trend", "text_quality", "lang_id",
-    "token_counts", "doc_fingerprint", "dedup_exact",
-    "dedup_minhash_signature", "dedup_lsh_candidates",
-    "dedup_simhash_near_dups", "dedup_ngram_jaccard",
-    "dedup_minhash_verified", "dedup_minhash_verified_resolve",
-    "ann_brute_force_topk", "ann_lsh_pairs", "ann_ivf_topk",
-    "ann_ivf_recall", "dedup_embedding_cosine", "storage_snapshot_dedup",
-    "storage_all_between", "rdbm_temporal_snapshot", "rdbm_lowercase_all",
-    "multimodal_byte_features", "multimodal_image_decode",
-)
-
-# Entries NEW this round that the window cannot hold (round 6: the 45
-# forced r4-latest entries + 5 changed/new slots consume all 50).  The
-# sanctioned staging path: they are local-oracle-verified this round
-# (every pytest run + verify_drive) and MUST be fronted next round — the
-# rotation invariant test treats a staged entry as legal outside the
-# window ONLY while it has never appeared in any official CORRECTNESS
-# file (i.e. it is genuinely new, not an old entry being parked).
-STAGED_NEXT_ROUND: tuple[str, ...] = (
+    # --- staged in round 6, first official rows this round ---
     "contamination_overlap", "chunk_overlapping_windows",
     "dedup_semantic_kmeans",
+    # --- the 47 entries whose newest official row is r5 ---
+    "embedding_centroids", "dedup_simhash", "dedup_minhash_resolve",
+    "dedup_embedding_cosine_fixpoint", "embedding_kmeans",
+    "unigram_logprob", "lang_mixture_weights", "q2_min_cost_supplier",
+    "q8_market_share", "q12_late_priority", "q15_top_supplier",
+    "q16_supplier_count", "q19_disjunctive_revenue", "q20_heavy_suppliers",
+    "q21_waiting_suppliers", "embedding_quantize_int8", "ann_int8_recall",
+    "embedding_cluster_exemplars", "sample_lang_balanced",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",
+    "pivot_status_quantity", "customers_without_orders",
+    "part_feature_projection", "q4_priority_exists", "q7_nation_volume",
+    "q9_profit_by_nation", "q10_returned_revenue", "q13_order_distribution",
+    "q14_promo_share", "q17_small_quantity", "q18_large_volume",
+    "q22_wealthy_inactive", "status_custkey_setops", "order_window_stats",
+    "latest_event_per_user_type", "tumbling_window_counts",
+    "sessions_per_user", "running_value_per_user", "approx_event_stats",
+    "skew_count_distinct", "skew_salted_join", "event_funnel",
 )
+
+# Entries NEW this round that the window cannot hold.  The sanctioned
+# staging path: local-oracle-verified this round (every pytest run +
+# verify_drive) and MUST be fronted next round — the rotation invariant
+# test treats a staged entry as legal outside the window ONLY while it
+# has never appeared in any official CORRECTNESS file (i.e. it is
+# genuinely new, not an old entry being parked).  Round 7: empty — the
+# catalog is saturated at the 2×50 cap, so a new entry first needs a
+# retirement/merge (the round-8 plan is in PARITY.md's rotation ledger).
+STAGED_NEXT_ROUND: tuple[str, ...] = ()
 
 _missing = [n for n in _FRONT if n not in _MERGED]
 if _missing:
