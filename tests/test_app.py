@@ -427,6 +427,27 @@ class TestDatabricksSecretsProvider:
         finally:
             spark.conf.unset(DATABRICKS_SECRET_SCOPES)
 
+    def test_databricks_specific_sanitization_conf_honored(self, spark,
+                                                           tmp_path):
+        # ADVICE r6: the reference reads a Databricks-specific toggle
+        # (databricksReplaceSpecialCharactersInKey) — a config written
+        # for it that disables sanitization must not be silently ignored
+        from waimak_spark.app.config import (
+            DATABRICKS_REPLACE_SPECIAL_CHARACTERS_IN_KEY,
+            DatabricksSecretsPropertyProviderBuilder,
+        )
+
+        api = self.FakeSecrets({"s": {"raw.key_name": "v"}})
+        spark.conf.set(DATABRICKS_REPLACE_SPECIAL_CHARACTERS_IN_KEY,
+                       "false")
+        try:
+            provider = DatabricksSecretsPropertyProviderBuilder(
+                api).get_property_provider(self._ctx(spark, tmp_path))
+            assert provider.get("raw.key_name") == "v"
+            assert api.gets == [("s", "raw.key_name")]  # unsanitized
+        finally:
+            spark.conf.unset(DATABRICKS_REPLACE_SPECIAL_CHARACTERS_IN_KEY)
+
     def test_unset_scopes_searches_all_available(self, spark, tmp_path):
         from waimak_spark.app.config import (
             DatabricksSecretsPropertyProviderBuilder,

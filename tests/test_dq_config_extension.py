@@ -277,6 +277,16 @@ class TestConfigDrivenAnomalyChecks:
                 with pytest.raises(DataFlowException):
                     _run_flow(spark, tmp_path)
 
+    def test_size_with_column_gets_friendly_error(self, spark, tmp_path):
+        # ADVICE r6: 'size:<col>' passed validation ('size' is a known
+        # metric) then died with a KeyError at the agg lookup — it must
+        # raise the same friendly DataFlowException as other bad metrics
+        conf = self._anomaly_conf(tmp_path, {"metric": "size:id"})
+        with dq_conf(spark, conf):
+            with pytest.raises(DataFlowException) as e:
+                _run_flow(spark, tmp_path)
+        assert "size:id" in str(e.value) and "not understood" in str(e.value)
+
     def test_batch_normal_window_from_conf(self, spark, tmp_path):
         conf = self._anomaly_conf(tmp_path, {
             "metric": "size",

@@ -34,6 +34,23 @@ def test_truncated_ihdr_returns_none():
     assert _parse_image_header(b[:20]) is None
 
 
+def test_png_truncated_before_color_byte_returns_none():
+    """Regression (ADVICE r6): a PNG payload truncated to exactly 25
+    bytes — dimensions complete, depth byte present, COLOR byte missing —
+    made ``depth_color`` a 1-byte slice and ``depth_color[1]`` raised
+    IndexError inside the Arrow batch, violating the parser's totality
+    contract.  24- and 25-byte truncations must both return None; the
+    26-byte payload is the shortest parseable PNG header."""
+    import struct
+
+    full = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + struct.pack(">II", 7, 5) + bytes([8, 2]))
+    assert len(full) == 26
+    assert _parse_image_header(full) == (7, 5, 3)
+    assert _parse_image_header(full[:25]) is None
+    assert _parse_image_header(full[:24]) is None
+
+
 _dim = st.integers(min_value=1, max_value=0xFFFF)
 
 

@@ -347,3 +347,23 @@ class TestStatePartitionSizing:
         assert len(shuffle_sets) >= 2
         # ... but never to the calling session's conf
         assert not any(shuffle_sets)
+
+    def test_entry_releases_child_session_state(self, spark, sf_dir):
+        """ADVICE r6: the entries used to return the child session's
+        memory-sink table directly, leaking one child session + one
+        in-memory sink result per invocation across bench/verify laps.
+        The returned frame must now belong to the CALLER's session, and
+        the sink view must be gone from every session sharing the
+        context (memory-sink tables are registered globally enough to
+        enumerate: a fresh child sees leftovers if any survive)."""
+        from waimak_spark.catalog.streaming import streaming_dedup_pairs
+
+        out = streaming_dedup_pairs(spark, sf_dir)
+        assert out.sparkSession is spark
+        assert out.count() > 0
+        # no sink view left behind in the caller or a fresh child
+        leftover = [t.name for t in spark.catalog.listTables()
+                    if t.name.endswith("_sink")]
+        assert leftover == []
+        probe = spark.newSession()
+        assert not probe.catalog.tableExists("stream_dedup_pairs_sink")

@@ -48,6 +48,11 @@ REPLACE_SPECIAL_CHARACTERS_IN_KEY_DEFAULT = True
 #: comma list of Databricks secret scopes to search (empty → all scopes)
 DATABRICKS_SECRET_SCOPES = (
     f"{CONFIG_PARAM_PREFIX}.databricksSecretScopes")
+#: Databricks-specific sanitization toggle — the reference reads this key
+#: (CONFIG_DATABRICKS_REPLACE_SPECIAL_CHARACTERS_IN_KEY), so a config
+#: written for it must work here; falls back to the generic key above
+DATABRICKS_REPLACE_SPECIAL_CHARACTERS_IN_KEY = (
+    f"{CONFIG_PARAM_PREFIX}.databricksReplaceSpecialCharactersInKey")
 
 T = TypeVar("T")
 
@@ -110,10 +115,19 @@ def _spark_conf_get(context, key: str, default: Optional[str] = None):
     return context.spark.conf.get(key, default)
 
 
-def _sanitize_key(context, key: str, replacement: str = "-") -> str:
+def _sanitize_key(context, key: str, replacement: str = "-",
+                  conf_keys: tuple = (REPLACE_SPECIAL_CHARACTERS_IN_KEY,)
+                  ) -> str:
     """Replace characters secret stores commonly reject
-    (DatabricksSecretsPropertyProviderBuilder.replaceSpecialKeyCharacters)."""
-    raw = _spark_conf_get(context, REPLACE_SPECIAL_CHARACTERS_IN_KEY)
+    (DatabricksSecretsPropertyProviderBuilder.replaceSpecialKeyCharacters).
+    ``conf_keys``: toggle confs tried in order, first one set wins — lets
+    the Databricks provider honor its store-specific key name while
+    falling back to the generic one."""
+    raw = None
+    for ck in conf_keys:
+        raw = _spark_conf_get(context, ck)
+        if raw is not None:
+            break
     enabled = (REPLACE_SPECIAL_CHARACTERS_IN_KEY_DEFAULT if raw is None
                else raw.lower() == "true")
     if not enabled:
@@ -237,7 +251,10 @@ class DatabricksSecretsPropertyProviderBuilder(PropertyProviderBuilder):
         secrets = self._resolve_secrets(context)
         scopes_raw = _spark_conf_get(context, DATABRICKS_SECRET_SCOPES, "")
         names = [s.strip() for s in scopes_raw.split(",") if s.strip()]
-        sanitize = lambda key: _sanitize_key(context, key, "-")
+        sanitize = lambda key: _sanitize_key(
+            context, key, "-",
+            conf_keys=(DATABRICKS_REPLACE_SPECIAL_CHARACTERS_IN_KEY,
+                       REPLACE_SPECIAL_CHARACTERS_IN_KEY))
 
         class _DatabricksProvider(PropertyProvider):
             def get(self, key: str) -> Optional[str]:

@@ -88,9 +88,28 @@ def _run_session(spark: SparkSession) -> SparkSession:
     the state-sizing override has zero blast radius on the caller's
     session — the parallel executor may be planning OTHER actions right
     now), shared SparkContext (no new JVM state).  The memory sink
-    registers its table in the child; the returned result frame keeps the
-    child alive exactly as long as the result is referenced."""
+    registers its table in the child; ``_collect_into_caller`` drains it
+    back into the caller's session and drops the view so the child holds
+    nothing once the entry returns."""
     return spark.newSession()
+
+
+def _collect_into_caller(spark: SparkSession, run: SparkSession,
+                         name: str) -> DataFrame:
+    """Drain a memory-sink table out of the throwaway child session.
+
+    ADVICE r6: returning ``run.table(name)`` directly kept one child
+    session + one in-memory sink result alive PER INVOCATION (repeated
+    bench/verify laps accumulated them in the JVM).  The sink holds the
+    final answer of a bounded backfill — window counts / sessions /
+    distinct keys, thousands of rows, the same rows the caller is about
+    to collect anyway — so localize them into the CALLER's session
+    (LocalTableScan, schema preserved) and drop the child's sink view;
+    the child then holds no state and is released deterministically."""
+    sink = run.table(name)
+    rows = sink.collect()
+    run.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, sink.schema)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +168,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return run.table(name)
+    return _collect_into_caller(spark, run, name)
 
 
 STREAMING_TUMBLING_ORACLE = """
@@ -197,7 +216,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return run.table(name)
+    return _collect_into_caller(spark, run, name)
 
 
 STREAMING_SESSION_ORACLE = f"""
@@ -249,7 +268,7 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return run.table(name)
+    return _collect_into_caller(spark, run, name)
 
 
 STREAMING_DEDUP_ORACLE = """
@@ -301,7 +320,7 @@ def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return run.table(name)
+    return _collect_into_caller(spark, run, name)
 
 
 STREAMING_SSJ_ORACLE = f"""

@@ -259,14 +259,15 @@ def _anomaly_check(context, prefix: str):
         name, agg = size_metric()
     elif ":" in c.metric:
         kind, col = c.metric.split(":", 1)
-        if kind not in _ANOMALY_METRICS or not col:
+        aggs = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+        # validate against the aggs that take a column — 'size:<col>' is in
+        # _ANOMALY_METRICS but must hit the friendly error, not a KeyError
+        if kind not in aggs or not col:
             raise DataFlowException(
                 f"{prefix}metric [{c.metric}] not understood — use 'size' "
-                f"or '<agg>:<column>' with agg in "
-                f"{sorted(_ANOMALY_METRICS - {'size'})}")
+                f"or '<agg>:<column>' with agg in {sorted(aggs)}")
         name = f"{kind}({col})"
-        agg = {"mean": F.avg, "sum": F.sum, "min": F.min,
-               "max": F.max}[kind](col)
+        agg = aggs[kind](col)
     else:
         raise DataFlowException(
             f"{prefix}metric [{c.metric}] not understood — use 'size' or "

@@ -140,11 +140,11 @@ def _parse_image_header(b: bytes):
     import struct
 
     if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
-        if len(b) < 24:  # IHDR chunk truncated mid-dimensions: corrupt,
-            return None  # not a parse error — the parser must be total
+        if len(b) < 26:  # IHDR truncated before depth/color bytes:
+            return None  # corrupt, not a parse error — parser must be total
         w, h = struct.unpack(">II", b[16:24])
         depth_color = b[24:26]
-        channels = _PNG_CHANNELS.get(depth_color[1]) if depth_color else None
+        channels = _PNG_CHANNELS.get(depth_color[1])
         if channels is not None:
             return int(w), int(h), channels
         return None
