@@ -522,6 +522,26 @@ class TestSemanticDedup:
         n = emb.count()
         assert max(KMEANS_K, -(-n // SEMDEDUP_TARGET_CLUSTER)) == KMEANS_K
 
+    def test_blocked_pair_scoring_matches_single_block(self, spark, sf_dir):
+        """Round 7: the intra-cluster pair stage runs in rank-ordered row
+        blocks with dead-column pruning.  Blocking must be a pure
+        execution-strategy choice: tiny blocks (many boundaries, heavy
+        pruning) and one giant block (the old full-matrix form) must emit
+        bit-identical verdicts on real data, crossing several block
+        boundaries within a cluster."""
+        from waimak_spark.functions.similarity import semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # k=2 forces cluster populations of hundreds at sf0.001 (500
+        # vectors) — dozens of 5-row blocks per cluster
+        tiny = sorted(map(tuple,
+                          semantic_dedup(emb, k=2, pair_block=5).collect()))
+        one = sorted(map(tuple,
+                         semantic_dedup(emb, k=2,
+                                        pair_block=1 << 30).collect()))
+        assert tiny == one
+        assert any(r[3] == 0 for r in tiny)  # the rule actually fired
+
     def test_matches_pure_python_reference_on_random_inputs(self, spark):
         """Independent-implementation lockstep (beyond the DuckDB
         oracles): a naive NumPy re-implementation of the SemDeDup rule —
