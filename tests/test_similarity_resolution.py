@@ -369,6 +369,30 @@ class TestStoredIVFIndex:
                              ann_ivf_probe_stored(spark, sf_dir).collect()))
         assert stored2 == inline
 
+    def test_drop_ivf_index_forces_rebuild(self, spark, sf_dir):
+        """Round 7: drop_ivf_index (the scale-harness hook that isolates
+        the one-time build from the warm probe) must actually drop the
+        table, and the next probe must rebuild it and answer
+        identically."""
+        from waimak_spark.catalog.similarity import (
+            _IVF_IDX_DB,
+            _ivf_index_name,
+            ann_ivf_probe_stored,
+            drop_ivf_index,
+        )
+
+        before = sorted(map(tuple,
+                            ann_ivf_probe_stored(spark, sf_dir).collect()))
+        _, label = _ivf_index_name(sf_dir)
+        name = f"{_IVF_IDX_DB}.{label}"
+        assert spark.catalog.tableExists(name)
+        drop_ivf_index(spark, sf_dir)
+        assert not spark.catalog.tableExists(name)
+        after = sorted(map(tuple,
+                           ann_ivf_probe_stored(spark, sf_dir).collect()))
+        assert spark.catalog.tableExists(name)
+        assert after == before
+
     def test_index_invalidates_on_dataset_fingerprint_change(self, spark,
                                                              sf_dir,
                                                              tmp_path):

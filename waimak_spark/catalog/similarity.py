@@ -166,21 +166,38 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     return digest[:12]
 
 
+def _ivf_index_name(sf_dir: str) -> tuple[str, str]:
+    """(dataset tag, managed-table label) for ``sf_dir``'s stored index."""
+    import os
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    label = (f"ivf_cells_{tag}_{_embeddings_fingerprint(sf_dir)}"
+             f"_{_IVF_IDX_VERSION}")
+    return tag, label
+
+
+def drop_ivf_index(spark: SparkSession, sf_dir: str) -> None:
+    """Drop ``sf_dir``'s stored IVF index so the next probe rebuilds it.
+
+    For harnesses that must time the one-time BUILD separately from the
+    amortized warm probe (tools/scale_check.py — the operator's whole
+    point is build-once/probe-many, so one conflated number misreads as
+    a per-probe cost); also usable to reclaim the warehouse space."""
+    _, label = _ivf_index_name(sf_dir)
+    spark.sql(f"drop table if exists {_IVF_IDX_DB}.{label}")
+
+
 def _ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
     """Get-or-build the stored IVF index: ``ivf_index_frame`` persisted
     as a managed table BUCKETED by ``cell`` (one bucket per centroid)
     through the framework's ``write_bucketed_table`` — the shuffle is
     paid once at build, and every probe scans only its probed buckets.
     Builds of superseded fingerprints for the same dataset are dropped."""
-    import os
-    import re
-
     from .. import Waimak
 
-    tag = re.sub(r"[^0-9A-Za-z]+", "_",
-                 os.path.basename(os.path.normpath(sf_dir)))
-    label = (f"ivf_cells_{tag}_{_embeddings_fingerprint(sf_dir)}"
-             f"_{_IVF_IDX_VERSION}")
+    tag, label = _ivf_index_name(sf_dir)
     name = f"{_IVF_IDX_DB}.{label}"
     if not spark.catalog.tableExists(name):
         from ..filesystem import FileOps
