@@ -73,10 +73,15 @@ class DataFlowExecutor:
         self, flow: DataFlow, error_on_unexecuted: bool = True
     ) -> tuple[list[DataFlowAction], DataFlow]:
         prepared = flow.prepare_for_execution()
-        try:
-            executed, final = self._loop(prepared)
-        finally:
-            prepared.finalise_execution()
+        # finalise_execution (temp-folder removal) runs ONLY on success,
+        # exactly like the reference (DataFlowExecutor.scala:22-52: the
+        # loop result's .get throws BEFORE finaliseExecution): a failed
+        # run must leave the temp folder — including any commit-<uuid>
+        # staging written before the failure — quarantined on disk for
+        # diagnosis and recovery, never half-deleted.  Accumulation is
+        # bounded because prepare_for_execution wipes and recreates the
+        # temp folder at the start of the NEXT run.
+        executed, final = self._loop(prepared)
         if final.actions:
             msg = (
                 f"There were actions not executed: "
@@ -85,6 +90,7 @@ class DataFlowExecutor:
             if error_on_unexecuted:
                 raise DataFlowException(msg)
             logger.warning(msg)
+        final.finalise_execution()
         return executed, final
 
     def _loop(self, flow: DataFlow) -> tuple[list[DataFlowAction], DataFlow]:
