@@ -170,6 +170,40 @@ class TestCommitCrashQuarantine:
         assert len(staged) == 1
         assert spark.read.parquet(f"{tmp}/{staged[0]}/nation").count() == 25
 
+    def test_temp_folder_survives_any_failed_flow(self, spark, tmp_path):
+        """The base case of the quarantine semantic
+        (TestSparkDataFlow.scala:867-880): ANY failed flow leaves its
+        temp folder on disk, commit or not."""
+        tmp = str(tmp_path / "flowtmp")
+
+        def boom(c):
+            raise RuntimeError("bad action")
+
+        flow = Waimak.spark_flow(spark, tmp).open("bad", boom)
+        with pytest.raises(DataFlowException, match="bad"):
+            flow.execute()
+        assert os.path.isdir(tmp)
+
+    def test_stale_staging_cleaned_before_actions_run(self, spark,
+                                                      tmp_path):
+        """Leftovers from a previous (crashed) run are wiped at prepare
+        time, BEFORE any action executes
+        (TestSparkDataFlow.scala:796-820) — this is what bounds the
+        quarantine semantic's disk usage across runs."""
+        tmp = tmp_path / "flowtmp"
+        (tmp / "commit-deadbeef").mkdir(parents=True)
+        (tmp / "commit-deadbeef" / "junk.parquet").write_text("stale")
+        spark.conf.set("spark.waimak.dataflow.removeTempAfterExecution",
+                       "false")
+        try:
+            (Waimak.spark_flow(spark, str(tmp))
+             .open_file_parquet(f"{SF}/region.parquet", "region")
+             .execute())
+            assert os.path.isdir(tmp)  # kept: conf disabled removal
+            assert not os.path.exists(tmp / "commit-deadbeef")
+        finally:
+            spark.conf.unset("spark.waimak.dataflow.removeTempAfterExecution")
+
     def test_successful_run_still_cleans_temp(self, spark, tmp_path):
         """Regression guard for the success path: a clean run removes the
         temp folder (and the staging under it) exactly as before."""
