@@ -105,6 +105,118 @@ def test_cycle_always_rejected(deps, edge):
     assert not final.actions
 
 
+@settings(max_examples=25, deadline=None)
+@given(deps=dag_strategy(), data=st.data())
+def test_parallel_random_failures_drain_and_never_run_downstream(deps, data):
+    """Randomized version of the drain-then-fail scenarios in
+    test_fault_injection.py (DataFlowExecutor.scala:138-157): for an
+    arbitrary DAG with an arbitrary failing subset, (1) execute() never
+    returns or raises while an action body is still in flight (every
+    started body has ended), (2) nothing downstream of a failing action
+    ever starts, (3) the run fails iff some failing action is actually
+    reachable (not itself downstream of another failure), and (4) the
+    executed list is exactly the started non-failing actions."""
+    import threading
+
+    from waimak_spark.dataflow import DataFlowException
+
+    n = len(deps)
+    fail = set(data.draw(st.lists(st.integers(0, n - 1), unique=True),
+                         label="fail"))
+    started: list[int] = []
+    ended: list[int] = []
+    lock = threading.Lock()
+
+    flow = DataFlow()
+    for i, ds in enumerate(deps):
+        ins = [f"L{j}" for j in ds]
+
+        def body(_inputs, _c, i=i):
+            with lock:
+                started.append(i)
+            try:
+                if i in fail:
+                    raise RuntimeError(f"boom{i}")
+                return [f"L{i}"]
+            finally:
+                with lock:
+                    ended.append(i)
+
+        flow = flow.add_action(
+            SimpleAction(ins, [f"L{i}"], body, name=f"a{i}"))
+
+    # transitive downstream-of-failure set
+    down: set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for i, ds in enumerate(deps):
+            if i not in down and any(d in fail or d in down for d in ds):
+                down.add(i)
+                changed = True
+
+    try:
+        executed, _final = flow.execute(ParallelDataFlowExecutor(max_jobs=3))
+        failed = False
+        executed_names = {a.name for a in executed}
+    except DataFlowException:
+        failed = True
+
+    assert sorted(started) == sorted(ended)          # (1) drained
+    assert not (set(started) & down)                 # (2) downstream never ran
+    root_fails = fail - down
+    assert failed == bool(root_fails)                # (3)
+    if not failed:
+        assert sorted(started) == list(range(n))
+        assert executed_names == {f"a{i}" for i in range(n)}  # (4)
+
+
+@settings(max_examples=15, deadline=None)
+@given(deps=dag_strategy(), data=st.data())
+def test_parallel_pool_capacity_never_exceeded(deps, data):
+    """Per-pool in-flight caps hold under arbitrary DAGs and pool
+    assignments (ParallelActionScheduler.scala:50-86 availableExecutionPool
+    semantics): with pool_sizes {"one": 1, "two": 2}, the observed
+    concurrent body count per pool never exceeds its cap."""
+    import threading
+    import time
+
+    caps = {"one": 1, "two": 2}
+    pools = [data.draw(st.sampled_from(sorted(caps)), label=f"pool{i}")
+             for i in range(len(deps))]
+    inflight = {p: 0 for p in caps}
+    peak = {p: 0 for p in caps}
+    lock = threading.Lock()
+
+    flow = DataFlow()
+    for i, ds in enumerate(deps):
+        ins = [f"L{j}" for j in ds]
+
+        def body(_inputs, _c, i=i, p=pools[i]):
+            with lock:
+                inflight[p] += 1
+                peak[p] = max(peak[p], inflight[p])
+            time.sleep(0.002)  # force overlap so the cap is actually probed
+            with lock:
+                inflight[p] -= 1
+            return [f"L{i}"]
+
+        # pool assignment must go through the flow's execution_pool scope:
+        # add_action STAMPS the active pool onto the action (a bare
+        # ``action.pool = ...`` before add_action is overwritten — this
+        # property caught exactly that)
+        action = SimpleAction(ins, [f"L{i}"], body, name=f"a{i}")
+        flow = flow.execution_pool(pools[i])(
+            lambda f, a=action: f.add_action(a))
+
+    executed, final = flow.execute(
+        ParallelDataFlowExecutor(max_jobs=8, pool_sizes=caps))
+    assert not final.actions
+    assert len(executed) == len(deps)
+    for p, cap in caps.items():
+        assert peak[p] <= cap, f"pool {p} peaked at {peak[p]} > cap {cap}"
+
+
 def test_hypothesis_available():
     # guard: the suite genuinely ran property tests (import worked)
     import hypothesis

@@ -105,11 +105,20 @@ def _collect_into_caller(spark: SparkSession, run: SparkSession,
     distinct keys, thousands of rows, the same rows the caller is about
     to collect anyway — so localize them into the CALLER's session
     (LocalTableScan, schema preserved) and drop the child's sink view;
-    the child then holds no state and is released deterministically."""
+    the child then holds no state and is released deterministically.
+
+    The round trip goes through pandas, not ``collect()`` rows: with
+    Arrow enabled both directions are single-batch (the Row-object path
+    pickles and type-verifies per row, which cost the larger sinks
+    ~0.5-1 s each — measured, see PARITY round-7 deltas); the explicit
+    sink schema keeps the pandas dtype round trip exact, and without
+    Arrow both paths degrade to the same per-row conversion."""
     sink = run.table(name)
-    rows = sink.collect()
-    run.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, sink.schema)
+    try:
+        pdf = sink.toPandas()
+    finally:
+        run.catalog.dropTempView(name)
+    return spark.createDataFrame(pdf, sink.schema)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
