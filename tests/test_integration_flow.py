@@ -129,6 +129,61 @@ def test_dq_warning_and_commit_coexist(spark, tmp_path):
     assert handler.alerts, "completeness warning expected"
 
 
+def test_curation_pipeline_through_flow(spark, tmp_path):
+    """The catalog's composed LLM-curation pipeline (quality gate → exact
+    dedup → deterministic sample → split assignment) re-expressed as FLOW
+    stages — one action per stage under the parallel executor, committed
+    through the staged-move committer — must produce exactly the rows of
+    the direct single-DataFrame composition (`curation_pipeline`, which is
+    itself DuckDB-oracle-locked every pytest run).  Closes the parity
+    triangle: flow-orchestrated ≡ direct composition ≡ ANSI-SQL oracle."""
+    from waimak_spark.catalog.curation import (
+        PIPE_MIN_TOKENS,
+        PIPE_SAMPLE_FRACTION,
+        PIPE_SEED,
+        curation_pipeline,
+    )
+    from waimak_spark.functions import curation as C
+    from waimak_spark.functions import text as T
+
+    out = str(tmp_path / "curated_dataset")
+
+    def gate(df):
+        return df.where(
+            (F.col("lang") == "en")
+            & (F.size(T.tokens(F.col("text"))) >= PIPE_MIN_TOKENS))
+
+    def dedup(df):
+        hashed = df.select("doc_id", "source",
+                           T.md5_hash32(F.col("text")).alias("_h"))
+        keep = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+        return hashed.join(keep, ["_h", "doc_id"]).select("doc_id", "source")
+
+    def sample_split(df):
+        sampled = df.where(C.sample_keep(
+            F.col("doc_id"), PIPE_SAMPLE_FRACTION, PIPE_SEED))
+        return (C.assign_split(sampled, group="source", train=80, val=10,
+                               seed=PIPE_SEED)
+                .select("doc_id", "source", "split"))
+
+    flow = (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
+            .open_file_parquet(f"{SF}/documents.parquet", "documents")
+            .transform("documents", output="gated", fn=gate)
+            .transform("gated", output="deduped", fn=dedup)
+            .transform("deduped", output="dataset", fn=sample_split)
+            .commit("publish", "dataset")
+            .push("publish", ParquetDataCommitter(out, snapshot_folder="v1")))
+    executed, final = flow.execute(ParallelDataFlowExecutor(max_jobs=4))
+    assert not final.actions
+
+    got = spark.read.parquet(f"{out}/dataset/v1")
+    expect = curation_pipeline(spark, SF)
+    n = expect.count()
+    assert got.count() == n > 0
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
 def test_semantic_dedup_as_flow_stage(spark, tmp_path):
     """The semantic-dedup operator composed THROUGH the dataflow engine:
     verdicts computed in one action, joined back to the documents in a

@@ -348,6 +348,29 @@ class TestStatePartitionSizing:
         # ... but never to the calling session's conf
         assert not any(shuffle_sets)
 
+    def test_large_sink_drain_goes_distributed(self, spark, sf_dir,
+                                               monkeypatch):
+        """Above DRAIN_LOCAL_MAX_ROWS the drain must not round-trip the
+        answer through the driver (a ~1M-row complete-mode sink OOMs a
+        default-sized driver): it writes parquet from the child and
+        reads it back in the caller.  Forcing the threshold to 0 must
+        yield exactly the pandas path's rows, a caller-owned result
+        whose plan scans parquet (no LocalTableScan of driver rows),
+        and no leftover sink view."""
+        import waimak_spark.catalog.streaming as st
+
+        baseline = st.streaming_tumbling_counts(spark, sf_dir)
+        expect = {tuple(r) for r in baseline.collect()}
+
+        monkeypatch.setattr(st, "DRAIN_LOCAL_MAX_ROWS", 0)
+        out = st.streaming_tumbling_counts(spark, sf_dir)
+        assert out.sparkSession is spark
+        assert "Scan parquet" in out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple")
+        assert {tuple(r) for r in out.collect()} == expect
+        assert not [t.name for t in spark.catalog.listTables()
+                    if t.name.endswith("_sink")]
+
     def test_entry_releases_child_session_state(self, spark, sf_dir):
         """ADVICE r6: the entries used to return the child session's
         memory-sink table directly, leaking one child session + one

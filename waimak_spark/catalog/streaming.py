@@ -94,6 +94,24 @@ def _run_session(spark: SparkSession) -> SparkSession:
     return spark.newSession()
 
 
+#: Above this many sink rows the drain stops round-tripping the answer
+#: through the driver (pandas) and goes through a distributed parquet
+#: write+read instead — same bounded-collect-with-distributed-fallback
+#: rule as ``FIXPOINT_LOCAL_MAX_EDGES`` (functions/similarity.py).  A
+#: complete-mode sink's size scales with the answer, not the corpus, but
+#: a 10x backfill already put ~930k session rows (~30 MB) through the
+#: driver and cost ~9 s + neighbor-visible GC pressure (measured,
+#: PARITY round-7 deltas); production streams write parquet/kafka
+#: directly and never hit this path at all.
+DRAIN_LOCAL_MAX_ROWS = 100_000
+
+#: Fixed per-entry staging root for the large-sink drain: OVERWRITE per
+#: entry name, so repeated bench/verify laps rewrite one answer-sized
+#: folder instead of accumulating (entries never run concurrently with
+#: themselves; the fixed sink NAME already assumes that).
+_DRAIN_DIR = "/tmp/waimak_stream_drain"
+
+
 def _collect_into_caller(spark: SparkSession, run: SparkSession,
                          name: str) -> DataFrame:
     """Drain a memory-sink table out of the throwaway child session.
@@ -102,23 +120,34 @@ def _collect_into_caller(spark: SparkSession, run: SparkSession,
     session + one in-memory sink result alive PER INVOCATION (repeated
     bench/verify laps accumulated them in the JVM).  The sink holds the
     final answer of a bounded backfill — window counts / sessions /
-    distinct keys, thousands of rows, the same rows the caller is about
-    to collect anyway — so localize them into the CALLER's session
-    (LocalTableScan, schema preserved) and drop the child's sink view;
-    the child then holds no state and is released deterministically.
+    distinct keys, the same rows the caller is about to collect anyway —
+    so localize them into the CALLER's session and drop the child's sink
+    view; the child then holds no state and is released deterministically.
 
-    The round trip goes through pandas, not ``collect()`` rows: with
-    Arrow enabled both directions are single-batch (the Row-object path
-    pickles and type-verifies per row, which cost the larger sinks
-    ~0.5-1 s each — measured, see PARITY round-7 deltas); the explicit
-    sink schema keeps the pandas dtype round trip exact, and without
-    Arrow both paths degrade to the same per-row conversion."""
+    Two paths, chosen by answer size (``DRAIN_LOCAL_MAX_ROWS``):
+
+    * small (gate/bench scale): pandas round trip — with Arrow enabled
+      both directions are single-batch (the Row-object path pickles and
+      type-verifies per row, which cost the larger sinks ~0.5-1 s each —
+      measured, see PARITY round-7 deltas); the explicit sink schema
+      keeps the dtype round trip exact, and without Arrow both paths
+      degrade to the same per-row conversion.
+    * large: distributed parquet write from the child + read in the
+      caller — the answer never transits the driver (a ~1M-row sink
+      OOMs a default-sized driver and drags neighbor queries through
+      GC), the write parallelism is the sink's own, and the fixed
+      per-entry folder is overwritten per invocation so laps stay
+      bounded on disk."""
     sink = run.table(name)
     try:
-        pdf = sink.toPandas()
+        if sink.count() <= DRAIN_LOCAL_MAX_ROWS:
+            pdf = sink.toPandas()
+            return spark.createDataFrame(pdf, sink.schema)
+        path = f"{_DRAIN_DIR}/{name}"
+        sink.write.mode("overwrite").parquet(path)
+        return spark.read.schema(sink.schema).parquet(path)
     finally:
         run.catalog.dropTempView(name)
-    return spark.createDataFrame(pdf, sink.schema)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
