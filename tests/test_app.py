@@ -78,6 +78,75 @@ class TestConfigParser:
             parse_config(DemoConf, None, "app.",
                          {"app.name": "x", "app.enabled": "maybe"})
 
+    def test_wrong_type_raises_with_parameter_name(self):
+        """A value that fails coercion must surface as a ConfigException
+        naming the offending parameter (TestCaseClassConfigParser "wrong
+        type should throw a parsing error"), never a bare ValueError."""
+        with pytest.raises(ConfigException, match=r"app\.count"):
+            parse_config(DemoConf, None, "app.",
+                         {"app.name": "x", "app.count": "not-a-number"})
+        # the boolean branch's own message also gains the parameter name
+        with pytest.raises(ConfigException, match=r"app\.enabled"):
+            parse_config(DemoConf, None, "app.",
+                         {"app.name": "x", "app.enabled": "maybe"})
+
+    def test_unsupported_field_type_raises(self):
+        """An unsupported field type is a loud configuration-definition
+        error, not a silent string passthrough
+        (TestCaseClassConfigParser "unsupported type should throw")."""
+        import dataclasses as dc
+
+        @dc.dataclass
+        class BadConf:
+            mapping: dict
+
+        with pytest.raises(ConfigException, match="Unsupported"):
+            parse_config(BadConf, None, "b.", {"b.mapping": "k=v"})
+
+    def test_roundtrip_property(self):
+        """Hypothesis: any value set encoded to conf strings parses back
+        to the original dataclass — ints/floats via repr, bools via
+        true/false, lists of ints through a custom separator."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import dataclasses as dc
+
+        from waimak_spark.app.config import separator
+
+        @dc.dataclass
+        class RtConf:
+            name: str
+            count: int
+            ratio: float
+            enabled: bool
+            nums: list = dc.field(metadata=separator(";"),
+                                  default_factory=list)
+
+        # redeclare with a typed list for get_type_hints
+        RtConf.__annotations__["nums"] = list[int]
+
+        @settings(max_examples=80, deadline=None)
+        @given(name=st.text(min_size=0, max_size=30).filter(
+                   lambda s: s.strip() == s),
+               count=st.integers(),
+               ratio=st.floats(allow_nan=False, allow_infinity=False),
+               enabled=st.booleans(),
+               nums=st.lists(st.integers(), max_size=8))
+        def roundtrip(name, count, ratio, enabled, nums):
+            conf = {"rt.name": name, "rt.count": str(count),
+                    "rt.ratio": repr(ratio),
+                    "rt.enabled": "true" if enabled else "false",
+                    "rt.nums": ";".join(str(n) for n in nums)}
+            got = parse_config(RtConf, None, "rt.", conf)
+            assert (got.name, got.count, got.enabled) == (
+                name, count, enabled)
+            assert got.ratio == ratio or (got.ratio != got.ratio
+                                          and ratio != ratio)
+            assert got.nums == nums
+
+        roundtrip()
+
 
 class TestEnv:
     def test_base_env_paths(self):

@@ -1,6 +1,7 @@
 """Structured Streaming: file-source incremental processing through the
 flow, watermarked windows, session windows, custom stateful operator."""
 
+import os
 from datetime import datetime
 
 import pytest
@@ -349,7 +350,7 @@ class TestStatePartitionSizing:
         assert not any(shuffle_sets)
 
     def test_large_sink_drain_goes_distributed(self, spark, sf_dir,
-                                               monkeypatch):
+                                               monkeypatch, tmp_path):
         """Above DRAIN_LOCAL_MAX_ROWS the drain must not round-trip the
         answer through the driver (a ~1M-row complete-mode sink OOMs a
         default-sized driver): it writes parquet from the child and
@@ -363,7 +364,14 @@ class TestStatePartitionSizing:
         expect = {tuple(r) for r in baseline.collect()}
 
         monkeypatch.setattr(st, "DRAIN_LOCAL_MAX_ROWS", 0)
-        out = st.streaming_tumbling_counts(spark, sf_dir)
+        drain_root = str(tmp_path / "drain")
+        spark.conf.set(st.DRAIN_DIR_CONF, drain_root)
+        try:
+            out = st.streaming_tumbling_counts(spark, sf_dir)
+        finally:
+            spark.conf.unset(st.DRAIN_DIR_CONF)
+        assert os.path.isdir(
+            f"{drain_root}/stream_tumbling_counts_sink")  # conf honored
         assert out.sparkSession is spark
         assert "Scan parquet" in out._sc._jvm.PythonSQLUtils.explainString(
             out._jdf.queryExecution(), "simple")

@@ -316,7 +316,11 @@ def _coerce(raw: str, tpe: Any, sep: str) -> Any:
         return int(raw)
     if tpe is float:
         return float(raw)
-    return raw
+    if tpe is str:
+        return raw
+    # CaseClassConfigParser.scala:221-251: an unsupported field type is a
+    # loud configuration-definition error, never a silent string passthrough
+    raise ConfigException(f"Unsupported config field type {tpe!r}")
 
 
 def parse_config(cls: Type[T], context=None, prefix: str = "",
@@ -350,7 +354,17 @@ def parse_config(cls: Type[T], context=None, prefix: str = "",
                 if raw is not None:
                     break
         if raw is not None:
-            kwargs[f.name] = _coerce(raw, hints[f.name], sep)
+            # a value that fails coercion reports WHICH parameter, like the
+            # reference's parsing errors (TestCaseClassConfigParser
+            # "wrong type should throw a parsing error")
+            try:
+                kwargs[f.name] = _coerce(raw, hints[f.name], sep)
+            except ConfigException as e:
+                raise ConfigException(f"{e} (parameter {key})") from e
+            except (ValueError, TypeError) as e:
+                raise ConfigException(
+                    f"Cannot parse value [{raw}] as {hints[f.name]} "
+                    f"for parameter {key}") from e
             continue
         has_default = (f.default is not dataclasses.MISSING
                        or f.default_factory is not dataclasses.MISSING)

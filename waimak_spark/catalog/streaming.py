@@ -108,8 +108,12 @@ DRAIN_LOCAL_MAX_ROWS = 100_000
 #: Fixed per-entry staging root for the large-sink drain: OVERWRITE per
 #: entry name, so repeated bench/verify laps rewrite one answer-sized
 #: folder instead of accumulating (entries never run concurrently with
-#: themselves; the fixed sink NAME already assumes that).
-_DRAIN_DIR = "/tmp/waimak_stream_drain"
+#: themselves; the fixed sink NAME already assumes that).  Overridable
+#: via ``spark.waimak.streaming.drainDir`` because the default is
+#: node-local: on a real cluster the caller's executors must read what
+#: the child's executors wrote, so point it at a shared filesystem.
+DRAIN_DIR_CONF = "spark.waimak.streaming.drainDir"
+_DRAIN_DIR_DEFAULT = "/tmp/waimak_stream_drain"
 
 
 def _collect_into_caller(spark: SparkSession, run: SparkSession,
@@ -143,7 +147,8 @@ def _collect_into_caller(spark: SparkSession, run: SparkSession,
         if sink.count() <= DRAIN_LOCAL_MAX_ROWS:
             pdf = sink.toPandas()
             return spark.createDataFrame(pdf, sink.schema)
-        path = f"{_DRAIN_DIR}/{name}"
+        root = spark.conf.get(DRAIN_DIR_CONF, _DRAIN_DIR_DEFAULT)
+        path = f"{root}/{name}"
         sink.write.mode("overwrite").parquet(path)
         return spark.read.schema(sink.schema).parquet(path)
     finally:
