@@ -170,6 +170,34 @@ class TestCommitCrashQuarantine:
         assert len(staged) == 1
         assert spark.read.parquet(f"{tmp}/{staged[0]}/nation").count() == 25
 
+    def test_rerun_after_crash_recovers_and_commits(self, spark, tmp_path):
+        """The operational recovery story, end to end: a run that crashed
+        between stage and move leaves quarantined staging; simply
+        RE-RUNNING the flow must succeed with no manual cleanup — prepare
+        wipes the stale staging, the commit lands at the destination,
+        and the success path removes the temp folder."""
+        out = str(tmp_path / "out")
+        tmp = str(tmp_path / "flowtmp")
+        crashed = self._flow(
+            spark, tmp_path, ParquetDataCommitter(out, snapshot_folder="v1"))
+
+        def crash(i, c):
+            raise RuntimeError("crash between stage and move")
+
+        crashed = crashed.tag_dependency("commit_publish_stage")(
+            lambda f: f.add_action(
+                SimpleAction([], [], crash, name="crash_after_stage")))
+        with pytest.raises(DataFlowException):
+            crashed.execute()
+        assert [d for d in os.listdir(tmp) if d.startswith("commit-")]
+        assert not os.path.exists(out)
+
+        self._flow(spark, tmp_path,
+                   ParquetDataCommitter(out, snapshot_folder="v1")).execute()
+        assert spark.read.parquet(f"{out}/region/v1").count() == 5
+        assert spark.read.parquet(f"{out}/nation/v1").count() == 25
+        assert not os.path.exists(tmp)
+
     def test_temp_folder_survives_any_failed_flow(self, spark, tmp_path):
         """The base case of the quarantine semantic
         (TestSparkDataFlow.scala:867-880): ANY failed flow leaves its
