@@ -101,14 +101,30 @@ class FileOps:
 
     def merge_move_files(self, src_dir: str, dest_dir: str,
                          name_filter=lambda n: n.startswith("part-")) -> None:
-        """Move matching files from src into an existing dest dir."""
+        """Move matching files from src into dest (created if absent).
+
+        FSUtils.scala mergeMoveFiles semantics (TestFSUtils.scala:20-126):
+        the destination is created even when nothing matches the filter,
+        only FILES move (directories are left behind), and a missing /
+        non-directory source or a name collision in the destination is a
+        loud error — not a silent no-op or a cryptic rename failure."""
+        sfs = self._fs(src_dir)
+        spath = self._path(src_dir)
+        if not sfs.exists(spath):
+            raise IOError(f"Source folder [{src_dir}] does not exist")
+        if not sfs.getFileStatus(spath).isDirectory():
+            raise IOError(f"Source path [{src_dir}] is not a folder")
         fs = self._fs(dest_dir)
         if not fs.exists(self._path(dest_dir)):
             fs.mkdirs(self._path(dest_dir))
         for name in self.list_files(src_dir):
             if name_filter(name):
-                if not fs.rename(self._path(f"{src_dir}/{name}"),
-                                 self._path(f"{dest_dir}/{name}")):
+                dest = self._path(f"{dest_dir}/{name}")
+                if fs.exists(dest):
+                    raise IOError(
+                        f"File [{name}] already exists in destination "
+                        f"[{dest_dir}]")
+                if not fs.rename(self._path(f"{src_dir}/{name}"), dest):
                     raise IOError(f"Failed to move [{src_dir}/{name}] into [{dest_dir}]")
 
     # -- trash (FileStorageOps.scala:238-261 semantics) -------------------------
