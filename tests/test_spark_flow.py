@@ -152,6 +152,8 @@ def test_write_csv_single_file(base_flow, tmp_path):
 
 
 def test_write_as_named_files(base_flow, tmp_path):
+    """Reference naming contract (TestWriteAsNamedFilesAction.scala:28-42):
+    the full compound extension of the part file survives the rename."""
     out = str(tmp_path / "named")
     flow = (
         base_flow.transform("orders", output="small", fn=lambda df: df.limit(20))
@@ -161,7 +163,48 @@ def test_write_as_named_files(base_flow, tmp_path):
     import os
 
     names = sorted(n for n in os.listdir(out) if not n.startswith("."))
-    assert names == ["mydata.1.parquet", "mydata.2.parquet"]
+    assert names == ["mydata.1.snappy.parquet", "mydata.2.snappy.parquet"]
+
+
+def test_write_as_named_files_reference_cases(base_flow, tmp_path, spark):
+    """The rest of the reference's naming matrix
+    (TestWriteAsNamedFilesAction.scala:12-141): single file gets no
+    number; ten files zero-pad to width 2; csv / gzip'd csv / text keep
+    their real extensions; multiple text files are rejected up front;
+    a part-count mismatch is a loud DataFlowException."""
+    import os
+
+    def run(n, prefix, fmt, options=None, rows=100):
+        out = str(tmp_path / f"out_{prefix}")
+        (base_flow
+         .transform("orders", output=prefix, fn=lambda df: df.limit(rows))
+         .write_as_named_files(prefix, out, n, prefix, fmt=fmt,
+                               options=options or {})
+         .execute())
+        return sorted(x for x in os.listdir(out) if not x.startswith("."))
+
+    assert run(1, "single", "parquet") == ["single.snappy.parquet"]
+    assert run(10, "ten", "parquet") == [
+        f"ten.{i:02d}.snappy.parquet" for i in range(1, 11)]
+    assert run(1, "plain", "csv") == ["plain.csv"]
+    assert run(2, "zipped", "csv", {"compression": "gzip"}) == [
+        "zipped.1.csv.gz", "zipped.2.csv.gz"]
+
+    text_flow = base_flow.transform(
+        "orders", output="txt",
+        fn=lambda df: df.selectExpr("cast(o_orderkey as string) as value"))
+    assert "value"  # text format needs a single string column
+    out = str(tmp_path / "out_txt")
+    text_flow.write_as_named_files("txt", out, 1, "txt", fmt="text").execute()
+    assert sorted(x for x in os.listdir(out)
+                  if not x.startswith(".")) == ["txt.txt"]
+
+    with pytest.raises(ValueError, match="only 1 file"):
+        (base_flow
+         .transform("orders", output="t2",
+                    fn=lambda df: df.selectExpr("cast(o_orderkey as string) as value"))
+         .write_as_named_files("t2", str(tmp_path / "o2"), 2, "t2", fmt="text")
+         .execute())
 
 
 def test_commit_push_snapshot_and_cleanup(base_flow, tmp_path, spark):
@@ -190,6 +233,29 @@ def test_commit_push_snapshot_and_cleanup(base_flow, tmp_path, spark):
     assert snaps == ["snapshot_ts=20260102", "snapshot_ts=20260103"]
     df = spark.read.parquet(f"{out}/report/snapshot_ts=20260103")
     assert df.count() == 10
+
+
+def test_date_based_cleanup_strategy_cases():
+    """The reference's fine-grained strategy cases
+    (TestParquetDataCommitter.scala:53-88): empty / below / exactly at
+    keep-N return nothing; above keep-N the OLDEST go, regardless of
+    input order; non-compliant names (wrong prefix, no '=', suffixed
+    column name, marker files) never count toward N or get deleted."""
+    strat = date_based_snapshot_cleanup("snapshotFolder", 5)
+    days = [f"snapshotFolder=20181101_12300{i}_567" for i in range(8)]
+
+    assert strat(None, "t", []) == []
+    assert strat(None, "t", days[:1]) == []
+    assert strat(None, "t", days[:5]) == []
+    assert strat(None, "t", days[:6]) == [days[0]]
+    assert strat(None, "t", list(reversed(days[:6]))) == [days[0]]
+    assert strat(None, "t", list(reversed(days))) == days[:3]
+    noise = ["_SUCCESS", "odd=file", "snapshotFolder",
+             "snapshotFolder_1=20181101_123000_567"]
+    assert strat(None, "t", list(reversed(days)) + noise) == days[:3]
+    same_day = [f"snapshotFolder=20181101_123001_{m}" for m in
+                ("567", "568", "569", "570", "571", "572", "573")]
+    assert strat(None, "t", list(reversed(same_day))) == same_day[:2]
 
 
 def test_commit_without_push_fails(base_flow):

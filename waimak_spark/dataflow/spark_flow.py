@@ -542,6 +542,11 @@ class SparkDataFlow(DataFlow):
         write to temp, glob part files, rename (WriteAsNamedFilesAction.scala:27-68)."""
         from ..operators.named_files import write_as_named_files_body
 
+        if fmt == "text" and num_files > 1:
+            # checkTextWriteOptions — fail at build time, not mid-flow
+            raise ValueError(
+                "When writing text files only 1 file is able to be written")
+
         return self.unit_transform(
             label,
             fn=lambda df: write_as_named_files_body(
