@@ -151,6 +151,63 @@ class TestImpalaDDLGeneration:
         assert submitted[0][-1].startswith(
             "alter table people set location 'file:")
 
+    def test_jdbc_secure_properties_resolved_and_combined(self, ctx):
+        """MetastoreUtils.scala secureProperties semantics
+        (TestMetastoreUtils.scala:15-77): secure values resolve through
+        Hadoop's ``Configuration.getPassword`` and COMBINE with the plain
+        properties (the plain ones win nothing — distinct keys); an empty
+        secure map never consults the credential machinery."""
+        from waimak_spark.operators.metastore import ImpalaJDBCConnector
+
+        hconf = ctx.spark._jsc.hadoopConfiguration()
+        # clear-text fallback is Configuration.getPassword's own
+        # documented behavior — it stands in for a jceks entry here
+        hconf.set("impala.secret.password", "sup3rs3cret")
+        try:
+            con = ImpalaJDBCConnector(
+                ctx, "jdbc:hive2://impala:21050/default",
+                properties={"user": "svc"},
+                secure_properties={"impala.secret.password": "password"})
+            assert con._all_properties() == {
+                "user": "svc", "password": "sup3rs3cret"}
+        finally:
+            hconf.unset("impala.secret.password")
+
+        # no secure properties: nothing consulted, plain map verbatim
+        con = ImpalaJDBCConnector(
+            ctx, "jdbc:hive2://impala:21050/default",
+            properties={"user": "svc"})
+        assert con._all_properties() == {"user": "svc"}
+
+    def test_jdbc_secure_properties_error_paths(self, ctx, tmp_path):
+        """Missing secure key: the error says whether a credential store
+        was configured at all (MetastoreUtils.scala:106-121)."""
+        from waimak_spark.dataflow.exceptions import DataFlowException
+        from waimak_spark.operators.metastore import (
+            CREDENTIAL_PROVIDER_PATH,
+            ImpalaJDBCConnector,
+        )
+
+        hconf = ctx.spark._jsc.hadoopConfiguration()
+        con = ImpalaJDBCConnector(
+            ctx, "jdbc:hive2://impala:21050/default",
+            secure_properties={"no.such.key": "password"})
+
+        assert hconf.get(CREDENTIAL_PROVIDER_PATH) is None
+        with pytest.raises(DataFlowException, match="no jceks file is set"):
+            con._all_properties()
+
+        # with a provider path configured (empty store), the message names
+        # the searched locations instead
+        hconf.set(CREDENTIAL_PROVIDER_PATH,
+                  f"jceks://file{tmp_path}/creds.jceks")
+        try:
+            with pytest.raises(DataFlowException,
+                               match="in any locations at"):
+                con._all_properties()
+        finally:
+            hconf.unset(CREDENTIAL_PROVIDER_PATH)
+
     def test_commit_finish_submits_impala_ddls(self, spark, tmp_path):
         df = spark.createDataFrame([(1, "a")], "id int, name string")
         out = str(tmp_path / "out")

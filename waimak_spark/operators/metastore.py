@@ -225,27 +225,67 @@ class ImpalaDummyConnector(ImpalaDBConnector):
         self.ran_ddls.append(list(ddls))
 
 
+#: Hadoop's credential-provider path conf
+#: (CredentialProviderFactory.CREDENTIAL_PROVIDER_PATH) — where secure
+#: JDBC parameters live (a ``jceks://`` keystore on a real deployment).
+CREDENTIAL_PROVIDER_PATH = "hadoop.security.credential.provider.path"
+
+
 class ImpalaJDBCConnector(ImpalaDBConnector):
     """Submit Impala DDLs over a JDBC connection via the JVM
     ``DriverManager`` (ImpalaDBConnector.scala:74-91,
     MetastoreUtils.scala:62-131). The Hive JDBC driver must be on the
-    Spark driver's classpath; tests stub :meth:`_run_queries`."""
+    Spark driver's classpath; tests stub :meth:`_run_queries`.
+
+    ``secure_properties`` maps a credential-store key to the JDBC
+    property it populates (MetastoreUtils.scala:79-121 secureProperties):
+    each value is resolved through ``Configuration.getPassword`` — a
+    ``jceks://`` keystore at ``hadoop.security.credential.provider.path``
+    on a real deployment (clear-text conf fallback is Hadoop's own
+    documented behavior) — and a missing key is a loud error that says
+    whether a credential store was configured at all."""
 
     driver_name = "org.apache.hive.jdbc.HiveDriver"
 
     def __init__(self, context, jdbc_string: str,
                  properties: Optional[dict[str, str]] = None,
                  database: str = "default",
-                 force_recreate_tables: Optional[bool] = None):
+                 force_recreate_tables: Optional[bool] = None,
+                 secure_properties: Optional[dict[str, str]] = None):
         super().__init__(context, database, force_recreate_tables)
         self.jdbc_string = jdbc_string
         self.properties = dict(properties or {})
+        self.secure_properties = dict(secure_properties or {})
+
+    def _all_properties(self) -> dict[str, str]:
+        """Plain + secure connection properties
+        (MetastoreUtils.scala:94-121 getAllProperties)."""
+        props = dict(self.properties)
+        if not self.secure_properties:
+            return props
+        spark = self.context.spark
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for jceks_key, jdbc_key in self.secure_properties.items():
+            cred = hconf.getPassword(jceks_key)
+            if cred is not None:
+                props[jdbc_key] = jvm.java.lang.String.valueOf(cred)
+            elif hconf.get(CREDENTIAL_PROVIDER_PATH) is None:
+                raise DataFlowException(
+                    f"Could not read secure parameter [{jceks_key}] as no "
+                    f"jceks file is set using [{CREDENTIAL_PROVIDER_PATH}]")
+            else:
+                raise DataFlowException(
+                    f"Could not find secure parameter [{jceks_key}] in any "
+                    f"locations at "
+                    f"[{hconf.get(CREDENTIAL_PROVIDER_PATH)}]")
+        return props
 
     def _run_queries(self, ddls: Sequence[str]) -> None:
         jvm = self.context.spark._jvm
         jvm.java.lang.Class.forName(self.driver_name)
         props = jvm.java.util.Properties()
-        for k, v in self.properties.items():
+        for k, v in self._all_properties().items():
             props.setProperty(k, v)
         conn = jvm.java.sql.DriverManager.getConnection(
             self.jdbc_string, props)
