@@ -78,6 +78,27 @@ class TestConfigParser:
             parse_config(DemoConf, None, "app.",
                          {"app.name": "x", "app.enabled": "maybe"})
 
+    def test_property_provider_retry_semantics(self):
+        """TestPropertyProviderTrait.scala:8-22: transient provider
+        failures are retried up to the budget (succeed on the third
+        attempt with 2 failures queued); a zero budget propagates the
+        first failure."""
+        from waimak_spark.app.config import PropertyProvider
+
+        class Flaky(PropertyProvider):
+            def __init__(self, n_failures):
+                self.n = n_failures
+
+            def get(self, key):
+                if self.n:
+                    self.n -= 1
+                    raise RuntimeError("transient")
+                return "no exception"
+
+        assert Flaky(2).get_with_retry("k", 3) == "no exception"
+        with pytest.raises(RuntimeError, match="transient"):
+            Flaky(1).get_with_retry("k", 0)
+
     def test_wrong_type_raises_with_parameter_name(self):
         """A value that fails coercion must surface as a ConfigException
         naming the offending parameter (TestCaseClassConfigParser "wrong
