@@ -1079,12 +1079,24 @@ def _kmeans_fit(emb: DataFrame, k: int = KMEANS_K,
     for _ in range(n_iters):
         assigned = base.withColumn(
             "cluster", _kmeans_assign_kernel(W)(F.col("v")))
-        avgs = [F.round(F.avg(F.col("v")[d]), KMEANS_ROUND).alias(f"c{d}")
-                for d in range(dims)]
-        rows = assigned.groupBy("cluster").agg(*avgs).collect()
+        # centroid update as posexplode → ONE narrow avg keyed by
+        # (cluster, dim) instead of 64 per-dim avg columns: the wide agg
+        # blew Spark's ~100-field codegen limit, so each Lloyd round ran
+        # an INTERPRETED HashAggregate stacked on the Arrow-UDF stage
+        # (~0.7 s/round at sf0.1 vs 0.28 s exploded — measured, PARITY
+        # round-7 deltas).  Per-key accumulation classes are unchanged
+        # (per-partition row order, arbitrary partial merge — same as
+        # each per-dim avg before) and the update is bit-identical on
+        # all three test SFs; KMEANS_ROUND rounding remains the
+        # cross-engine guard either way.
+        rows = (assigned
+                .select("cluster", F.posexplode("v").alias("d", "x"))
+                .groupBy("cluster", "d")
+                .agg(F.round(F.avg("x"), KMEANS_ROUND).alias("c"))
+                .collect())
         new_w = [list(row) for row in W]  # empty cluster → keep previous
         for r in rows:
-            new_w[r["cluster"] - 1] = [r[f"c{d}"] for d in range(dims)]
+            new_w[r["cluster"] - 1][r["d"]] = r["c"]
         W = new_w
     return base, W
 
