@@ -236,6 +236,57 @@ class TestInterceptors:
             PostActionInterceptor.attach(DataFlow(), "zzz", lambda l, v, c: v)
 
 
+class TestMetadataExtensionStabilisation:
+    """The stabilisation cap on metadata-extension manipulations is
+    conf-tunable (TestDataFlowMetadataExtension.scala:10-47; the flag keeps
+    the reference's exact spelling)."""
+
+    def _countdown(self, remaining):
+        from waimak_spark.dataflow.flow import MetadataExtension
+
+        outer = self
+
+        class Countdown(MetadataExtension):
+            def __init__(self, n):
+                self.n = n
+
+            def pre_execution(self, flow):
+                flow = flow.without_extension(self)
+                if self.n > 0:
+                    flow = flow.with_extension(outer._countdown(self.n - 1))
+                return flow
+
+        return Countdown(remaining)
+
+    def _context(self, conf):
+        from waimak_spark.dataflow.flow import FlowContext
+
+        class Ctx(FlowContext):
+            def get_string(self, key, default):
+                return conf.get(key, default)
+
+        return Ctx()
+
+    def test_fails_past_default_cap_naming_the_flag(self):
+        from waimak_spark.dataflow.flow import CONF_MAX_EXTENSION_ITERATIONS
+
+        flow = DataFlow().with_extension(self._countdown(15))
+        with pytest.raises(FlowValidationException) as exc:
+            flow.prepare_for_execution()
+        assert "Maximum number of iterations [10]" in str(exc.value)
+        assert CONF_MAX_EXTENSION_ITERATIONS in str(exc.value)
+
+    def test_passes_under_default_cap(self):
+        DataFlow().with_extension(self._countdown(8)).prepare_for_execution()
+
+    def test_conf_raises_the_cap(self):
+        from waimak_spark.dataflow.flow import CONF_MAX_EXTENSION_ITERATIONS
+
+        ctx = self._context({CONF_MAX_EXTENSION_ITERATIONS: "20"})
+        (DataFlow(ctx).with_extension(self._countdown(15))
+         .prepare_for_execution())
+
+
 class TestConfigurationExtensions:
     """Config-string-enabled pre-execution hooks (DataFlow.scala:345-367,
     659-671) — explicit registry replacing ServiceLoader."""

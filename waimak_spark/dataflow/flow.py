@@ -28,7 +28,13 @@ from .exceptions import DataFlowException, FlowValidationException
 F = TypeVar("F", bound="DataFlow")
 
 DEFAULT_POOL = "DEFAULT"
-MAX_EXTENSION_ITERATIONS = 10  # spark.waimak.dataflow.maxIterations... default
+# Stabilisation cap for metadata-extension manipulations; conf-tunable like
+# the reference (DataFlow.scala's prepareForExecution loop — the flag keeps
+# the reference's exact spelling, including its "Stabalise" typo, so configs
+# written for the reference keep working).
+CONF_MAX_EXTENSION_ITERATIONS = (
+    "spark.waimak.dataflow.maxIterationsForExtensionManipulationsToStabalise")
+MAX_EXTENSION_ITERATIONS = 10
 
 
 class FlowContext:
@@ -280,6 +286,16 @@ class DataFlow:
         names = [s.strip() for s in
                  self.context.get_string(CONF_EXTENSIONS, "").split(",")
                  if s.strip()]
+        if names:
+            # Built-in extensions self-register on module import (the
+            # explicit-registry stand-in for the reference's ServiceLoader
+            # discovery, DataFlow.scala:659-671) — make sure they are
+            # loaded before the unknown-key check. Lazy to avoid cycles.
+            import importlib
+
+            for mod in ("waimak_spark.operators.cache",
+                        "waimak_spark.dataquality.extension"):
+                importlib.import_module(mod)
         unknown = [n for n in names if n not in _CONFIGURATION_EXTENSIONS]
         if unknown:
             raise FlowValidationException(
@@ -289,11 +305,13 @@ class DataFlow:
 
     def prepare_for_execution(self: F) -> F:
         """Run config extensions once, then metadata extensions until stable
-        (≤10 iterations), then validate."""
+        (capped — default 10, conf-tunable), then validate."""
         flow = self
         for cext in self._enabled_configuration_extensions():
             flow = cext.pre_execution_manipulation(flow)
-        for _ in range(MAX_EXTENSION_ITERATIONS):
+        max_iter = int(self.context.get_string(
+            CONF_MAX_EXTENSION_ITERATIONS, str(MAX_EXTENSION_ITERATIONS)))
+        for _ in range(max_iter):
             if not flow.extensions:
                 break
             exts = list(flow.extensions)
@@ -305,8 +323,11 @@ class DataFlow:
         else:
             if flow.extensions:
                 raise FlowValidationException(
-                    f"Extensions did not stabilise in {MAX_EXTENSION_ITERATIONS} "
-                    f"iterations: {[type(e).__name__ for e in flow.extensions]}"
+                    f"Maximum number of iterations [{max_iter}] reached "
+                    f"before extension manipulations stabilised. You can "
+                    f"increase this limit using the flag "
+                    f"[{CONF_MAX_EXTENSION_ITERATIONS}]. Unstable: "
+                    f"{[type(e).__name__ for e in flow.extensions]}"
                 )
         flow.validate()
         return flow

@@ -112,3 +112,68 @@ class SparkCacheExtension(MetadataExtension):
         flow = PostActionInterceptor.attach(flow, self.label, post)
         return _mark_cached(flow, old_producer, self.label,
                             "spark_cached_labels")
+
+
+# ---------------------------------------------------------------------------
+# Conf-driven cache extensions (CacheConfigurationExtension.scala:6-29):
+# enabled by listing their key in ``spark.waimak.dataflow.extensions``;
+# each parses ``spark.waimak.dataflow.extensions.<key>.{cacheAll,cacheLabels}``
+# and routes through the same flow methods as the programmatic API, so the
+# cache-only-if-reused rule and the one-cache-per-label guard apply equally.
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dataclasses
+
+from ..dataflow.flow import (
+    CONF_EXTENSIONS,
+    DataFlowConfigurationExtension,
+    register_configuration_extension,
+)
+
+
+@_dataclasses.dataclass
+class _CacheExtensionConf:
+    """CacheConfigurationExtensionConf (CacheConfigurationExtension.scala:29)."""
+
+    cacheAll: bool = False
+    cacheLabels: list[str] = _dataclasses.field(default_factory=list)
+
+
+class CacheConfigurationExtension(DataFlowConfigurationExtension):
+    """Shared conf-parse + label-enumeration for the two cache extensions.
+
+    With ``cacheAll`` every output label of every action is cached (the
+    reference's ``flow.actions.flatMap(_.outputLabels)``); otherwise only
+    the comma-separated ``cacheLabels``."""
+
+    def _labels_to_cache(self, flow) -> list[str]:
+        from ..app.config import parse_config
+
+        conf = parse_config(
+            _CacheExtensionConf, flow.context,
+            f"{CONF_EXTENSIONS}.{self.extension_key}.")
+        if conf.cacheAll:
+            return [l for a in flow.actions for l in a.output_labels]
+        return conf.cacheLabels
+
+    def pre_execution_manipulation(self, flow):
+        return self.cache_labels(flow, self._labels_to_cache(flow))
+
+    def cache_labels(self, flow, labels):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+@register_configuration_extension
+class CacheAsParquetConfigurationExtension(CacheConfigurationExtension):
+    extension_key = "cacheasparquet"
+
+    def cache_labels(self, flow, labels):
+        return flow.cache_as_parquet(*labels)
+
+
+@register_configuration_extension
+class SparkCacheConfigurationExtension(CacheConfigurationExtension):
+    extension_key = "sparkcache"
+
+    def cache_labels(self, flow, labels):
+        return flow.spark_cache(*labels)
