@@ -264,6 +264,74 @@ def test_commit_without_push_fails(base_flow):
         flow.execute()
 
 
+def test_push_without_commit_fails(base_flow, tmp_path):
+    """TestSparkCommitter.scala:46-64 — a push with no matching commit
+    definition is a validation error naming the orphan pushes."""
+    flow = (base_flow.commit("comm_1", "orders")
+            .push("comm_1", ParquetDataCommitter(str(tmp_path / "d1")))
+            .push("no_commit_1", ParquetDataCommitter(str(tmp_path / "d2")))
+            .push("no_commit_2", ParquetDataCommitter(str(tmp_path / "d3"))))
+    with pytest.raises(Exception) as exc:
+        flow.execute()
+    assert "no_commit_1" in str(exc.value) and "no_commit_2" in str(exc.value)
+
+
+def test_commit_unproduced_label_names_the_commit(base_flow, tmp_path):
+    """TestSparkCommitter.scala:169-185 — committing a label no action
+    produces reports the commit → missing-label mapping, not a generic
+    dangling-dependency error on a synthetic stage action."""
+    flow = (base_flow.commit("comm_1", "orders", "ghost")
+            .push("comm_1", ParquetDataCommitter(str(tmp_path / "dest"))))
+    with pytest.raises(Exception, match=r"not produced by any action.*comm_1 -> \{ghost\}"):
+        flow.execute()
+
+
+def test_same_label_in_two_commits(base_flow, tmp_path):
+    """TestSparkCommitter.scala:84-106 — one label may take part in two
+    separate commits; both destinations receive it."""
+    d1, d2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    flow = (base_flow
+            .transform("orders", output="report", fn=lambda df: df.limit(7))
+            .commit("comm_1", "report")
+            .commit("with_duplicate", "report")
+            .push("comm_1", ParquetDataCommitter(d1))
+            .push("with_duplicate", ParquetDataCommitter(d2)))
+    flow.execute()
+    assert base_flow.spark.read.parquet(f"{d1}/report").count() == 7
+    assert base_flow.spark.read.parquet(f"{d2}/report").count() == 7
+
+
+def test_add_label_to_existing_commit(base_flow, tmp_path):
+    """TestSparkCommitter.scala:190-210 — a second commit() with the same
+    name extends the label set; one push commits them all."""
+    dest = str(tmp_path / "dest")
+    flow = (base_flow
+            .transform("orders", output="report", fn=lambda df: df.limit(7))
+            .transform("lineitem", output="items", fn=lambda df: df.limit(4))
+            .commit("comm_1", "report")
+            .commit("comm_1", "items")
+            .push("comm_1", ParquetDataCommitter(dest)))
+    flow.execute()
+    assert base_flow.spark.read.parquet(f"{dest}/report").count() == 7
+    assert base_flow.spark.read.parquet(f"{dest}/items").count() == 4
+
+
+def test_commit_label_cached_and_consumed(base_flow, tmp_path):
+    """TestSparkCommitter.scala:127-168 — a committed label that is also
+    cacheAsParquet'd and consumed by another action commits exactly once
+    with correct content (the one-cache-per-label guard)."""
+    dest, wdest = str(tmp_path / "dest"), str(tmp_path / "write")
+    flow = (base_flow
+            .transform("orders", output="report", fn=lambda df: df.limit(7))
+            .cache_as_parquet("report")
+            .write_parquet(wdest, "report")
+            .commit("report", "report")
+            .push("report", ParquetDataCommitter(dest)))
+    flow.execute()
+    assert base_flow.spark.read.parquet(f"{dest}/report").count() == 7
+    assert base_flow.spark.read.parquet(f"{wdest}/report").count() == 7
+
+
 def test_parallel_executor_spark(base_flow):
     flow = base_flow
     for i in range(4):

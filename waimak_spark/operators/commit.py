@@ -120,6 +120,25 @@ class CommitMetadataExtension(MetadataExtension):
                 f"Commits without pushes: {sorted(no_push)}; "
                 f"pushes without commits: {sorted(no_commit)}"
             )
+        # every committed label must be produced by some action or provided
+        # as an input — report per commit, before the synthetic stage actions
+        # would turn this into a generic dangling-dependency error
+        # (CommitMetadataExtension.scala's validation, surfaced in
+        # TestSparkCommitter.scala:169-185 as "Commit definitions with
+        # labels that are not produced by any action")
+        produced = {l for a in flow.actions for l in a.output_labels}
+        produced |= flow.inputs.labels()
+        unproduced = {
+            name: sorted({e.label for e in entries} - produced)
+            for name, entries in self.commits.items()
+        }
+        unproduced = {k: v for k, v in unproduced.items() if v}
+        if unproduced:
+            detail = ", ".join(
+                f"{k} -> {{{', '.join(v)}}}" for k, v in sorted(unproduced.items()))
+            raise FlowValidationException(
+                "Commit definitions with labels that are not produced by "
+                f"any action: [{detail}]")
         for name, entries in self.commits.items():
             committer = self.pushes[name]
             committer.validate(flow, name, entries)
