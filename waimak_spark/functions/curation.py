@@ -452,3 +452,190 @@ def lang_mixture_weights_sql(table: str = "documents",
                      / (n_docs / n_total), 4) as sample_factor
         from langs cross join tot
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+# score raw documents by how target-like they are under two hashed
+# bag-of-n-grams language models, then resample with Gumbel top-k.
+# The reference (waimak) has no data-selection surface; this is the
+# training-data-pipeline extension family (round-9 catalog candidate —
+# see PARITY.md's rotation ledger).
+#
+# log w(x) = sum over x's grams g of  llr[bucket(g)]
+#   llr[b] = ln((ct_b + a) / (T + aB)) - ln((cr_b + a) / (R + aB))
+# with ct/cr the hashed (unigram+bigram -> B buckets) counts over the
+# target / raw corpora, T/R their totals, a the add-a smoothing.
+#
+# Scale shape (100 TB posture): the gram stream is a map-only projection
+# (token slices zipped in place, no window/self-join) persisted once and
+# read twice (raw-model fit + scoring); the two model fits are groupBys
+# on the bucket key whose output is bounded by B (4096) regardless of
+# corpus size — map-side partial aggregation collapses everything before
+# the exchange; the per-bucket llr table is B rows, BROADCAST to the
+# scoring join (zero gram-stream shuffle for scoring); the per-doc rollup
+# is one keyed aggregation.  Selection is orderBy+limit = Spark's
+# TakeOrderedAndProject (per-partition partial top-k, merged on the
+# driver — k rows, never a global sort).
+#
+# Cross-engine determinism: buckets come from md5_hash32 % B (identical
+# in DuckDB); each llr value is computed ONCE per bucket in the llr
+# table, so the only engine divergence is per-doc summation order —
+# absorbed by the round(..., 4) gate (the unigram/bigram_logprob recipe).
+# Gumbel noise derives from seeded md5, u in (0,1) strictly, and the
+# selection key is rounded to 4dp with a doc_id tiebreak so both engines
+# rank identically.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 1.0
+
+
+def _dsir_gram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, gram) with one row per unigram AND bigram occurrence;
+    zero-gram docs survive as a single null-gram row (explode_outer)."""
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.concat(toks, bigrams)
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.explode_outer(grams).alias("gram"))
+
+
+def dsir_importance(raw_df: DataFrame, target_df: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    buckets: int = DSIR_BUCKETS,
+                    alpha: float = DSIR_ALPHA) -> DataFrame:
+    """(doc_id, n_grams, log_weight): per raw document, the DSIR
+    log-importance weight of its hashed n-gram features under the
+    target-vs-raw bag-of-n-grams models, rounded to 4dp.  Zero-gram docs
+    (empty/null text) get log_weight 0.0 (an empty product of ratios)."""
+    from .cache_registry import tracked_persist
+    from .text import md5_hash32
+
+    bucket = (md5_hash32(F.col("gram")) % buckets).alias("b")
+    raw_grams = tracked_persist(
+        _dsir_gram_stream(raw_df, text_col, id_col))
+    cr = (raw_grams.where(F.col("gram").isNotNull()).select(bucket)
+          .groupBy("b").agg(F.count("*").alias("cr")))
+    ct = (_dsir_gram_stream(target_df, text_col, id_col)
+          .where(F.col("gram").isNotNull()).select(bucket)
+          .groupBy("b").agg(F.count("*").alias("ct")))
+    # a gram-less corpus sums to NULL, not 0 — coalesce so the empty-target
+    # boundary degrades to the uniform (all-alpha) model instead of
+    # null-ing every llr
+    r_tot = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("r_total"))
+    t_tot = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_total"))
+    a, ab = F.lit(float(alpha)), F.lit(float(alpha) * buckets)
+    # only raw-present buckets are ever looked up, so cr is the base side
+    llr = (cr.join(ct, "b", "left")
+           .join(F.broadcast(r_tot)).join(F.broadcast(t_tot))
+           .select("b",
+                   (F.log((F.coalesce(F.col("ct"), F.lit(0)) + a)
+                          / (F.col("t_total") + ab))
+                    - F.log((F.col("cr") + a) / (F.col("r_total") + ab))
+                    ).alias("llr")))
+    scored = (raw_grams.select("doc_id", F.col("gram"), bucket)
+              .join(F.broadcast(llr), "b", "left"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("gram").alias("n_grams"),
+                 F.round(F.coalesce(F.sum("llr"), F.lit(0.0)), 4)
+                 .alias("log_weight")))
+
+
+def dsir_select(raw_df: DataFrame, target_df: DataFrame, k: int,
+                seed: int = 1, text_col: str = "text",
+                id_col: str = "doc_id", buckets: int = DSIR_BUCKETS,
+                alpha: float = DSIR_ALPHA) -> DataFrame:
+    """Gumbel-top-k importance resampling: the paper's sampling-without-
+    replacement, derandomised via seeded md5 so every engine/run/retry
+    selects the same k documents.  Returns (doc_id, n_grams, log_weight,
+    gumbel_key) for the k selected docs."""
+    from .text import seeded_hash
+
+    w = dsir_importance(raw_df, target_df, text_col, id_col, buckets, alpha)
+    u = ((seeded_hash(F.col("doc_id").cast("string"), seed) + 1)
+         / F.lit(4294967297.0))  # (0,1) strictly: hash is 0..2^32-1
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 4)
+    return (w.withColumn("gumbel_key", key)
+            .orderBy(F.desc("gumbel_key"), "doc_id").limit(k))
+
+
+def _dsir_grams_sql(table: str, where: str, text: str, id_: str) -> str:
+    """Gram-stream CTE body matching :func:`_dsir_gram_stream` (non-null
+    grams only — SQL callers handle zero-gram docs with a left join)."""
+    from .text import TOKENS_SQL
+
+    cond = f"where {where}" if where else ""
+    return f"""
+        select {id_} as doc_id, unnest(
+            t || case when len(t) >= 2 then
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1])
+                 else [] end) as gram
+        from (select {id_}, {TOKENS_SQL.format(col=text)} as t
+              from {table} {cond})
+    """
+
+
+def dsir_importance_sql(target_where: str,
+                        buckets: int = DSIR_BUCKETS,
+                        alpha: float = DSIR_ALPHA,
+                        raw_table: str = "documents",
+                        text: str = "text", id_: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`dsir_importance`; the target corpus is
+    ``raw_table`` filtered by ``target_where`` (how the catalog-style
+    oracle pins a target set without a second table)."""
+    from .text import md5_hash32_sql
+
+    a, ab = float(alpha), float(alpha) * buckets
+    return f"""
+        with rg as ({_dsir_grams_sql(raw_table, "", text, id_)}),
+        tg as ({_dsir_grams_sql(raw_table, target_where, text, id_)}),
+        cr as (select {md5_hash32_sql('gram')} % {buckets} as b,
+                      count(*) as cr from rg group by 1),
+        ct as (select {md5_hash32_sql('gram')} % {buckets} as b,
+                      count(*) as ct from tg group by 1),
+        rt as (select coalesce(sum(cr), 0) as r_total from cr),
+        tt as (select coalesce(sum(ct), 0) as t_total from ct),
+        llr as (
+            select b, ln((coalesce(ct, 0) + {a}) / (t_total + {ab}))
+                      - ln((cr + {a}) / (r_total + {ab})) as llr
+            from cr left join ct using (b) cross join rt cross join tt
+        ), per_doc as (
+            select doc_id, count(*) as n_grams, sum(llr) as w
+            from (select doc_id,
+                         {md5_hash32_sql('gram')} % {buckets} as b
+                  from rg)
+            join llr using (b) group by doc_id
+        )
+        select d.{id_} as doc_id,
+               coalesce(p.n_grams, 0) as n_grams,
+               round(coalesce(p.w, 0.0), 4) as log_weight
+        from {raw_table} d left join per_doc p on d.{id_} = p.doc_id
+    """
+
+
+def dsir_select_sql(target_where: str, k: int, seed: int = 1,
+                    buckets: int = DSIR_BUCKETS,
+                    alpha: float = DSIR_ALPHA,
+                    raw_table: str = "documents",
+                    text: str = "text", id_: str = "doc_id") -> str:
+    from .text import seeded_hash_sql
+
+    u = (f"(({seeded_hash_sql(f'doc_id::VARCHAR', seed)}) + 1)"
+         f" / 4294967297.0")
+    return f"""
+        with w as ({dsir_importance_sql(target_where, buckets, alpha,
+                                        raw_table, text, id_)})
+        select doc_id, n_grams, log_weight,
+               round(log_weight - ln(-ln({u})), 4) as gumbel_key
+        from w
+        order by gumbel_key desc, doc_id
+        limit {k}
+    """
