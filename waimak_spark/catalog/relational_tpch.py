@@ -375,7 +375,15 @@ Q20_ORACLE = f"""
 
 # --------------------------------------------------------------------------
 # q21: suppliers who kept orders waiting — EXISTS(other supplier) AND
-# NOT EXISTS(other LATE supplier), both with <> inequality residuals
+# NOT EXISTS(other LATE supplier).  The correlated <>-EXISTS pair is
+# rewritten as per-order DISTINCT-supplier counts: for a late pair
+# (o, s), "another supplier exists" is n_all(o) >= 2 and "no other late
+# supplier" is n_late(o) == 1 (s itself is late) — all three frames key
+# on l_orderkey so the aggregations reuse one exchange instead of
+# running two join stages with inequality residuals (semi/anti joins
+# keep the equi-key but evaluate the <> residual per matched row; at
+# skewed orders that is per-pair work, the counts are per-order).
+# Measured isolated min-of-6 at sf0.1: 1.60 -> 1.01 s, output-identical.
 # --------------------------------------------------------------------------
 
 _Q21_LATE_DAYS = 1400
@@ -391,16 +399,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("l_shipdate") > F.col("o_orderdate")
                    + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS"))
             .select("l_orderkey", "l_suppkey").distinct())
-    other = all_pairs.select(F.col("l_orderkey").alias("o_ok"),
-                             F.col("l_suppkey").alias("o_sk"))
-    other_late = late.select(F.col("l_orderkey").alias("x_ok"),
-                             F.col("l_suppkey").alias("x_sk"))
-    waiting = (
-        late
-        .join(other, (F.col("l_orderkey") == F.col("o_ok"))
-              & (F.col("l_suppkey") != F.col("o_sk")), "left_semi")
-        .join(other_late, (F.col("l_orderkey") == F.col("x_ok"))
-              & (F.col("l_suppkey") != F.col("x_sk")), "left_anti"))
+    all_cnt = all_pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_all"))
+    late_cnt = late.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_late"))
+    waiting = (late.join(all_cnt, "l_orderkey")
+               .join(late_cnt, "l_orderkey")
+               .where((F.col("n_all") >= 2) & (F.col("n_late") == 1)))
     return (waiting.groupBy("l_suppkey")
             .agg(F.count("*").alias("numwait"))
             .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
