@@ -258,6 +258,39 @@ def test_date_based_cleanup_strategy_cases():
     assert strat(None, "t", list(reversed(same_day))) == same_day[:2]
 
 
+def test_interceptors_preserve_action_count_and_guid(base_flow):
+    """TestSparkInterceptors.scala:28-56 — intercepting never adds
+    actions; the wrapped action keeps its scheduling guid."""
+    flow = base_flow.transform("orders", output="t1",
+                               fn=lambda df: df.limit(10))
+    n = len(flow.actions)
+    guid = next(a for a in flow.actions if "t1" in a.output_labels).guid
+    flow2 = flow.in_place_transform("t1", lambda df: df.select("o_orderkey"))
+    assert len(flow2.actions) == n
+    assert next(a for a in flow2.actions
+                if "t1" in a.output_labels).guid == guid
+    # cacheAsParquet schedules via the metadata extension — still no new
+    # actions once prepared (two consumers so the cache is not skipped)
+    flow3 = (flow2.transform("t1", output="a", fn=lambda df: df)
+             .transform("t1", output="b", fn=lambda df: df)
+             .cache_as_parquet("t1"))
+    prepared = flow3.prepare_for_execution()
+    assert len(prepared.actions) == n + 2
+
+
+def test_downstream_sql_sees_intercepted_output(base_flow):
+    """TestSparkInterceptors.scala:99-117 — an action consuming an
+    intercepted label gets the POST-transform value."""
+    flow = (base_flow
+            .sql("orders", output="summary",
+                 query="select o_orderkey from orders")
+            .in_place_transform("summary", lambda df: df.limit(1))
+            .sql("summary", output="cnt",
+                 query="select count(*) as n from summary"))
+    _, final = flow.execute()
+    assert final.inputs.get("cnt").collect()[0].n == 1
+
+
 def test_commit_without_push_fails(base_flow):
     flow = base_flow.commit("orphan", "orders")
     with pytest.raises(Exception, match="without pushes"):
