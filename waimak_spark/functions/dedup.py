@@ -667,7 +667,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # 2.61 vs 2.67) — shingle DF keys are hot BY DEFINITION (the prune
     # targets shingles in >=1% of docs), unlike the near-uniform md5 band
     # buckets in _banded_keys where the window form stays faster.
-    sh_all = tracked_persist(sh_all)  # read twice: df build + join-back
+    # No extra persist here: sh_all is a cheap md5+explode projection of
+    # shingle_base's already-persisted arrays, and materializing the
+    # exploded stream (window-tokens x corpus rows) cost more cold than
+    # the double projection it saved.
     df_counts = sh_all.groupBy("sh").agg(F.count("*").alias("df"))
     sh = (
         sh_all.join(df_counts, "sh")
