@@ -123,6 +123,31 @@ def test_both_extensions_compose(spark, sf_dir, tmp_flow_dir):
         final.inputs.get("purchases_2").unpersist()
 
 
+def test_conf_cache_composes_with_commit_autocache(spark, sf_dir,
+                                                   tmp_flow_dir, tmp_path):
+    """A conf-cached label that is ALSO committed (and reused, so the
+    commit extension's auto-cache targets it too) caches exactly once —
+    the one-cache-per-label guard prevents two stacked write+re-reads
+    whose second overwrite would delete the files the first one's
+    re-read plan points at."""
+    from waimak_spark.operators import ParquetDataCommitter
+
+    with _conf(spark, extensions="cacheasparquet", cap_labels="report",
+               keep_temp="false"):
+        flow = (
+            Waimak.spark_flow(spark, tmp_flow_dir)
+            .open_file_parquet(f"{sf_dir}/orders.parquet", "orders")
+            .transform("orders", output="report", fn=lambda df: df.limit(7))
+            .transform("report", output="x", fn=lambda df: df.limit(3))
+            .transform("report", output="y", fn=lambda df: df.limit(2))
+            .commit("c", "report")
+            .push("c", ParquetDataCommitter(str(tmp_path / "dest")))
+        )
+        _, final = flow.execute()
+    assert spark.read.parquet(f"{tmp_path}/dest/report").count() == 7
+    assert final.inputs.get("x").count() == 3
+
+
 def test_unknown_extension_key_raises(spark, sf_dir, tmp_flow_dir):
     with _conf(spark, extensions="nosuchext"):
         with pytest.raises(FlowValidationException, match="nosuchext"):

@@ -1,3 +1,3 @@
-from . import dedup, similarity, text
+from . import curation, dedup, similarity, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["curation", "dedup", "similarity", "text"]
