@@ -1,0 +1,186 @@
+"""Product quantization (Jégou et al. 2011) — per-subspace deterministic
+Lloyd codebooks, map-only encode, ADC top-k with Arrow-built per-query
+LUTs and JVM scoring.
+The reference (waimak) has no ANN surface; this is the training-data-
+pipeline extension family (round-10 catalog candidate per PARITY's
+rotation ledger), so the oracle lockstep lives here until a slot opens."""
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from waimak_spark.functions.similarity import (
+    PQ_K,
+    PQ_M,
+    PQ_ROUND,
+    PQ_SEED,
+    _plane_weight,
+    brute_force_topk,
+    pq_encode,
+    pq_encode_sql,
+    pq_fit,
+    pq_topk,
+    pq_topk_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from '{sf}/embeddings.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _, books = pq_fit(emb)
+    return emb, books
+
+
+class TestPqOracle:
+    def test_encode_matches_duckdb(self, fitted, duck):
+        emb, books = fitted
+        got = {r.vec_id: list(r.codes)
+               for r in pq_encode(emb, books).collect()}
+        want = {r[0]: list(r[1])
+                for r in duck.execute(pq_encode_sql(books)).fetchall()}
+        assert got == want
+        assert len(got) == emb.count()
+        # codes are 1-based and bounded by the per-subspace k
+        assert all(1 <= c <= PQ_K for cs in got.values() for c in cs)
+        assert all(len(cs) == PQ_M for cs in got.values())
+
+    def test_topk_matches_duckdb(self, fitted, duck):
+        emb, books = fitted
+        qids = list(range(1, 21))
+        got = sorted(tuple(r)
+                     for r in pq_topk(emb, books, qids, k=10).collect())
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(pq_topk_sql(books, qids, k=10)).fetchall())
+        assert len(got) == len(want) == 200
+        for a, b in zip(got, want):
+            assert a[:3] == b[:3]
+            assert a[3] == pytest.approx(b[3], abs=1e-9)
+
+    def test_fit_is_deterministic(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _, b1 = pq_fit(emb, m=8, k=8, n_iters=1)
+        _, b2 = pq_fit(emb, m=8, k=8, n_iters=1)
+        assert b1 == b2
+
+
+class TestPqRecall:
+    def test_recall_gate_vs_brute_force(self, fitted):
+        """Measured gate (the ann_ivf_recall pattern): defaults swept to
+        mean 0.62 / min 0.40 recall@10 on this corpus — fail if a change
+        silently wrecks the approximate path. Floors sit under the
+        measured values by a safety margin but far above the ~k/N noise
+        baseline (0.02)."""
+        emb, books = fitted
+        qids = list(range(1, 21))
+        pq = {}
+        for r in pq_topk(emb, books, qids, k=10).collect():
+            pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+        bf = {}
+        for r in brute_force_topk(emb, qids, k=10).collect():
+            bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(pq[q] & bf[q]) / 10 for q in bf]
+        assert sum(recalls) / len(recalls) >= 0.5
+        assert min(recalls) >= 0.3
+
+
+class TestPqSemantics:
+    def test_fit_matches_pure_python_reference(self, spark):
+        """Independent NumPy-free reference: seeded init, sequential
+        distances, mean update rounded to PQ_ROUND, empty codes keep the
+        previous centroid — recomputed in plain Python on a small corpus
+        and compared to the Spark fit per value."""
+        m, k, iters, dims = 4, 3, 2, 8
+        sub = dims // m
+        vecs = [[math.sin(i * dims + d) for d in range(dims)]
+                for i in range(30)]
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)])
+        _, got = pq_fit(df, m=m, k=k, n_iters=iters, dims=dims)
+
+        def norm(v):
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        unit = [norm(v) for v in vecs]
+        books = [[[_plane_weight(PQ_SEED + s * k + c, d)
+                   for d in range(sub)] for c in range(k)]
+                 for s in range(m)]
+        for _ in range(iters):
+            sums = {}
+            for v in unit:
+                for s in range(m):
+                    xs = v[s * sub:(s + 1) * sub]
+                    best, best_score = None, None
+                    for c in range(k):
+                        w = books[s][c]
+                        cc = 0.0
+                        for x in w:
+                            cc += x * x
+                        xc = 0.0
+                        for d in range(sub):
+                            xc += xs[d] * w[d]
+                        score = cc - 2.0 * xc
+                        if best_score is None or score < best_score:
+                            best, best_score = c, score
+                    key = (s, best)
+                    acc = sums.setdefault(key, [0, [0.0] * sub])
+                    acc[0] += 1
+                    for d in range(sub):
+                        acc[1][d] += xs[d]
+            new = [[list(c) for c in b] for b in books]
+            for (s, c), (n, tot) in sums.items():
+                new[s][c] = [round(t / n, PQ_ROUND) for t in tot]
+            books = new
+        for s in range(m):
+            for c in range(k):
+                for d in range(sub):
+                    assert got[s][c][d] == pytest.approx(
+                        books[s][c][d], abs=2e-6), (s, c, d)
+
+    def test_invalid_vectors_dropped(self, spark):
+        df = spark.createDataFrame([
+            Row(vec_id=1, embedding=[0.5] * 8),
+            Row(vec_id=2, embedding=None),
+            Row(vec_id=3, embedding=[0.5] * 7),        # ragged
+            Row(vec_id=4, embedding=[float("nan")] * 8),
+            Row(vec_id=5, embedding=[0.0] * 8),        # zero norm
+        ])
+        _, books = pq_fit(df, m=4, k=2, n_iters=1, dims=8)
+        out = pq_encode(df, books, dims=8)
+        assert [r.vec_id for r in out.collect()] == [1]
+
+    def test_dims_not_divisible_raises(self, spark):
+        df = spark.createDataFrame([Row(vec_id=1, embedding=[0.5] * 8)])
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_fit(df, m=3, dims=8)
+
+
+class TestPqPlanShape:
+    def test_scoring_path_stays_jvm(self, fitted):
+        """Encode is the ONLY Python (Arrow) stage; ADC scoring and the
+        per-query rank are whole-stage JVM with a broadcast query side."""
+        emb, books = fitted
+        plan = (pq_topk(emb, books, [1, 2], k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan      # no row-at-a-time Python
+        assert plan.count("ArrowEvalPython") <= 3  # encode + query LUT
+        assert "BroadcastExchange" in plan         # query side broadcasts

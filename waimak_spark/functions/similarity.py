@@ -1599,3 +1599,292 @@ def semantic_dedup_sql(min_cosine: float = SEMDEDUP_TAU,
                (d.vec_id is null)::int as keep
         from rk r left join drops d on r.vec_id = d.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 33(1)): split each vector into
+# PQ_M subvectors, k-means each subspace (deterministic seeded Lloyd, the
+# kmeans recipe), store each corpus vector as PQ_M small codes, and answer
+# top-k with asymmetric-distance computation — exact query subvectors
+# against the coded corpus via per-query lookup tables.
+#
+# The reference (waimak) has no ANN surface; this completes the repo's
+# family (brute force, LSH, IVF, int8, stored IVF) with the 100 TB memory
+# path: at PQ_M=32 codes a 64-dim float64 corpus compresses 16x (32
+# single-byte codes vs 512 bytes), so the scan the probe pays is
+# code-bandwidth, not vector-bandwidth.  Round-10 catalog candidate per PARITY's rotation
+# ledger.
+#
+# Scale shape: the fit is n_iters Arrow-kernel assignment passes over the
+# materialized base plus one BOUNDED collect per round (m*k*sub_dims =
+# 1024 doubles — aggregate-sized, the kmeans pattern); encode is map-only;
+# scoring never touches Python — the per-query LUT (m*k dots of the
+# query's REAL subvectors against codebook literals) is built in-plan on
+# the broadcast query side, and each corpus row costs m element_at
+# lookups + a sequential m-term sum, all whole-stage JVM expressions.
+#
+# Cross-engine determinism: codebooks are rounded to PQ_ROUND decimals
+# per Lloyd round (the KMEANS_ROUND guard) and injected as literals into
+# BOTH engines' scoring plans; every dot is sequential-over-dimensions
+# (== DuckDB list_dot_product); assignment ties break to the lowest
+# centroid index on both sides; ADC scores round to 4dp before the
+# rank/tiebreak.
+# ---------------------------------------------------------------------------
+
+PQ_M = 32       # subspaces; 64 dims -> 2-dim subvectors
+PQ_K = 64       # centroids per subspace -> codes fit in 6 bits
+PQ_ITERS = 2
+PQ_SEED = 3000  # subspace s, centroid c seeds plane-weight rows at
+                # 3000 + s*PQ_K + c — disjoint from KMEANS_SEED's range
+PQ_ROUND = 6
+# Defaults were swept on the sf0.001 embeddings (near-random directions,
+# cosine sd 0.125 — a hard, noise-dominated corpus for PQ):
+#   m=8  k=16: recall@10 0.16   m=16 k=64: 0.36   m=32 k=16: 0.44
+#   m=32 k=32: 0.52             m=32 k=64: 0.62 (min 0.40)  <- chosen
+# More subspaces beat more centroids here (direction resolution, not
+# per-subspace detail, is what the flat spectrum punishes); extra Lloyd
+# rounds moved recall < 0.02.  32 single-byte codes vs 512 raw bytes is
+# still a 16x scan-bandwidth cut.
+
+
+def _pq_init(m: int, k: int, sub_dims: int) -> list[list[list[float]]]:
+    return [[[_plane_weight(PQ_SEED + s * k + c, d) for d in range(sub_dims)]
+             for c in range(k)] for s in range(m)]
+
+
+def _pq_unit_base(emb: DataFrame, dims: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(id, v) with v L2-NORMALIZED: PQ here approximates COSINE (the
+    family's metric) — on unit vectors the ADC inner product IS the
+    cosine, so codebooks quantize direction only and norm variance stops
+    polluting the reconstruction.  The norm is a sequential self-dot
+    (== DuckDB list_dot_product) so both engines normalize
+    bit-identically; zero vectors are already dropped upstream by the
+    all-finite/valid filter plus the norm>0 guard here."""
+    base = (valid_embeddings(emb, dims, vec_col)
+            .select(F.col(id_col), as_double(F.col(vec_col)).alias("raw")))
+    nrm = F.sqrt(dot(F.col("raw"), F.col("raw")))
+    return (base.where(nrm > 0)
+            .select(id_col,
+                    F.transform(F.col("raw"),
+                                lambda x: x / nrm).alias("v")))
+
+
+def _pq_assign_kernel(books: list[list[list[float]]]):
+    """Arrow-batched per-subspace nearest-centroid codes (1-based, ties to
+    the lowest index) — the kmeans assignment kernel applied per slice."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    Bs = [np.array(b) for b in books]
+    N2s = [np.array(_seq_norms(b)) for b in books]
+    m, sub = len(books), Bs[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def codes(v: pd.Series) -> pd.Series:
+        X = _rows_matrix(v)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            scores = _ivf_np_scores(X[:, s * sub:(s + 1) * sub], Bs[s], N2s[s])
+            out[:, s] = np.argmin(scores, axis=1) + 1
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _pq_lut_kernel(books: list[list[list[float]]]):
+    """Arrow-batched per-query ADC lookup table: lut[(s-1)*k + c] =
+    dot(q_s, books[s][c]), sequential over dimensions (== DuckDB
+    list_dot_product on the same doubles)."""
+    from pyspark.sql.types import ArrayType, DoubleType as _D
+
+    Bs = [np.array(b) for b in books]
+    m, kk = len(books), len(books[0])
+    sub = Bs[0].shape[1]
+
+    @F.pandas_udf(ArrayType(_D()))
+    def lut(v: pd.Series) -> pd.Series:
+        X = _rows_matrix(v)
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((X.shape[0], m * kk))
+        for s in range(m):
+            out[:, s * kk:(s + 1) * kk] = _seq_matmul(
+                X[:, s * sub:(s + 1) * sub], Bs[s])
+        return pd.Series(list(out))
+
+    return lut
+
+
+def pq_fit(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+           n_iters: int = PQ_ITERS, dims: int = 64,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           materialize=None, base: DataFrame | None = None
+           ) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Lloyd per subspace, all subspaces in ONE assignment pass + ONE
+    narrow (s, code, d)-keyed avg per round (the posexplode recipe that
+    took the kmeans update out from under the codegen field cliff);
+    returns the materialized base and codebooks[m][k][dims/m] rounded to
+    PQ_ROUND decimals."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    from .cache_registry import tracked_persist
+
+    sub = dims // m
+    if base is None:
+        base = (materialize or tracked_persist)(
+            _pq_unit_base(emb, dims, id_col, vec_col))
+    books = _pq_init(m, k, sub)
+    for _ in range(n_iters):
+        assigned = base.withColumn(
+            "codes", _pq_assign_kernel(books)(F.col("v")))
+        rows = (assigned
+                .select("codes", F.posexplode("v").alias("d", "x"))
+                .withColumn("s", (F.col("d") / sub).cast("int"))
+                .withColumn("code",
+                            F.element_at(F.col("codes"), F.col("s") + 1))
+                .groupBy("s", "code", "d")
+                .agg(F.round(F.avg("x"), PQ_ROUND).alias("c"))
+                .collect())
+        new = [[list(c) for c in b] for b in books]  # empty code kept
+        for r in rows:
+            new[r["s"]][r["code"] - 1][r["d"] - r["s"] * sub] = r["c"]
+        books = new
+    return base, books
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[float]]],
+              dims: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): map-only Arrow encode of valid vectors against fixed
+    codebooks — the compressed corpus representation."""
+    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    return base.select(id_col,
+                       _pq_assign_kernel(books)(F.col("v")).alias("codes"))
+
+
+def _books_sql(books: list[list[list[float]]]) -> str:
+    """Nested DuckDB list literal: books[s][c][d] (1-based indexing)."""
+    return "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]"
+            for c in b) + "]"
+        for b in books) + "]"
+
+
+def pq_encode_sql(books: list[list[list[float]]], dims: int = 64) -> str:
+    """DuckDB oracle for :func:`pq_encode` over the ``embeddings`` view.
+    The codebook literal is hoisted into a 1-row CTE (evaluating the
+    nested-list literal inside a per-row lambda re-built it per row —
+    measured ~100x slower) and each (row, subspace) scores list is a
+    plain column so argmin evaluates it once."""
+    m = len(books)
+    sub = dims // m
+    return f"""
+        with bk as (select {_books_sql(books)} as b),
+        base as (
+            select vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]))) as v
+            from embeddings
+            where embedding is not null and len(embedding) = {dims}
+              and list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]) > 0
+        ), per_s as (
+            select vec_id, s,
+                   list_transform(b[s], c ->
+                       list_dot_product(c, c)
+                       - 2 * list_dot_product(v[(s-1)*{sub}+1 : s*{sub}],
+                                              c)) as scores
+            from base cross join bk
+            cross join generate_series(1, {m}) t(s)
+        )
+        select vec_id,
+               list(array_position(scores, list_min(scores))
+                    order by s) as codes
+        from per_s group by vec_id
+    """
+
+
+def pq_topk(emb: DataFrame, books: list[list[list[float]]],
+            query_ids: list[int], k: int = 5, dims: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> DataFrame:
+    """Approximate top-k inner-product neighbours via ADC: the corpus is
+    scanned as codes only; each query's LUT (its real subvectors dotted
+    with every codebook centroid) is built in-plan on the broadcast side,
+    so scoring is m ``element_at`` lookups + an m-term sequential sum per
+    candidate — whole-stage JVM, no Python in the scoring path."""
+    from pyspark.sql import Window as W
+
+    m, kk = len(books), len(books[0])
+    sub = dims // m
+    codes = pq_encode(emb, books, dims, id_col, vec_col)
+    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    # LUT in s-major order: position (s-1)*k + c holds dot(q_s, books[s][c]),
+    # built by a tiny Arrow kernel on the (broadcast, few-rows) query side —
+    # the same values as m*k in-plan dot expressions, but Catalyst choked on
+    # analyzing a 2048-expression array (plan compile alone took ~1 min at
+    # m=32 k=64); sequential accumulation keeps it == list_dot_product
+    queries = (base.where(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"),
+                       _pq_lut_kernel(books)(F.col("v")).alias("lut")))
+    s_idx = F.sequence(F.lit(1), F.lit(m))
+    score = F.round(F.aggregate(
+        s_idx, F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.col("lut"),
+            ((s - 1) * kk + F.element_at(F.col("codes"), s)).cast("int"))),
+        4)
+    scored = (codes.crossJoin(F.broadcast(queries))
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      score.alias("adc_score")))
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_score"))
+
+
+def pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
+                k: int = 5, dims: int = 64) -> str:
+    m, kk = len(books), len(books[0])
+    sub = dims // m
+    ids = ", ".join(str(i) for i in query_ids)
+    lut = (f"flatten(list_transform(generate_series(1, {m}), s -> "
+           f"list_transform(b[s], c -> "
+           f"list_dot_product(v[(s-1)*{sub}+1 : s*{sub}], c))))")
+    return f"""
+        with bk as (select {_books_sql(books)} as b),
+        codes as ({pq_encode_sql(books, dims)}),
+        base as (
+            select vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]))) as v
+            from embeddings
+            where embedding is not null and len(embedding) = {dims}
+              and list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]) > 0
+        ), queries as (
+            select vec_id as query_id, {lut} as lut
+            from base cross join bk where vec_id in ({ids})
+        ), scored as (
+            select query_id, c.vec_id as neighbor_id,
+                   round(list_sum(list_transform(
+                       generate_series(1, {m}),
+                       s -> lut[(s-1)*{kk} + codes[s]])), 4) as adc_score
+            from codes c cross join queries
+            where c.vec_id != query_id
+        )
+        select query_id, neighbor_id, rank, adc_score
+        from (select *, row_number() over (partition by query_id
+                                           order by adc_score desc,
+                                                    neighbor_id asc) as rank
+              from scored)
+        where rank <= {k}
+    """
