@@ -20,6 +20,8 @@ from waimak_spark.functions.similarity import (
     PQ_SEED,
     _plane_weight,
     brute_force_topk,
+    ivf_pq_topk,
+    ivf_pq_topk_sql,
     pq_encode,
     pq_encode_sql,
     pq_fit,
@@ -172,6 +174,60 @@ class TestPqSemantics:
         df = spark.createDataFrame([Row(vec_id=1, embedding=[0.5] * 8)])
         with pytest.raises(ValueError, match="not divisible"):
             pq_fit(df, m=3, dims=8)
+
+
+class TestIvfPq:
+    def test_matches_duckdb(self, fitted, duck):
+        emb, books = fitted
+        qids = list(range(1, 21))
+        got = sorted(tuple(r)
+                     for r in ivf_pq_topk(emb, books, qids, k=10).collect())
+        want = sorted(tuple(r) for r in duck.execute(
+            ivf_pq_topk_sql(books, qids, k=10)).fetchall())
+        assert len(got) == len(want) == 200
+        for a, b in zip(got, want):
+            assert a[:3] == b[:3]
+            assert a[3] == pytest.approx(b[3], abs=1e-9)
+
+    def test_recall_gate_with_cell_pruning(self, fitted):
+        """Probing 4/16 cells (25% of the corpus) measured recall@10
+        0.59 mean / 0.40 min — within 0.03 of the full-scan PQ gate.
+        Floors leave a safety margin."""
+        emb, books = fitted
+        qids = list(range(1, 21))
+        pq = {}
+        for r in ivf_pq_topk(emb, books, qids, k=10).collect():
+            pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+        bf = {}
+        for r in brute_force_topk(emb, qids, k=10).collect():
+            bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(pq.get(q, set()) & bf[q]) / 10 for q in bf]
+        assert sum(recalls) / len(recalls) >= 0.45
+        assert min(recalls) >= 0.3
+
+    def test_pruning_restricts_candidates(self, fitted):
+        """Every returned neighbour's cell must be one of the query's
+        probed cells — the prune is real, not a full scan re-ranked."""
+        from pyspark.sql import functions as F
+
+        from waimak_spark.functions.similarity import (
+            IVF_CENTROIDS,
+            IVF_NPROBE,
+            _ivf_pq_features,
+            _pq_unit_base,
+            ivf_probe_cells,
+        )
+
+        emb, books = fitted
+        base = _pq_unit_base(emb, 64, "vec_id", "embedding")
+        cells = {r.vec_id: r.f.cell for r in base.select(
+            "vec_id", _ivf_pq_features(books, IVF_CENTROIDS, 64)(
+                F.col("v")).alias("f")).collect()}
+        probes = {r.vec_id: list(r.p) for r in base.where(
+            F.col("vec_id").isin([1, 7])).select(
+            "vec_id", ivf_probe_cells(F.col("v")).alias("p")).collect()}
+        for r in ivf_pq_topk(emb, books, [1, 7], k=10).collect():
+            assert cells[r.neighbor_id] in probes[r.query_id]
 
 
 class TestPqPlanShape:

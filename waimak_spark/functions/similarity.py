@@ -1888,3 +1888,154 @@ def pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
               from scored)
         where rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed 100 TB ANN shape (Jégou et al. 2011 §IV) — coarse
+# cell pruning (the deterministic seeded IVF centroids) over the SAME
+# L2-normalized space PQ scores in, then ADC only inside probed cells.
+# At scale the (cell, codes) corpus frame is what a stored index holds
+# (cell-bucketed like `ivf_index_frame`, 32 bytes/vector): the probe
+# scans nprobe/n_centroids of a 16x-compressed corpus.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_features(books: list[list[list[float]]], n_centroids: int,
+                     dims: int):
+    """One Arrow pass per corpus row: IVF cell (on the unit vector, so
+    pruning and scoring agree) + PQ codes."""
+    W = np.array(_centroid_matrix(n_centroids, dims))
+    N2 = np.array(_centroid_norms(n_centroids, dims))
+    Bs = [np.array(b) for b in books]
+    BN2s = [np.array(_seq_norms(b)) for b in books]
+    m, sub = len(books), Bs[0].shape[1]
+
+    @F.pandas_udf("cell int, codes array<int>")
+    def feat(v: pd.Series) -> pd.DataFrame:
+        X = _rows_matrix(v)
+        if X.size == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype="object")})
+        cell = (np.argmin(_ivf_np_scores(X, W, N2), axis=1) + 1
+                ).astype(np.int32)
+        codes = np.zeros((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            codes[:, s] = np.argmin(
+                _ivf_np_scores(X[:, s * sub:(s + 1) * sub], Bs[s], BN2s[s]),
+                axis=1) + 1
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    return feat
+
+
+def ivf_pq_topk(emb: DataFrame, books: list[list[list[float]]],
+                query_ids: list[int], k: int = 5,
+                n_centroids: int = IVF_CENTROIDS,
+                nprobe: int = IVF_NPROBE, dims: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Approximate top-k cosine neighbours with BOTH prunings: candidates
+    limited to the query's ``nprobe`` nearest cells, scored by ADC over
+    codes.  Join/scoring stays JVM (broadcast queries carry probe-cell
+    arrays + Arrow-built LUTs; the corpus side is one Arrow featurize
+    pass)."""
+    from pyspark.sql import Window as W
+
+    m, kk = len(books), len(books[0])
+    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    corpus = (base.select(id_col,
+                          _ivf_pq_features(books, n_centroids, dims)(
+                              F.col("v")).alias("f"))
+              .select(id_col, F.col("f.cell").alias("cell"),
+                      F.col("f.codes").alias("codes")))
+    queries = (base.where(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"),
+                       ivf_probe_cells(F.col("v"), n_centroids, dims,
+                                       nprobe).alias("probes"),
+                       _pq_lut_kernel(books)(F.col("v")).alias("lut")))
+    s_idx = F.sequence(F.lit(1), F.lit(m))
+    score = F.round(F.aggregate(
+        s_idx, F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.col("lut"),
+            ((s - 1) * kk + F.element_at(F.col("codes"), s)).cast("int"))),
+        4)
+    scored = (corpus.join(
+        F.broadcast(queries),
+        F.array_contains(F.col("probes"), F.col("cell"))
+        & (F.col(id_col) != F.col("query_id")))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                score.alias("adc_score")))
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc_score"))
+
+
+def ivf_pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
+                    k: int = 5, n_centroids: int = IVF_CENTROIDS,
+                    nprobe: int = IVF_NPROBE, dims: int = 64) -> str:
+    m, kk = len(books), len(books[0])
+    sub = dims // m
+    ids = ", ".join(str(i) for i in query_ids)
+    norms = _centroid_norms(n_centroids, dims)
+    cent_rows = ",\n                   ".join(
+        "({c}, [{w}]::DOUBLE[], {n2})".format(
+            c=c + 1,
+            w=", ".join(repr(_plane_weight(_IVF_SEED + c, d))
+                        for d in range(dims)),
+            n2=repr(norms[c]),
+        )
+        for c in range(n_centroids)
+    )
+    lut = (f"flatten(list_transform(generate_series(1, {m}), s -> "
+           f"list_transform(b[s], c -> "
+           f"list_dot_product(v[(s-1)*{sub}+1 : s*{sub}], c))))")
+    return f"""
+        with bk as (select {_books_sql(books)} as b),
+        cents(c, w, n2) as (
+            values {cent_rows}
+        ), base as (
+            select vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]))) as v
+            from embeddings
+            where embedding is not null and len(embedding) = {dims}
+              and list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]) > 0
+        ), cscore as (
+            select vec_id, c,
+                   n2 - 2 * list_dot_product(v, w) as score,
+                   row_number() over (partition by vec_id
+                                      order by n2 - 2 * list_dot_product(v, w),
+                                               c) as rn
+            from base cross join cents
+        ), cells as (
+            select vec_id, c as cell from cscore where rn = 1
+        ), probes as (
+            select vec_id as query_id, c as cell from cscore
+            where vec_id in ({ids}) and rn <= {nprobe}
+        ), codes as ({pq_encode_sql(books, dims)}),
+        queries as (
+            select vec_id as query_id, {lut} as lut
+            from base cross join bk where vec_id in ({ids})
+        ), cand as (
+            select q.query_id, cd.vec_id as neighbor_id,
+                   round(list_sum(list_transform(
+                       generate_series(1, {m}),
+                       s -> lut[(s-1)*{kk} + codes[s]])), 4) as adc_score
+            from codes cd
+            join cells cl on cd.vec_id = cl.vec_id
+            join probes p on p.cell = cl.cell
+            join queries q on q.query_id = p.query_id
+            where cd.vec_id != q.query_id
+        )
+        select query_id, neighbor_id, rank, adc_score
+        from (select *, row_number() over (partition by query_id
+                                           order by adc_score desc,
+                                                    neighbor_id asc) as rank
+              from cand)
+        where rank <= {k}
+    """
