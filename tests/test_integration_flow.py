@@ -225,3 +225,51 @@ def test_semantic_dedup_as_flow_stage(spark, tmp_path):
               if int(i) in doc_ids}
     got = {r["doc_id"] for r in committed.select("doc_id").collect()}
     assert got == expect
+
+
+def test_selection_pipeline_through_flow(spark, tmp_path):
+    """The round-7 training-data operators as FLOW stages under the
+    parallel executor: substring-dedup keep gate → DSIR selection against
+    an in-corpus target, and (as a parallel branch) IVF-PQ neighbours over
+    the embeddings — both committed through the staged-move committer and
+    equal to the direct single-DataFrame compositions (each of which is
+    DuckDB-lockstep-tested in its own suite)."""
+    from waimak_spark.functions.curation import dsir_select
+    from waimak_spark.functions.dedup import substring_ngram_dedup
+    from waimak_spark.functions.similarity import ivf_pq_topk, pq_fit
+
+    out = str(tmp_path / "selected")
+
+    def keep_gate(df):
+        verdicts = substring_ngram_dedup(df).where(F.col("keep") == 1)
+        return df.join(verdicts.select("doc_id"), "doc_id")
+
+    def select(df):
+        return dsir_select(df, df.where("lang = 'en'"), k=100, seed=7)
+
+    def neighbours(df):
+        _, books = pq_fit(df)
+        return ivf_pq_topk(df, books, [1, 7, 42], k=5)
+
+    flow = (Waimak.spark_flow(spark, str(tmp_path / "flowtmp"))
+            .open_file_parquet(f"{SF}/documents.parquet", "documents")
+            .open_file_parquet(f"{SF}/embeddings.parquet", "embeddings")
+            .transform("documents", output="kept", fn=keep_gate)
+            .transform("kept", output="selected", fn=select)
+            .transform("embeddings", output="neighbours", fn=neighbours)
+            .commit("publish", "selected", "neighbours")
+            .push("publish", ParquetDataCommitter(out, snapshot_folder="v1")))
+    executed, final = flow.execute(ParallelDataFlowExecutor(max_jobs=4))
+    assert not final.actions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expect_sel = select(keep_gate(docs))
+    got_sel = spark.read.parquet(f"{out}/selected/v1")
+    assert got_sel.count() == expect_sel.count() == 100
+    assert got_sel.exceptAll(expect_sel).count() == 0
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    expect_nn = neighbours(emb)
+    got_nn = spark.read.parquet(f"{out}/neighbours/v1")
+    assert got_nn.count() == expect_nn.count() == 15
+    assert got_nn.exceptAll(expect_nn).count() == 0
