@@ -1960,12 +1960,20 @@ def ivf_pq_topk(emb: DataFrame, books: list[list[list[float]]],
             F.col("lut"),
             ((s - 1) * kk + F.element_at(F.col("codes"), s)).cast("int"))),
         4)
-    scored = (corpus.join(
-        F.broadcast(queries),
-        F.array_contains(F.col("probes"), F.col("cell"))
-        & (F.col(id_col) != F.col("query_id")))
-        .select("query_id", F.col(id_col).alias("neighbor_id"),
-                score.alias("adc_score")))
+    # explode probe cells so the prune is an EQUI-join on cell (broadcast
+    # hash); array_contains in the join condition is a non-equi predicate
+    # that plans as a nested loop evaluating every (row, query) pair —
+    # flat at sf0.1 with 20 queries (the corpus featurize pass dominates
+    # both forms; quiet-machine A/B 2.8-3.0 s either way) but the hash
+    # join is the shape that survives large query batches, where the NLJ
+    # cost is corpus x queries.  Probe cells are distinct per query, so
+    # each (query, neighbor) pair matches at most once.
+    q_cells = queries.select("query_id", "lut",
+                             F.explode("probes").alias("cell"))
+    scored = (corpus.join(F.broadcast(q_cells), "cell")
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      score.alias("adc_score")))
     w = W.partitionBy("query_id").orderBy(F.desc("adc_score"),
                                           F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
