@@ -230,6 +230,32 @@ class TestIvfPq:
             assert cells[r.neighbor_id] in probes[r.query_id]
 
 
+class TestIvfPqStoredIndex:
+    def test_stored_probe_equals_inline(self, fitted, spark, tmp_path):
+        """Build-once/probe-many: persisting the (id, cell, codes) frame
+        and probing the read-back copy returns exactly the inline result,
+        and the probe plan runs NO Python on the corpus side (only the
+        query probe/LUT kernels)."""
+        from waimak_spark.functions.similarity import (
+            ivf_pq_index_frame,
+            ivf_pq_topk_from_index,
+        )
+
+        emb, books = fitted
+        path = str(tmp_path / "pq_index")
+        ivf_pq_index_frame(emb, books).write.parquet(path)
+        stored = spark.read.parquet(path)
+        qids = list(range(1, 11))
+        probe = ivf_pq_topk_from_index(stored, emb, books, qids, k=5)
+        inline = ivf_pq_topk(emb, books, qids, k=5)
+        assert sorted(map(tuple, probe.collect())) == sorted(
+            map(tuple, inline.collect()))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        # query side only: one probe+LUT projection over the unit base
+        assert plan.count("ArrowEvalPython") <= 2
+
+
 class TestPqPlanShape:
     def test_scoring_path_stays_jvm(self, fitted):
         """Encode is the ONLY Python (Arrow) stage; ADC scoring and the

@@ -1936,19 +1936,50 @@ def ivf_pq_topk(emb: DataFrame, books: list[list[list[float]]],
                 ) -> DataFrame:
     """Approximate top-k cosine neighbours with BOTH prunings: candidates
     limited to the query's ``nprobe`` nearest cells, scored by ADC over
-    codes.  Join/scoring stays JVM (broadcast queries carry probe-cell
-    arrays + Arrow-built LUTs; the corpus side is one Arrow featurize
-    pass)."""
+    codes.  Self-contained form: featurizes the corpus inline via
+    :func:`ivf_pq_index_frame` and probes it — a deployment stores that
+    frame once (cell-bucketed) and probes via
+    :func:`ivf_pq_topk_from_index` instead."""
+    index = ivf_pq_index_frame(emb, books, n_centroids, dims, id_col,
+                               vec_col)
+    return ivf_pq_topk_from_index(index, emb, books, query_ids, k,
+                                  n_centroids, nprobe, dims, id_col,
+                                  vec_col)
+
+
+def ivf_pq_index_frame(emb: DataFrame, books: list[list[list[float]]],
+                       n_centroids: int = IVF_CENTROIDS, dims: int = 64,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The IVF-PQ index content: ``(id, cell, codes)`` per corpus vector
+    — what a build-once/probe-many deployment persists (cell-bucketed,
+    like the stored IVF table, so a probe's cell list prunes buckets at
+    the scan; 32 single-byte codes per vector instead of 512 raw
+    bytes)."""
+    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    return (base.select(id_col,
+                        _ivf_pq_features(books, n_centroids, dims)(
+                            F.col("v")).alias("f"))
+            .select(id_col, F.col("f.cell").alias("cell"),
+                    F.col("f.codes").alias("codes")))
+
+
+def ivf_pq_topk_from_index(index: DataFrame, query_src: DataFrame,
+                           books: list[list[list[float]]],
+                           query_ids: list[int], k: int = 5,
+                           n_centroids: int = IVF_CENTROIDS,
+                           nprobe: int = IVF_NPROBE, dims: int = 64,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Probe a STORED ``(id, cell, codes)`` index: the corpus side is a
+    bare scan of the compressed frame — zero featurization, zero Python
+    — and only the (few) query rows run the probe/LUT kernels.  Output
+    is identical to :func:`ivf_pq_topk` over the same corpus."""
     from pyspark.sql import Window as W
 
     m, kk = len(books), len(books[0])
-    base = _pq_unit_base(emb, dims, id_col, vec_col)
-    corpus = (base.select(id_col,
-                          _ivf_pq_features(books, n_centroids, dims)(
-                              F.col("v")).alias("f"))
-              .select(id_col, F.col("f.cell").alias("cell"),
-                      F.col("f.codes").alias("codes")))
-    queries = (base.where(F.col(id_col).isin(query_ids))
+    queries = (_pq_unit_base(query_src, dims, id_col, vec_col)
+               .where(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"),
                        ivf_probe_cells(F.col("v"), n_centroids, dims,
                                        nprobe).alias("probes"),
@@ -1960,17 +1991,9 @@ def ivf_pq_topk(emb: DataFrame, books: list[list[list[float]]],
             F.col("lut"),
             ((s - 1) * kk + F.element_at(F.col("codes"), s)).cast("int"))),
         4)
-    # explode probe cells so the prune is an EQUI-join on cell (broadcast
-    # hash); array_contains in the join condition is a non-equi predicate
-    # that plans as a nested loop evaluating every (row, query) pair —
-    # flat at sf0.1 with 20 queries (the corpus featurize pass dominates
-    # both forms; quiet-machine A/B 2.8-3.0 s either way) but the hash
-    # join is the shape that survives large query batches, where the NLJ
-    # cost is corpus x queries.  Probe cells are distinct per query, so
-    # each (query, neighbor) pair matches at most once.
     q_cells = queries.select("query_id", "lut",
                              F.explode("probes").alias("cell"))
-    scored = (corpus.join(F.broadcast(q_cells), "cell")
+    scored = (index.join(F.broadcast(q_cells), "cell")
               .where(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       score.alias("adc_score")))
