@@ -57,3 +57,42 @@ class TestDedupEdges:
         docs = _docs(spark, EDGE_CORPORA[case])
         out = D.ngram_jaccard_pairs(docs, min_jaccard=0.1).collect()
         assert out == []
+
+
+class TestStopShinglePrune:
+    def test_boilerplate_shingles_never_pair(self, spark):
+        """The DF prune (now a groupBy + join-back) must drop shingles in
+        > max(MIN_DF_FLOOR, 1% of docs) documents: docs sharing ONLY the
+        boilerplate footer never pair, while a genuine near-dup pair
+        sharing rare shingles still does."""
+        footer = "all rights reserved contact us at example dot com today"
+        rows = [(i, f"unique body {i} alpha{i} beta{i} gamma{i} " + footer)
+                for i in range(1, 9)]  # footer in 8 docs > MIN_DF_FLOOR=5
+        dup = "the quick brown fox jumps over the lazy sleeping dog"
+        rows += [(100, dup), (101, dup + " extra")]
+        docs = _docs(spark, rows)
+        pairs = {(r.doc_a, r.doc_b)
+                 for r in D.ngram_jaccard_pairs(docs, min_jaccard=0.1)
+                 .collect()}
+        assert (100, 101) in pairs
+        assert all(a >= 100 and b >= 100 for a, b in pairs), pairs
+
+    def test_prune_matches_oracle_on_boilerplate_corpus(self, spark):
+        """DuckDB lockstep on a corpus engineered to trip the prune — the
+        oracle implements the identical threshold arithmetic."""
+        import duckdb
+
+        footer = "standard legal disclaimer text that repeats everywhere"
+        rows = [(i, f"doc {i} words vary here item{i} thing{i} " + footer)
+                for i in range(1, 10)]
+        rows += [(50, "a genuinely distinct document about fishing boats"),
+                 (51, "a genuinely distinct document about fishing boats")]
+        docs = _docs(spark, rows)
+        got = sorted(tuple(r) for r in
+                     D.ngram_jaccard_pairs(docs, min_jaccard=0.1).collect())
+        con = duckdb.connect()
+        con.register("documents_py", docs.toPandas())
+        con.execute("create view documents as select * from documents_py")
+        want = sorted(tuple(r) for r in con.execute(
+            D.ngram_jaccard_pairs_sql(min_jaccard=0.1)).fetchall())
+        assert got == want
