@@ -13,9 +13,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# workers resolve cloudpickled UDFs via PYTHONPATH, not driver sys.path
 os.environ["PYTHONPATH"] = (
-    "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 
 def main() -> None:
@@ -24,6 +26,8 @@ def main() -> None:
     name = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     laps = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    if laps < 1:
+        raise SystemExit("laps must be >= 1 (one untimed warmup always runs)")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .config("spark.sql.shuffle.partitions", "32")

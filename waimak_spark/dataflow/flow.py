@@ -66,6 +66,16 @@ class DataFlowConfigurationExtension:
 
 _CONFIGURATION_EXTENSIONS: dict[str, type] = {}
 
+# Built-in extension modules preloaded before key resolution (registration
+# happens at import time; this is the explicit stand-in for ServiceLoader
+# discovery).  Third-party extensions are NOT discovered automatically:
+# import the defining module before execute() — the unknown-key error
+# says so.
+_BUILTIN_EXTENSION_MODULES = (
+    "waimak_spark.operators.cache",
+    "waimak_spark.dataquality.extension",
+)
+
 
 def register_configuration_extension(cls: type) -> type:
     """Class decorator: make a DataFlowConfigurationExtension discoverable
@@ -287,20 +297,19 @@ class DataFlow:
                  self.context.get_string(CONF_EXTENSIONS, "").split(",")
                  if s.strip()]
         if names:
-            # Built-in extensions self-register on module import (the
-            # explicit-registry stand-in for the reference's ServiceLoader
-            # discovery, DataFlow.scala:659-671) — make sure they are
-            # loaded before the unknown-key check. Lazy to avoid cycles.
+            # lazy to avoid import cycles (flow.py <- operators.cache)
             import importlib
 
-            for mod in ("waimak_spark.operators.cache",
-                        "waimak_spark.dataquality.extension"):
+            for mod in _BUILTIN_EXTENSION_MODULES:
                 importlib.import_module(mod)
         unknown = [n for n in names if n not in _CONFIGURATION_EXTENSIONS]
         if unknown:
             raise FlowValidationException(
                 f"Unknown configuration extensions {unknown}; registered: "
-                f"{sorted(_CONFIGURATION_EXTENSIONS)}")
+                f"{sorted(_CONFIGURATION_EXTENSIONS)}. A third-party "
+                f"extension's module must be imported (registering its "
+                f"@register_configuration_extension class) before "
+                f"prepare_for_execution/execute runs.")
         return [_CONFIGURATION_EXTENSIONS[n]() for n in names]
 
     def prepare_for_execution(self: F) -> F:

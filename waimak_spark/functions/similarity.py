@@ -1757,10 +1757,14 @@ def pq_fit(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
 
 def pq_encode(emb: DataFrame, books: list[list[list[float]]],
               dims: int = 64, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              base: DataFrame | None = None) -> DataFrame:
     """(id, codes): map-only Arrow encode of valid vectors against fixed
-    codebooks — the compressed corpus representation."""
-    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    codebooks — the compressed corpus representation.  Pass the
+    materialized ``base`` that :func:`pq_fit` returns to skip re-running
+    the validity filter + normalization over the corpus."""
+    if base is None:
+        base = _pq_unit_base(emb, dims, id_col, vec_col)
     return base.select(id_col,
                        _pq_assign_kernel(books)(F.col("v")).alias("codes"))
 
@@ -1811,8 +1815,8 @@ def pq_encode_sql(books: list[list[list[float]]], dims: int = 64) -> str:
 
 def pq_topk(emb: DataFrame, books: list[list[list[float]]],
             query_ids: list[int], k: int = 5, dims: int = 64,
-            id_col: str = "vec_id", vec_col: str = "embedding"
-            ) -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            base: DataFrame | None = None) -> DataFrame:
     """Approximate top-k inner-product neighbours via ADC: the corpus is
     scanned as codes only; each query's LUT (its real subvectors dotted
     with every codebook centroid) is built in-plan on the broadcast side,
@@ -1822,8 +1826,9 @@ def pq_topk(emb: DataFrame, books: list[list[list[float]]],
 
     m, kk = len(books), len(books[0])
     sub = dims // m
-    codes = pq_encode(emb, books, dims, id_col, vec_col)
-    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    if base is None:
+        base = _pq_unit_base(emb, dims, id_col, vec_col)
+    codes = pq_encode(emb, books, dims, id_col, vec_col, base=base)
     # LUT in s-major order: position (s-1)*k + c holds dot(q_s, books[s][c]),
     # built by a tiny Arrow kernel on the (broadcast, few-rows) query side —
     # the same values as m*k in-plan dot expressions, but Catalyst choked on
@@ -1932,8 +1937,8 @@ def ivf_pq_topk(emb: DataFrame, books: list[list[list[float]]],
                 query_ids: list[int], k: int = 5,
                 n_centroids: int = IVF_CENTROIDS,
                 nprobe: int = IVF_NPROBE, dims: int = 64,
-                id_col: str = "vec_id", vec_col: str = "embedding"
-                ) -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                base: DataFrame | None = None) -> DataFrame:
     """Approximate top-k cosine neighbours with BOTH prunings: candidates
     limited to the query's ``nprobe`` nearest cells, scored by ADC over
     codes.  Self-contained form: featurizes the corpus inline via
@@ -1941,22 +1946,25 @@ def ivf_pq_topk(emb: DataFrame, books: list[list[list[float]]],
     frame once (cell-bucketed) and probes via
     :func:`ivf_pq_topk_from_index` instead."""
     index = ivf_pq_index_frame(emb, books, n_centroids, dims, id_col,
-                               vec_col)
+                               vec_col, base=base)
     return ivf_pq_topk_from_index(index, emb, books, query_ids, k,
                                   n_centroids, nprobe, dims, id_col,
-                                  vec_col)
+                                  vec_col, query_base=base)
 
 
 def ivf_pq_index_frame(emb: DataFrame, books: list[list[list[float]]],
                        n_centroids: int = IVF_CENTROIDS, dims: int = 64,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       base: DataFrame | None = None) -> DataFrame:
     """The IVF-PQ index content: ``(id, cell, codes)`` per corpus vector
     — what a build-once/probe-many deployment persists (cell-bucketed,
     like the stored IVF table, so a probe's cell list prunes buckets at
     the scan; 32 single-byte codes per vector instead of 512 raw
-    bytes)."""
-    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    bytes).  Pass the fit's materialized ``base`` to skip re-running the
+    validity filter + normalization."""
+    if base is None:
+        base = _pq_unit_base(emb, dims, id_col, vec_col)
     return (base.select(id_col,
                         _ivf_pq_features(books, n_centroids, dims)(
                             F.col("v")).alias("f"))
@@ -1970,7 +1978,8 @@ def ivf_pq_topk_from_index(index: DataFrame, query_src: DataFrame,
                            n_centroids: int = IVF_CENTROIDS,
                            nprobe: int = IVF_NPROBE, dims: int = 64,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           query_base: DataFrame | None = None) -> DataFrame:
     """Probe a STORED ``(id, cell, codes)`` index: the corpus side is a
     bare scan of the compressed frame — zero featurization, zero Python
     — and only the (few) query rows run the probe/LUT kernels.  Output
@@ -1978,7 +1987,9 @@ def ivf_pq_topk_from_index(index: DataFrame, query_src: DataFrame,
     from pyspark.sql import Window as W
 
     m, kk = len(books), len(books[0])
-    queries = (_pq_unit_base(query_src, dims, id_col, vec_col)
+    if query_base is None:
+        query_base = _pq_unit_base(query_src, dims, id_col, vec_col)
+    queries = (query_base
                .where(F.col(id_col).isin(query_ids))
                .select(F.col(id_col).alias("query_id"),
                        ivf_probe_cells(F.col("v"), n_centroids, dims,

@@ -12,12 +12,19 @@ more robust than ``persist(MEMORY_AND_DISK)``.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Sequence
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-from ..dataflow.flow import DataFlow, MetadataExtension
+from ..dataflow.flow import (
+    CONF_EXTENSIONS,
+    DataFlow,
+    DataFlowConfigurationExtension,
+    MetadataExtension,
+    register_configuration_extension,
+)
 from ..dataflow.interceptor import PostActionInterceptor
 from ..dataflow.spark_flow import CONF_CACHE_ONLY_REUSED
 
@@ -122,21 +129,13 @@ class SparkCacheExtension(MetadataExtension):
 # cache-only-if-reused rule and the one-cache-per-label guard apply equally.
 # ---------------------------------------------------------------------------
 
-import dataclasses as _dataclasses
 
-from ..dataflow.flow import (
-    CONF_EXTENSIONS,
-    DataFlowConfigurationExtension,
-    register_configuration_extension,
-)
-
-
-@_dataclasses.dataclass
+@dataclasses.dataclass
 class _CacheExtensionConf:
     """CacheConfigurationExtensionConf (CacheConfigurationExtension.scala:29)."""
 
     cacheAll: bool = False
-    cacheLabels: list[str] = _dataclasses.field(default_factory=list)
+    cacheLabels: list[str] = dataclasses.field(default_factory=list)
 
 
 class CacheConfigurationExtension(DataFlowConfigurationExtension):
