@@ -190,8 +190,8 @@ def test_bench_short_names_unique_and_fit():
     assert len(line) < 1990, f"worst-case bench line {len(line)} chars"
 
 
-def test_parity_round8_front_draft_stays_valid():
-    """PARITY.md precomputes round 8's _FRONT (the 50 r6-latest entries —
+def test_parity_round9_front_draft_stays_valid():
+    """PARITY.md precomputes round 9's _FRONT (the 50 r7-latest entries —
     the stable set-A/set-B alternation at the 100-entry cap).  Lock the
     draft against drift: every name must exist in the catalog, no
     duplicates, it must fill exactly one window, and together with the
@@ -204,8 +204,8 @@ def test_parity_round8_front_draft_stays_valid():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     text = open(os.path.join(repo, "PARITY.md")).read()
-    m = re.search(r"r6-latest entries `([^`]+)`", text, re.S)
-    assert m, "PARITY.md round-8 _FRONT draft went missing"
+    m = re.search(r"r7-latest entries `([^`]+)`", text, re.S)
+    assert m, "PARITY.md round-9 _FRONT draft went missing"
     draft = [n.strip() for n in m.group(1).replace("\n", " ").split(",")
              if n.strip()]
     front = draft + list(STAGED_NEXT_ROUND)

@@ -27,7 +27,7 @@ OUT = "/tmp/scale10"
 # the replica does not cover their inputs, so including them would
 # re-measure 1x twice and report a fake 1.0 ratio.
 DOC_QUERIES = [
-    "dedup_exact", "dedup_minhash_signature", "dedup_lsh_candidates",
+    "dedup_exact", "dedup_substring_ngram", "dedup_lsh_candidates",
     "dedup_simhash", "dedup_simhash_near_dups", "dedup_ngram_jaccard",
     "ann_lsh_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_fixpoint", "ann_brute_force_topk",

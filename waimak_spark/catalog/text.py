@@ -87,8 +87,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
-def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_signature(_docs(spark, sf_dir))
+def dedup_substring_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup (ExactSubstr-style, Lee et al. 2022):
+    admitted round 8 per the PARITY rotation ledger, retiring the
+    ``dedup_minhash_signature`` catalog entry (the ``minhash_signature``
+    operator itself stays — ``dedup_lsh_candidates`` below consumes the
+    same signatures, so the machinery keeps an official driver row)."""
+    return D.substring_ngram_dedup(_docs(spark, sf_dir))
 
 
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,8 +159,8 @@ ENTRIES = {
     "token_counts": {"fn": token_counts, "oracle": TOKEN_COUNTS_ORACLE},
     "doc_fingerprint": {"fn": doc_fingerprint, "oracle": FINGERPRINT_ORACLE},
     "dedup_exact": {"fn": dedup_exact, "oracle": D.EXACT_DEDUP_SQL},
-    "dedup_minhash_signature": {"fn": dedup_minhash_signature,
-                                "oracle": D.minhash_signature_sql()},
+    "dedup_substring_ngram": {"fn": dedup_substring_ngram,
+                              "oracle": D.substring_ngram_dedup_sql()},
     "dedup_lsh_candidates": {"fn": dedup_lsh_candidates,
                              "oracle": D.lsh_candidate_pairs_sql()},
     "dedup_simhash": {"fn": dedup_simhash, "oracle": D.simhash_sql()},
