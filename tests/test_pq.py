@@ -175,6 +175,32 @@ class TestPqSemantics:
         with pytest.raises(ValueError, match="not divisible"):
             pq_fit(df, m=3, dims=8)
 
+    def test_infinite_vector_lockstep_with_oracle(self, spark):
+        """ADVICE r7: a vector carrying +/-Inf passes the oracle's dot>0
+        guard under IEEE while Spark's valid_embeddings drops it — the
+        oracle base CTEs now carry the same isfinite guard, so encode
+        stays lockstep on corpora with non-finite rows."""
+        rows = [Row(vec_id=i, embedding=[0.1 * ((i + j) % 7 + 1)
+                                         for j in range(8)])
+                for i in range(1, 7)]
+        rows += [Row(vec_id=7, embedding=[float("inf")] + [0.5] * 7),
+                 Row(vec_id=8, embedding=[float("-inf")] * 8),
+                 Row(vec_id=9, embedding=[float("nan")] + [0.5] * 7)]
+        df = spark.createDataFrame(rows)
+        _, books = pq_fit(df, m=4, k=2, n_iters=2, dims=8)
+        got = {r.vec_id: list(r.codes)
+               for r in pq_encode(df, books, dims=8).collect()}
+        assert set(got) == {1, 2, 3, 4, 5, 6}
+
+        con = duckdb.connect()
+        con.execute("create table embeddings(vec_id int, embedding double[])")
+        con.executemany(
+            "insert into embeddings values (?, ?)",
+            [(r.vec_id, r.embedding) for r in rows])
+        want = {r[0]: list(r[1])
+                for r in con.execute(pq_encode_sql(books, dims=8)).fetchall()}
+        assert got == want
+
 
 class TestIvfPq:
     def test_matches_duckdb(self, fitted, duck):

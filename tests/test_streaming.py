@@ -379,6 +379,21 @@ class TestStatePartitionSizing:
         assert not [t.name for t in spark.catalog.listTables()
                     if t.name.endswith("_sink")]
 
+    def test_drain_root_is_session_scoped(self, spark):
+        """VERDICT r7 #8: the default drain folder must be scoped by the
+        Spark application id so two concurrent bench/verify PROCESSES
+        cannot race on one path; the conf override stays absolute."""
+        import waimak_spark.catalog.streaming as st
+
+        root = st._drain_root(spark)
+        assert root.startswith(st._DRAIN_DIR_DEFAULT + "/")
+        assert spark.sparkContext.applicationId in root
+        spark.conf.set(st.DRAIN_DIR_CONF, "/tmp/custom_drain")
+        try:
+            assert st._drain_root(spark) == "/tmp/custom_drain"
+        finally:
+            spark.conf.unset(st.DRAIN_DIR_CONF)
+
     def test_entry_releases_child_session_state(self, spark, sf_dir):
         """ADVICE r6: the entries used to return the child session's
         memory-sink table directly, leaking one child session + one

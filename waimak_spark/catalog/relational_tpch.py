@@ -383,7 +383,8 @@ Q20_ORACLE = f"""
 # running two join stages with inequality residuals (semi/anti joins
 # keep the equi-key but evaluate the <> residual per matched row; at
 # skewed orders that is per-pair work, the counts are per-order).
-# Measured isolated min-of-6 at sf0.1: 1.60 -> 1.01 s, output-identical.
+# Measured isolated min-of-6 at sf0.1: 1.60 -> 1.12 s, output-identical
+# (ADVICE r7 alignment; round-8 re-measure confirms at 1.11 s).
 # --------------------------------------------------------------------------
 
 _Q21_LATE_DAYS = 1400

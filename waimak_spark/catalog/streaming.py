@@ -105,15 +105,26 @@ def _run_session(spark: SparkSession) -> SparkSession:
 #: directly and never hit this path at all.
 DRAIN_LOCAL_MAX_ROWS = 100_000
 
-#: Fixed per-entry staging root for the large-sink drain: OVERWRITE per
+#: Per-entry staging root for the large-sink drain: OVERWRITE per
 #: entry name, so repeated bench/verify laps rewrite one answer-sized
 #: folder instead of accumulating (entries never run concurrently with
-#: themselves; the fixed sink NAME already assumes that).  Overridable
-#: via ``spark.waimak.streaming.drainDir`` because the default is
-#: node-local: on a real cluster the caller's executors must read what
-#: the child's executors wrote, so point it at a shared filesystem.
+#: themselves WITHIN a session; the fixed sink NAME already assumes
+#: that).  The default is scoped by the caller's Spark application id
+#: (VERDICT r7 #8: a fixed path shared by concurrent bench/verify
+#: PROCESSES would let two simultaneous laps of the same entry race on
+#: one folder).  Overridable via ``spark.waimak.streaming.drainDir``
+#: because the default is node-local: on a real cluster the caller's
+#: executors must read what the child's executors wrote, so point it at
+#: a shared filesystem.
 DRAIN_DIR_CONF = "spark.waimak.streaming.drainDir"
 _DRAIN_DIR_DEFAULT = "/tmp/waimak_stream_drain"
+
+
+def _drain_root(spark: SparkSession) -> str:
+    override = spark.conf.get(DRAIN_DIR_CONF, None)
+    if override:
+        return override
+    return f"{_DRAIN_DIR_DEFAULT}/{spark.sparkContext.applicationId}"
 
 
 def _collect_into_caller(spark: SparkSession, run: SparkSession,
@@ -147,8 +158,7 @@ def _collect_into_caller(spark: SparkSession, run: SparkSession,
         if sink.count() <= DRAIN_LOCAL_MAX_ROWS:
             pdf = sink.toPandas()
             return spark.createDataFrame(pdf, sink.schema)
-        root = spark.conf.get(DRAIN_DIR_CONF, _DRAIN_DIR_DEFAULT)
-        path = f"{root}/{name}"
+        path = f"{_drain_root(spark)}/{name}"
         sink.write.mode("overwrite").parquet(path)
         return spark.read.schema(sink.schema).parquet(path)
     finally:
