@@ -186,6 +186,7 @@ def test_bench_short_names_unique_and_fit():
         "metric": "headline_queries_total", "value": 99999.999,
         "unit": "sec",
         "queries": {s: 99.0 for s in shorts}, "sf": 0.1,
+        "laps": 99,
     }, separators=(",", ":"))
     assert len(line) < 1990, f"worst-case bench line {len(line)} chars"
 

@@ -242,6 +242,128 @@ def ann_ivf_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_from_index(spark.table(tbl), emb, QUERY_IDS, k=5)
 
 
+# ---------------------------------------------------------------------------
+# "build once, probe many" stored IVF-PQ index (VERDICT r7 #3: the inline
+# composed probe's 10x cost was dominated by the per-call re-featurize —
+# the stored (id, cell, codes) frame plus the persisted codebooks make the
+# probe a bucket-pruned scan of 32 single-byte codes per vector with zero
+# corpus-side Python; round-10 catalog admission candidate per the ledger)
+# ---------------------------------------------------------------------------
+
+_IVF_PQ_IDX_VERSION = "v1"
+
+
+def _ivf_pq_index_names(sf_dir: str) -> tuple[str, str, str]:
+    """(dataset tag, cells-table label, books-table label) for ``sf_dir``'s
+    stored IVF-PQ index — keyed on the same content fingerprint as the
+    stored IVF table, so regenerated data invalidates both."""
+    import os
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    fp = _embeddings_fingerprint(sf_dir)
+    return (tag,
+            f"ivfpq_cells_{tag}_{fp}_{_IVF_PQ_IDX_VERSION}",
+            f"ivfpq_books_{tag}_{fp}_{_IVF_PQ_IDX_VERSION}")
+
+
+def drop_ivf_pq_index(spark: SparkSession, sf_dir: str) -> None:
+    """Drop ``sf_dir``'s stored IVF-PQ pair so the next probe rebuilds it
+    (tools/scale_check.py uses this to split the one-time BUILD from the
+    amortized warm probe, like :func:`drop_ivf_index`)."""
+    _, cells, books = _ivf_pq_index_names(sf_dir)
+    for label in (cells, books):
+        spark.sql(f"drop table if exists {_IVF_IDX_DB}.{label}")
+
+
+def _clear_superseded(spark: SparkSession, prefix: str, keep: str) -> None:
+    """Stale-build cleanup shared by the stored IVF-PQ builder (same two
+    passes as :func:`_ivf_index_table`): drop REGISTERED tables of other
+    fingerprints with this dataset's prefix, then clear EVERY warehouse
+    directory under the prefix — including ``keep``'s own, because the
+    session catalog is per-process while the warehouse persists: an
+    unregistered leftover from an earlier process is not trustworthy and
+    makes ``saveAsTable`` refuse with LOCATION_ALREADY_EXISTS.  Cleared
+    through the Hadoop-FS abstraction so any warehouse scheme either
+    works or fails loudly."""
+    from ..filesystem import FileOps
+
+    spark.sql(f"create database if not exists {_IVF_IDX_DB}")
+    for t in spark.catalog.listTables(_IVF_IDX_DB):
+        if t.name.startswith(prefix) and t.name != keep:
+            spark.sql(f"drop table if exists {_IVF_IDX_DB}.{t.name}")
+    fops = FileOps(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for stale in fops.glob(f"{wh}/{_IVF_IDX_DB}.db/{prefix}*"):
+        fops.delete(stale, recursive=True)
+
+
+def _ivf_pq_index_tables(spark: SparkSession,
+                         sf_dir: str) -> tuple[str, str]:
+    """Get-or-build the stored IVF-PQ pair: the ``(id, cell, codes)``
+    frame persisted BUCKETED by ``cell`` (one bucket per centroid, the
+    stored-IVF recipe — each probe scans only its probed buckets) plus
+    the fitted codebooks as a tiny ``(s, c, w)`` table (m×k rows = 4096
+    doubles) so a probe-only process never re-runs the Lloyd fit.  One
+    corpus pass builds both: the fit's materialized base feeds the
+    featurize."""
+    from .. import Waimak
+
+    tag, cells_label, books_label = _ivf_pq_index_names(sf_dir)
+    cells_name = f"{_IVF_IDX_DB}.{cells_label}"
+    books_name = f"{_IVF_IDX_DB}.{books_label}"
+    if not (spark.catalog.tableExists(cells_name)
+            and spark.catalog.tableExists(books_name)):
+        _clear_superseded(spark, f"ivfpq_cells_{tag}_", cells_label)
+        _clear_superseded(spark, f"ivfpq_books_{tag}_", books_label)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base, books = S.pq_fit(emb)
+        idx = S.ivf_pq_index_frame(emb, books, base=base)
+        (Waimak.spark_flow(spark)
+         .open(cells_label, lambda c, df=idx: df)
+         .write_bucketed_table(_IVF_IDX_DB, cells_label, ["cell"],
+                               S.IVF_CENTROIDS,
+                               sort_cols=["cell", "vec_id"])
+         .execute())
+        rows = [(s + 1, c + 1, books[s][c])
+                for s in range(len(books)) for c in range(len(books[s]))]
+        (spark.createDataFrame(rows, "s int, c int, w array<double>")
+         .coalesce(1)
+         .write.mode("overwrite").saveAsTable(books_name))
+    return cells_name, books_name
+
+
+def _load_pq_books(spark: SparkSession,
+                   books_name: str) -> list[list[list[float]]]:
+    """Reload stored codebooks as the nested-list shape every PQ kernel
+    takes.  Bounded collect: m×k rows carrying 4096 doubles total — the
+    same size as the fit's own codebook collect."""
+    rows = spark.table(books_name).collect()
+    m = max(r["s"] for r in rows)
+    k = max(r["c"] for r in rows)
+    books: list[list[list[float]] | None] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["s"] - 1][r["c"] - 1] = list(r["w"])
+    return books
+
+
+def ann_ivf_pq_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN against the STORED bucketed IVF-PQ index: codebooks and
+    the compressed ``(id, cell, codes)`` frame are built exactly once per
+    dataset fingerprint; each probe reloads the 4096-double codebooks,
+    prunes the scan to its probed buckets (``SelectedBucketsCount``,
+    plan-locked in test_pq.py), broadcasts the per-query LUTs, and scores
+    candidates fully JVM-side.  Output is identical to the inline
+    :func:`waimak_spark.functions.similarity.ivf_pq_topk` over the same
+    corpus (round-trip-locked)."""
+    cells_name, books_name = _ivf_pq_index_tables(spark, sf_dir)
+    books = _load_pq_books(spark, books_name)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_pq_topk_from_index(spark.table(cells_name), emb, books,
+                                    QUERY_IDS, k=5)
+
+
 def embedding_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster representative vectors (nearest-to-centroid top-3 after
     the k-means rounds) — the exemplar-selection step of a diversity

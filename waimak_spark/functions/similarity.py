@@ -1783,20 +1783,36 @@ def pq_encode_sql(books: list[list[list[float]]], dims: int = 64) -> str:
     The codebook literal is hoisted into a 1-row CTE (evaluating the
     nested-list literal inside a per-row lambda re-built it per row —
     measured ~100x slower) and each (row, subspace) scores list is a
-    plain column so argmin evaluates it once."""
+    plain column so argmin evaluates it once.  The base CTE mirrors the
+    FULL :func:`valid_embeddings` contract incl. the all-finite guard
+    (ADVICE r7: a vector carrying +/-Inf passes the dot>0 test under
+    IEEE but Spark drops it — without ``isfinite`` the engines diverge
+    on such corpora); same guard in ``pq_topk_sql``/``ivf_pq_topk_sql``.
+    DuckDB evaluates filter conjuncts AND projections totally (no
+    short-circuit, even through CASE-in-WHERE), so the guard sanitizes
+    non-finite/NULL elements to 0 in an inner projection and every outer
+    expression touches only the sanitized list — on surviving rows it
+    equals the raw vector, so values are unchanged on finite corpora."""
     m = len(books)
     sub = dims // m
     return f"""
         with bk as (select {_books_sql(books)} as b),
         base as (
             select vec_id,
-                   list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_dot_product(
-                           embedding::DOUBLE[], embedding::DOUBLE[]))) as v
-            from embeddings
-            where embedding is not null and len(embedding) = {dims}
-              and list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[]) > 0
+                   list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       as v
+            from (
+                select vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> case when coalesce(isfinite(x), false)
+                                then x else 0 end) as s,
+                       list_aggregate(list_transform(embedding::DOUBLE[],
+                               x -> coalesce(isfinite(x), false)),
+                           'bool_and') as ok
+                from embeddings
+                where embedding is not null and len(embedding) = {dims}
+            )
+            where ok and list_dot_product(s, s) > 0
         ), per_s as (
             select vec_id, s,
                    list_transform(b[s], c ->
@@ -1868,13 +1884,20 @@ def pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
         codes as ({pq_encode_sql(books, dims)}),
         base as (
             select vec_id,
-                   list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_dot_product(
-                           embedding::DOUBLE[], embedding::DOUBLE[]))) as v
-            from embeddings
-            where embedding is not null and len(embedding) = {dims}
-              and list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[]) > 0
+                   list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       as v
+            from (
+                select vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> case when coalesce(isfinite(x), false)
+                                then x else 0 end) as s,
+                       list_aggregate(list_transform(embedding::DOUBLE[],
+                               x -> coalesce(isfinite(x), false)),
+                           'bool_and') as ok
+                from embeddings
+                where embedding is not null and len(embedding) = {dims}
+            )
+            where ok and list_dot_product(s, s) > 0
         ), queries as (
             select vec_id as query_id, {lut} as lut
             from base cross join bk where vec_id in ({ids})
@@ -2004,7 +2027,14 @@ def ivf_pq_topk_from_index(index: DataFrame, query_src: DataFrame,
         4)
     q_cells = queries.select("query_id", "lut",
                              F.explode("probes").alias("cell"))
-    scored = (index.join(F.broadcast(q_cells), "cell")
+    # tiny collect (≤ nprobe × |queries| ints, the ivf_topk_from_index
+    # recipe): the literal cell list is what lets a cell-BUCKETED stored
+    # index prune file buckets at the scan (SelectedBucketsCount,
+    # plan-locked in test_pq.py) — a join alone cannot
+    probe_cells = sorted({r["cell"] for r in
+                          q_cells.select("cell").distinct().collect()})
+    pruned = index.where(F.col("cell").isin(probe_cells))
+    scored = (pruned.join(F.broadcast(q_cells), "cell")
               .where(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       score.alias("adc_score")))
@@ -2040,13 +2070,20 @@ def ivf_pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
             values {cent_rows}
         ), base as (
             select vec_id,
-                   list_transform(embedding::DOUBLE[],
-                       x -> x / sqrt(list_dot_product(
-                           embedding::DOUBLE[], embedding::DOUBLE[]))) as v
-            from embeddings
-            where embedding is not null and len(embedding) = {dims}
-              and list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[]) > 0
+                   list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       as v
+            from (
+                select vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> case when coalesce(isfinite(x), false)
+                                then x else 0 end) as s,
+                       list_aggregate(list_transform(embedding::DOUBLE[],
+                               x -> coalesce(isfinite(x), false)),
+                           'bool_and') as ok
+                from embeddings
+                where embedding is not null and len(embedding) = {dims}
+            )
+            where ok and list_dot_product(s, s) > 0
         ), cscore as (
             select vec_id, c,
                    n2 - 2 * list_dot_product(v, w) as score,
