@@ -379,6 +379,52 @@ class TestStatePartitionSizing:
         assert not [t.name for t in spark.catalog.listTables()
                     if t.name.endswith("_sink")]
 
+    @pytest.mark.parametrize("entry,complete", [
+        ("streaming_tumbling_counts", True),
+        ("streaming_dedup_pairs", False),
+    ])
+    def test_progress_count_matches_sink(self, spark, sf_dir, monkeypatch,
+                                         entry, complete):
+        """The drain's threshold decision now comes from the query's own
+        progress metadata (a count() job's fixed overhead rivaled the
+        actual drain copy — round-8 decomposition): complete mode takes
+        the final batch's sink numOutputRows, append mode sums batches.
+        The metadata must equal the sink's true count, and the drain must
+        actually receive it (no None fallback on the happy path)."""
+        import waimak_spark.catalog.streaming as st
+
+        seen = {}
+        orig = st._collect_into_caller
+
+        def spy(spark_, run, name, n_rows=None):
+            seen["n_rows"] = n_rows
+            seen["actual"] = run.table(name).count()
+            return orig(spark_, run, name, n_rows)
+
+        monkeypatch.setattr(st, "_collect_into_caller", spy)
+        out = getattr(st, entry)(spark, sf_dir)
+        assert seen["n_rows"] is not None, "progress metadata not used"
+        assert seen["n_rows"] == seen["actual"] == out.count()
+
+    def test_progress_count_untrusted_falls_back(self):
+        """None/negative/capped progress histories must return None so the
+        drain falls back to a real count — an undercount would route an
+        oversized sink through the driver."""
+        import waimak_spark.catalog.streaming as st
+
+        class Q:
+            def __init__(self, counts):
+                self.recentProgress = [
+                    {"sink": {"numOutputRows": c}} for c in counts]
+
+        assert st._sink_rows_from_progress(Q([]), True) is None
+        assert st._sink_rows_from_progress(Q([5, -1]), True) is None
+        assert st._sink_rows_from_progress(Q([3, 7]), True) == 7
+        assert st._sink_rows_from_progress(Q([3, 7]), False) == 10
+        assert st._sink_rows_from_progress(Q([1] * 100), False) is None
+        assert st._sink_rows_from_progress(Q([1] * 100), True) == 1
+        assert st._sink_rows_from_progress(object(), True) is None
+
     def test_drain_root_is_session_scoped(self, spark):
         """VERDICT r7 #8: the default drain folder must be scoped by the
         Spark application id so two concurrent bench/verify PROCESSES
