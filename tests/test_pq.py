@@ -336,6 +336,27 @@ class TestIvfPqStoredTable:
         assert "BatchEvalPython" not in plan
         assert plan.count("ArrowEvalPython") <= 2
 
+    def test_partial_build_recovers(self, stored, spark):
+        """A crash between the two table writes leaves one registered:
+        the next build must drop and rebuild BOTH (a registered table
+        whose files were cleared but whose registration survived would
+        make errorifexists refuse forever)."""
+        import os
+
+        from waimak_spark.catalog.similarity import (
+            _IVF_IDX_DB,
+            _ivf_pq_index_names,
+            _ivf_pq_index_tables,
+        )
+
+        sf, cells_name, books_name = stored
+        _, _cl, books_label = _ivf_pq_index_names(sf)
+        spark.sql(f"drop table if exists {_IVF_IDX_DB}.{books_label}")
+        got_cells, got_books = _ivf_pq_index_tables(spark, sf)
+        assert (got_cells, got_books) == (cells_name, books_name)
+        assert spark.table(got_books).count() > 0
+        assert spark.table(got_cells).count() > 0
+
     def test_build_happens_once(self, stored, spark, monkeypatch):
         """A second call with the tables present must not re-run the fit
         (the one-time build is the operator's entire point)."""

@@ -49,6 +49,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(_supply(lineitem),
                     F.col("p_partkey") == F.col("l_partkey"))
               .withColumn("cost", cost))
+    # groupBy + join-back kept over the window-min form: Spark reuses
+    # the offers exchange across both branches, so the self-join is
+    # nearly free — a round-8 A/B of min-over-Window(p_partkey)
+    # measured 1.195 vs 1.17 s isolated min-of-6 (noise), rejected as
+    # a plan change with no measured gain
     min_cost = offers.groupBy("p_partkey").agg(
         F.min("cost").alias("min_cost"))
     return (offers.join(min_cost, "p_partkey")
@@ -268,8 +273,15 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, supplier, lineitem = _read(
         spark, sf_dir, "part", "supplier", "lineitem")
     bad = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    # raw (suppkey, partkey) pairs, NOT the _supply distinct: the final
+    # countDistinct dedups anyway (its first aggregation phase groups on
+    # (brand, type, size, suppkey), collapsing duplicate pairs map-side),
+    # so the _supply form paid a full extra exchange to dedup rows the
+    # aggregate would dedup for free (round-8 A/B, isolated min-of-6 at
+    # sf0.1: 0.99 -> 0.746 s, output-identical).  q2 KEEPS _supply — its
+    # per-pair cost rows would duplicate without it.
     return (
-        _supply(lineitem)
+        lineitem.select("l_suppkey", "l_partkey")
         .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(part.where((F.col("p_brand") != "Brand#1")
                          & F.col("p_size").isin(*_Q16_SIZES)),

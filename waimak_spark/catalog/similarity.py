@@ -315,6 +315,11 @@ def _ivf_pq_index_tables(spark: SparkSession,
     books_name = f"{_IVF_IDX_DB}.{books_label}"
     if not (spark.catalog.tableExists(cells_name)
             and spark.catalog.tableExists(books_name)):
+        # a PARTIAL build (crash between the two writes) may have left
+        # one table registered: drop both registrations first, else the
+        # warehouse pass below would delete a registered table's files
+        # while its catalog entry survives and errorifexists refuses
+        drop_ivf_pq_index(spark, sf_dir)
         _clear_superseded(spark, f"ivfpq_cells_{tag}_", cells_label)
         _clear_superseded(spark, f"ivfpq_books_{tag}_", books_label)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
