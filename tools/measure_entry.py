@@ -43,7 +43,18 @@ def main() -> None:
     from waimak_spark import catalog
     from waimak_spark.functions.cache_registry import release_tracked
 
-    fn = catalog.ALL_ENTRIES[name]["fn"]
+    if name in catalog.ALL_ENTRIES:
+        fn = catalog.ALL_ENTRIES[name]["fn"]
+    else:
+        # rotation-ledger admission candidates measured before a catalog
+        # slot opens (same resolution as tools/scale_check.py's extras)
+        from waimak_spark.catalog.curation import dedup_bloom_against_corpus
+        from waimak_spark.catalog.similarity import ann_ivf_pq_probe_stored
+
+        fn = {
+            "ivf_pq_probe_stored": ann_ivf_pq_probe_stored,
+            "bloom_dedup_against_corpus": dedup_bloom_against_corpus,
+        }[name]
     times = []
     for i in range(laps + 1):  # lap 0 is the untimed warmup
         t0 = time.time()

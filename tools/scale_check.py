@@ -86,7 +86,8 @@ RELATIONAL_QUERIES = [
 # Non-catalog operators measured here anyway (rotation-ledger admission
 # candidates whose scale story must exist BEFORE a window slot opens):
 # resolved via EXTRA_FNS below instead of ALL_ENTRIES.
-EXTRA_QUERIES = ["ivf_pq_probe_stored"]
+EXTRA_QUERIES = ["ivf_pq_probe_stored",
+                 "bloom_dedup_against_corpus"]
 # Rows whose one-shot 10x timing has swung 2-4x between laps on this
 # co-tenanted host (VERDICT r7 #6): the table carries a second [warm]
 # min-of-3 row so the headline number is not the scariest outlier.
@@ -216,9 +217,15 @@ def main() -> None:
         # same GC hygiene as bench.py: collect OUTSIDE the timed window so
         # pauses from the replicated corpus's churn don't land in a timing
         spark._jvm.System.gc()
+        from waimak_spark.catalog.curation import (
+            dedup_bloom_against_corpus,
+        )
         from waimak_spark.catalog.similarity import ann_ivf_pq_probe_stored
 
-        extra_fns = {"ivf_pq_probe_stored": ann_ivf_pq_probe_stored}
+        extra_fns = {
+            "ivf_pq_probe_stored": ann_ivf_pq_probe_stored,
+            "bloom_dedup_against_corpus": dedup_bloom_against_corpus,
+        }
         fn = (ALL_ENTRIES[name]["fn"] if name in ALL_ENTRIES
               else extra_fns[name])
         t0 = time.time()

@@ -186,6 +186,33 @@ def dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _corpus_list = "'" + "','".join(CORPUS_SOURCES) + "'"
 
+
+def dedup_bloom_against_corpus(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup vs the corpus — the BOUNDED-MEMORY
+    approximate sibling of ``dedup_against_corpus`` (no false negatives;
+    deterministic seeded hashing makes even the false positives
+    engine-reproducible, so the DuckDB oracle is exact).  Round-11
+    catalog admission candidate per the PARITY rotation ledger (the
+    catalog is saturated at the 2×50 cap); until then it is verified by
+    tests/test_bloom_dedup.py's lockstep + property suite every pytest
+    run and measured in scale_check's EXTRA_QUERIES."""
+    from ..functions import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    is_corpus = F.col("source").isin(CORPUS_SOURCES)
+    return D.bloom_dedup_against_corpus(docs.where(~is_corpus),
+                                        docs.where(is_corpus))
+
+
+def _bloom_corpus_oracle() -> str:
+    from ..functions import dedup as D
+
+    return D.bloom_dedup_against_corpus_sql(
+        corpus_where=f"source in ({_corpus_list})",
+        new_where=f"source not in ({_corpus_list})")
+
+
 DEDUP_CORPUS_ORACLE = f"""
     select n.doc_id, n.source from documents n
     where n.source not in ({_corpus_list})

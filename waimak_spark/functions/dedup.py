@@ -1041,3 +1041,110 @@ def substring_ngram_dedup_sql(window: int = SUBSTRING_WINDOW,
                end as keep
         from base b left join dup d using (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup against a corpus: the BOUNDED-MEMORY
+# approximate sibling of the exact anti-join (catalog
+# `dedup_against_corpus`).  Classic Bloom (1970, CACM 13(7)): the corpus
+# sets k seeded bit positions per document in an m-bit filter; a probe
+# is a *maybe-duplicate* iff ALL its k positions are set — NO false
+# negatives ever, false positives at the standard (1 - e^{-kn/m})^k.
+# The Spark-first representation of the bit array is the DISTINCT set
+# of set positions: <= m rows of one int REGARDLESS of corpus size, so
+# at 100 TB the membership state broadcasts (m = 2^20 -> <= 1M ints)
+# while the exact anti-join's right side keeps growing with the corpus.
+# Every position comes from a seeded md5, so filter behavior INCLUDING
+# which false positives occur is bit-reproducible on any engine — that
+# is what licenses an exact DuckDB oracle for an "approximate" operator.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 5
+_BLOOM_SEED_BASE = 7001
+
+
+def bloom_positions(col: Column, k: int = BLOOM_HASHES,
+                    m: int = BLOOM_BITS) -> Column:
+    """The k seeded positions a text sets/probes (duplicates possible
+    when two seeds collide mod m — callers distinct/dedup as needed)."""
+    from .text import seeded_hash
+
+    return F.array(*[(seeded_hash(col, _BLOOM_SEED_BASE + i) % m)
+                     .cast("int") for i in range(k)])
+
+
+def bloom_corpus_positions(corpus: DataFrame, text_col: str = "text",
+                           k: int = BLOOM_HASHES,
+                           m: int = BLOOM_BITS) -> DataFrame:
+    """The corpus's set bit positions — one distinct-int frame standing
+    in for the filter's bit array.  Build once, reuse across batches
+    (persist or write; bounded by m rows, it only ever SHRINKS relative
+    to the corpus)."""
+    return (corpus
+            .select(F.explode(bloom_positions(F.col(text_col), k, m))
+                    .alias("pos"))
+            .distinct())
+
+
+def bloom_dedup_against_corpus(new: DataFrame, corpus: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               k: int = BLOOM_HASHES,
+                               m: int = BLOOM_BITS) -> DataFrame:
+    """Per new-batch doc: ``(doc_id, n_probes, n_hits, maybe_dup)`` —
+    ``maybe_dup = 1`` iff every distinct probed position is set in the
+    corpus filter.  A doc whose exact text IS in the corpus always
+    flags (its positions were all set by itself — no false negatives);
+    a flagged doc may still be novel (false positive, rate bounded by
+    the k/m choice), which is the accepted trade for O(m) membership
+    state.  Plan shape: map-only probe explode, ONE join against the
+    bounded position set (broadcastable by construction), one keyed
+    rollup — no text ever crosses the wire."""
+    pos_set = bloom_corpus_positions(corpus, text_col, k, m)
+    probes = (new.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(bloom_positions(F.col(text_col), k, m))
+        .alias("_ps"))
+        .select("doc_id", F.size("_ps").cast("bigint").alias("n_probes"),
+                F.explode("_ps").alias("pos")))
+    hits = probes.join(pos_set.withColumn("_hit", F.lit(1)), "pos", "left")
+    return (hits.groupBy("doc_id", "n_probes")
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .cast("bigint").alias("n_hits"))
+            .select("doc_id", "n_probes", "n_hits",
+                    (F.col("n_hits") == F.col("n_probes")).cast("int")
+                    .alias("maybe_dup")))
+
+
+def bloom_dedup_against_corpus_sql(corpus_where: str, new_where: str,
+                                   k: int = BLOOM_HASHES,
+                                   m: int = BLOOM_BITS) -> str:
+    from .text import seeded_hash_sql
+
+    def pos_list(expr: str) -> str:
+        return "[" + ", ".join(
+            f"({seeded_hash_sql(expr, _BLOOM_SEED_BASE + i)} % {m})::INT"
+            for i in range(k)) + "]"
+
+    return f"""
+        with corp as (
+            select distinct unnest({pos_list('text')}) as pos
+            from documents where {corpus_where}
+        ), new_probes as (
+            select doc_id, list_distinct({pos_list('text')}) as probes
+            from documents where {new_where}
+        ), probe as (
+            select doc_id, len(probes)::BIGINT as n_probes,
+                   unnest(probes) as pos
+            from new_probes
+        ), hit as (
+            select probe.doc_id, probe.n_probes,
+                   count(corp.pos)::BIGINT as n_hits
+            from probe left join corp on probe.pos = corp.pos
+            group by probe.doc_id, probe.n_probes
+        )
+        select doc_id, n_probes, n_hits,
+               case when n_hits = n_probes then 1 else 0 end as maybe_dup
+        from hit
+    """
