@@ -49,11 +49,15 @@ def main() -> None:
         # rotation-ledger admission candidates measured before a catalog
         # slot opens (same resolution as tools/scale_check.py's extras)
         from waimak_spark.catalog.curation import dedup_bloom_against_corpus
-        from waimak_spark.catalog.similarity import ann_ivf_pq_probe_stored
+        from waimak_spark.catalog.similarity import (
+            ann_ivf_pq_probe_stored,
+            sample_kcenter_diverse,
+        )
 
         fn = {
             "ivf_pq_probe_stored": ann_ivf_pq_probe_stored,
             "bloom_dedup_against_corpus": dedup_bloom_against_corpus,
+            "sample_kcenter_diverse": sample_kcenter_diverse,
         }[name]
     times = []
     for i in range(laps + 1):  # lap 0 is the untimed warmup

@@ -87,7 +87,8 @@ RELATIONAL_QUERIES = [
 # candidates whose scale story must exist BEFORE a window slot opens):
 # resolved via EXTRA_FNS below instead of ALL_ENTRIES.
 EXTRA_QUERIES = ["ivf_pq_probe_stored",
-                 "bloom_dedup_against_corpus"]
+                 "bloom_dedup_against_corpus",
+                 "sample_kcenter_diverse"]
 # Rows whose one-shot 10x timing has swung 2-4x between laps on this
 # co-tenanted host (VERDICT r7 #6): the table carries a second [warm]
 # min-of-3 row so the headline number is not the scariest outlier.
@@ -220,11 +221,15 @@ def main() -> None:
         from waimak_spark.catalog.curation import (
             dedup_bloom_against_corpus,
         )
-        from waimak_spark.catalog.similarity import ann_ivf_pq_probe_stored
+        from waimak_spark.catalog.similarity import (
+            ann_ivf_pq_probe_stored,
+            sample_kcenter_diverse,
+        )
 
         extra_fns = {
             "ivf_pq_probe_stored": ann_ivf_pq_probe_stored,
             "bloom_dedup_against_corpus": dedup_bloom_against_corpus,
+            "sample_kcenter_diverse": sample_kcenter_diverse,
         }
         fn = (ALL_ENTRIES[name]["fn"] if name in ALL_ENTRIES
               else extra_fns[name])

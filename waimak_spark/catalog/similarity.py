@@ -369,6 +369,16 @@ def ann_ivf_pq_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     QUERY_IDS, k=5)
 
 
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diverse sampling trace (Sener & Savarese 2018) —
+    round-12 catalog admission candidate per the PARITY rotation ledger
+    (the catalog is saturated; until a slot opens this is verified by
+    tests/test_kcenter.py's lockstep + reference suite every pytest run
+    and measured through the scale_check/measure_entry extras)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.kcenter_select(emb)
+
+
 def embedding_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster representative vectors (nearest-to-centroid top-3 after
     the k-means rounds) — the exemplar-selection step of a diversity

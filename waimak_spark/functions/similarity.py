@@ -2118,3 +2118,127 @@ def ivf_pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
               from cand)
         where rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy diverse sampling (farthest-point traversal) — the coreset
+# selection of Sener & Savarese 2018 (ICLR, arXiv:1708.00489): pick the
+# point farthest (cosine distance on unit vectors) from everything chosen
+# so far, k times.  The classic 2-approximation to the k-center objective;
+# in an LLM-data pipeline it is the diversity-sampling step that picks
+# maximally-spread exemplars for annotation / eval-set seeding.
+#
+# Determinism recipe (the q11/kmeans float gates): every distance is
+# ROUNDED to 4dp before any comparison, argmax ties break on ascending id,
+# and the start center is the smallest valid id — so the selection trace
+# is bit-stable across engines and an exact unrolled SQL oracle exists.
+#
+# 100 TB posture: k bounded scans (each one map-side literal-vector dot +
+# a TakeOrderedAndProject argmax — no shuffle of the corpus, no UDFs);
+# the only driver data is k one-row collects (the chosen centers).  The
+# running min-distance column accumulates as plan expressions — at k
+# beyond ~64 a deployment would checkpoint every few rounds; the operator
+# caps k accordingly.
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+KCENTER_ROUND = 4
+_KCENTER_MAX_K = 64
+
+
+def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dims: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   materialize=None) -> DataFrame:
+    """Greedy k-center selection trace: ``(rank, vec_id, dist)`` — rank-r
+    row is the r-th chosen center and ``dist`` its rounded cosine
+    distance to the nearest earlier center (null for the seed row)."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    if k > _KCENTER_MAX_K:
+        raise ValueError(
+            f"k={k} > {_KCENTER_MAX_K}: the running min-distance plan "
+            f"accumulates one literal-dot per round — checkpoint rounds "
+            f"before raising the cap")
+    from .cache_registry import tracked_persist
+
+    base = (materialize or tracked_persist)(
+        _pq_unit_base(emb, dims, id_col, vec_col))
+    first = base.orderBy(F.asc(id_col)).limit(1).collect()
+    if not first:
+        return emb.sparkSession.createDataFrame(
+            [], "rank int, vec_id long, dist double")
+    chosen = [(1, first[0][id_col], None)]
+    chosen_vecs = [list(first[0]["v"])]
+    cur = base
+    for rank in range(2, k + 1):
+        lit_vec = F.array(*[F.lit(float(x)) for x in chosen_vecs[-1]])
+        d_new = F.round(F.lit(1.0) - dot(F.col("v"), lit_vec),
+                        KCENTER_ROUND)
+        cur = cur.withColumn(
+            "_md", d_new if rank == 2 else F.least(F.col("_md"), d_new))
+        top = (cur.where(~F.col(id_col).isin([c[1] for c in chosen]))
+               .orderBy(F.desc("_md"), F.asc(id_col))
+               .select(id_col, "v", "_md")
+               .limit(1).collect())
+        if not top:  # corpus smaller than k
+            break
+        chosen.append((rank, top[0][id_col], float(top[0]["_md"])))
+        chosen_vecs.append(list(top[0]["v"]))
+    id_type = dict(base.dtypes)[id_col]
+    return emb.sparkSession.createDataFrame(
+        chosen, f"rank int, vec_id {id_type}, dist double")
+
+
+def kcenter_select_sql(k: int = KCENTER_K, dims: int = 64) -> str:
+    """Unrolled DuckDB oracle: round r's CTE carries every survivor's
+    running min-distance; the next center is its (md desc, vec_id asc)
+    head — the same rounded-before-compare trace as the Spark loop.
+    Every chained CTE is MATERIALIZED: DuckDB inlines multi-referenced
+    CTEs by default, and the d/c chain re-expands ~8x per round —
+    measured 0.08 s at k=3 vs 9.5 s at k=6 and ~10 min at k=8 without
+    the keyword; materialized, k=8 runs in milliseconds."""
+    base = f"""base as (
+            select vec_id,
+                   list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       as v
+            from (
+                select vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> case when coalesce(isfinite(x), false)
+                                then x else 0 end) as s,
+                       list_aggregate(list_transform(embedding::DOUBLE[],
+                               x -> coalesce(isfinite(x), false)),
+                           'bool_and') as ok
+                from embeddings
+                where embedding is not null and len(embedding) = {dims}
+            )
+            where ok and list_dot_product(s, s) > 0
+        )"""
+    ctes = [base,
+            "c1 as materialized (select vec_id, v from base order by vec_id limit 1)",
+            """d1 as materialized (
+            select b.vec_id, b.v,
+                   round(1.0 - list_dot_product(b.v, (select v from c1)), 4)
+                       as md
+            from base b where b.vec_id <> (select vec_id from c1)
+        )"""]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""c{r} as materialized (
+            select vec_id, v, md from d{r - 1}
+            order by md desc, vec_id limit 1
+        )""")
+        if r < k:
+            ctes.append(
+                f"""d{r} as materialized (
+            select d.vec_id, d.v,
+                   least(d.md, round(1.0 - list_dot_product(
+                       d.v, (select v from c{r})), 4)) as md
+            from d{r - 1} d where d.vec_id <> (select vec_id from c{r})
+        )""")
+    selects = ["select 1 as rank, (select vec_id from c1) as vec_id, "
+               "cast(null as double) as dist"]
+    selects += [f"select {r}, (select vec_id from c{r}), "
+                f"(select md from c{r})" for r in range(2, k + 1)]
+    return ("with " + ",\n        ".join(ctes) + "\n        "
+            + "\n        union all ".join(selects))
