@@ -124,6 +124,35 @@ class TestBloomSemantics:
         assert got == _py_bloom(new, corpus_texts)
         assert got[1][2] == 1 and got[3][2] == 1  # exact members flag
 
+    def test_null_text_dropped_both_sides_lockstep(self, spark):
+        """Null-text rows carry no content: dropped from probes AND the
+        filter build, and — the lockstep point — Spark's array_distinct
+        KEEPS a null where DuckDB's list_distinct drops it, so without
+        the filter the oracle silently omits the doc the Spark side
+        still emits."""
+        cdf = spark.createDataFrame(
+            [Row(doc_id=100, text="alpha"), Row(doc_id=101, text=None)])
+        ndf = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha"), Row(doc_id=2, text=None),
+             Row(doc_id=3, text="fresh")])
+        got = {r.doc_id: r.maybe_dup
+               for r in bloom_dedup_against_corpus(ndf, cdf).collect()}
+        assert set(got) == {1, 3}
+        assert got[1] == 1
+
+        con = duckdb.connect()
+        con.execute("create table documents(doc_id int, text varchar, "
+                    "source varchar)")
+        con.executemany(
+            "insert into documents values (?, ?, ?)",
+            [(100, "alpha", "c"), (101, None, "c"),
+             (1, "alpha", "n"), (2, None, "n"), (3, "fresh", "n")])
+        want = {r[0]: r[3] for r in con.execute(
+            bloom_dedup_against_corpus_sql(
+                corpus_where="source = 'c'",
+                new_where="source = 'n'")).fetchall()}
+        assert want == got
+
     @settings(max_examples=25, deadline=None)
     @given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=12),
                     min_size=1, max_size=8),
@@ -155,3 +184,7 @@ class TestBloomSemantics:
         assert "ArrowEvalPython" not in plan   # pure expression pipeline
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # the bounded position set must BROADCAST (its m-row bound is
+        # invisible to Catalyst's size estimate, so the hint is load-
+        # bearing: without it the whole probe stream shuffles at scale)
+        assert "BroadcastHashJoin" in plan

@@ -191,6 +191,30 @@ def test_bench_short_names_unique_and_fit():
     assert len(line) < 1990, f"worst-case bench line {len(line)} chars"
 
 
+def test_scale_check_extras_stay_consistent():
+    """catalog.EXTRA_ENTRIES is the single registry of rotation-ledger
+    admission candidates measured BEFORE a catalog slot opens (both
+    tools/scale_check.py and tools/measure_entry.py resolve through it):
+    each must be a callable and must NOT (yet) be a catalog entry — when
+    an admission lands, the name must leave the extras the same round
+    (the catalog package also raises on overlap at import)."""
+    from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
+
+    assert EXTRA_ENTRIES, "admission-candidate registry went missing"
+    overlap = set(EXTRA_ENTRIES) & set(ALL_ENTRIES)
+    assert not overlap, (
+        f"admitted entries still listed as extras: {sorted(overlap)}")
+    for name, fn in EXTRA_ENTRIES.items():
+        assert callable(fn), name
+    # both tools resolve through the registry, not hand-kept copies
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for tool in ("scale_check.py", "measure_entry.py"):
+        src = open(os.path.join(repo, "tools", tool)).read()
+        assert "EXTRA_ENTRIES" in src, f"{tool} no longer uses the registry"
+
+
 def test_parity_round9_front_draft_stays_valid():
     """PARITY.md precomputes round 9's _FRONT (the 50 r7-latest entries —
     the stable set-A/set-B alternation at the 100-entry cap).  Lock the

@@ -425,6 +425,40 @@ class TestStatePartitionSizing:
         assert st._sink_rows_from_progress(Q([1] * 100), True) == 1
         assert st._sink_rows_from_progress(object(), True) is None
 
+        class FakeRun:
+            class conf:
+                @staticmethod
+                def get(key, default=None):
+                    return "50"
+
+        # a LOWERED retention cap must lower the append-mode guard: 50
+        # retained events AT a cap of 50 may have dropped earlier ones
+        assert st._sink_rows_from_progress(Q([1] * 50), False,
+                                           FakeRun()) is None
+        assert st._sink_rows_from_progress(Q([1] * 49), False,
+                                           FakeRun()) == 49
+
+    def test_stale_drain_dirs_pruned_live_kept(self, spark, tmp_path,
+                                               monkeypatch):
+        """The app-id scoping must not leak one folder per finished
+        process: siblings older than the stale age are pruned when a
+        root is derived, while fresh (possibly live) siblings survive."""
+        import os
+        import time
+
+        import waimak_spark.catalog.streaming as st
+
+        base = str(tmp_path / "drain_base")
+        os.makedirs(f"{base}/dead-app/sink1", exist_ok=True)
+        os.makedirs(f"{base}/live-app", exist_ok=True)
+        old = time.time() - st._DRAIN_STALE_S - 60
+        os.utime(f"{base}/dead-app", (old, old))
+        monkeypatch.setattr(st, "_DRAIN_DIR_DEFAULT", base)
+        root = st._drain_root(spark)
+        assert root == f"{base}/{spark.sparkContext.applicationId}"
+        assert not os.path.exists(f"{base}/dead-app")
+        assert os.path.exists(f"{base}/live-app")
+
     def test_drain_root_is_session_scoped(self, spark):
         """VERDICT r7 #8: the default drain folder must be scoped by the
         Spark application id so two concurrent bench/verify PROCESSES

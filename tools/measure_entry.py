@@ -45,20 +45,12 @@ def main() -> None:
 
     if name in catalog.ALL_ENTRIES:
         fn = catalog.ALL_ENTRIES[name]["fn"]
-    else:
+    elif name in catalog.EXTRA_ENTRIES:
         # rotation-ledger admission candidates measured before a catalog
-        # slot opens (same resolution as tools/scale_check.py's extras)
-        from waimak_spark.catalog.curation import dedup_bloom_against_corpus
-        from waimak_spark.catalog.similarity import (
-            ann_ivf_pq_probe_stored,
-            sample_kcenter_diverse,
-        )
-
-        fn = {
-            "ivf_pq_probe_stored": ann_ivf_pq_probe_stored,
-            "bloom_dedup_against_corpus": dedup_bloom_against_corpus,
-            "sample_kcenter_diverse": sample_kcenter_diverse,
-        }[name]
+        # slot opens (single registry shared with tools/scale_check.py)
+        fn = catalog.EXTRA_ENTRIES[name]
+    else:
+        raise SystemExit(f"unknown entry: {name}")
     times = []
     for i in range(laps + 1):  # lap 0 is the untimed warmup
         t0 = time.time()

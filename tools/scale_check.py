@@ -85,10 +85,9 @@ RELATIONAL_QUERIES = [
 ]
 # Non-catalog operators measured here anyway (rotation-ledger admission
 # candidates whose scale story must exist BEFORE a window slot opens):
-# resolved via EXTRA_FNS below instead of ALL_ENTRIES.
-EXTRA_QUERIES = ["ivf_pq_probe_stored",
-                 "bloom_dedup_against_corpus",
-                 "sample_kcenter_diverse"]
+# the single name->fn registry lives in waimak_spark.catalog
+# (EXTRA_ENTRIES) so admitting a candidate edits ONE place; resolved
+# lazily in main() to keep module import light.
 # Rows whose one-shot 10x timing has swung 2-4x between laps on this
 # co-tenanted host (VERDICT r7 #6): the table carries a second [warm]
 # min-of-3 row so the headline number is not the scariest outlier.
@@ -195,10 +194,12 @@ def main() -> None:
 
     # validate the subset BEFORE the expensive replica build + JVM start
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    from waimak_spark.catalog import EXTRA_ENTRIES
+
     names = ([n.strip() for n in subset.split(",") if n.strip()] if subset
              else (DOC_QUERIES + EVENT_QUERIES + STREAMING_QUERIES
-                   + RELATIONAL_QUERIES + EXTRA_QUERIES))
-    unknown = set(names) - set(ALL_ENTRIES) - set(EXTRA_QUERIES)
+                   + RELATIONAL_QUERIES + list(EXTRA_ENTRIES)))
+    unknown = set(names) - set(ALL_ENTRIES) - set(EXTRA_ENTRIES)
     if unknown:
         raise SystemExit(f"unknown queries: {sorted(unknown)}")
 
@@ -218,21 +219,8 @@ def main() -> None:
         # same GC hygiene as bench.py: collect OUTSIDE the timed window so
         # pauses from the replicated corpus's churn don't land in a timing
         spark._jvm.System.gc()
-        from waimak_spark.catalog.curation import (
-            dedup_bloom_against_corpus,
-        )
-        from waimak_spark.catalog.similarity import (
-            ann_ivf_pq_probe_stored,
-            sample_kcenter_diverse,
-        )
-
-        extra_fns = {
-            "ivf_pq_probe_stored": ann_ivf_pq_probe_stored,
-            "bloom_dedup_against_corpus": dedup_bloom_against_corpus,
-            "sample_kcenter_diverse": sample_kcenter_diverse,
-        }
         fn = (ALL_ENTRIES[name]["fn"] if name in ALL_ENTRIES
-              else extra_fns[name])
+              else EXTRA_ENTRIES[name])
         t0 = time.time()
         df = fn(spark, sf_dir)
         # noop-force like bench.py, NOT count(): count() lets Catalyst

@@ -108,6 +108,29 @@ ALL_ENTRIES: dict[str, dict] = {n: _MERGED[n] for n in _FRONT}
 ALL_ENTRIES.update((n, e) for n, e in _MERGED.items() if n not in ALL_ENTRIES)
 
 
+# Rotation-ledger admission candidates measured BEFORE a catalog slot
+# opens: tools/scale_check.py and tools/measure_entry.py both resolve
+# non-catalog names through THIS single mapping (hand-duplicating it in
+# each tool meant a future admission had to edit three places in sync);
+# test_scale_check_extras_stay_consistent locks it against ALL_ENTRIES
+# overlap, so an admitted entry must leave the extras the same round.
+from .curation import dedup_bloom_against_corpus as _x_bloom  # noqa: E402
+from .similarity import (  # noqa: E402
+    ann_ivf_pq_probe_stored as _x_ivf_pq,
+    sample_kcenter_diverse as _x_kcenter,
+)
+
+EXTRA_ENTRIES = {
+    "ivf_pq_probe_stored": _x_ivf_pq,
+    "bloom_dedup_against_corpus": _x_bloom,
+    "sample_kcenter_diverse": _x_kcenter,
+}
+_extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
+if _extra_overlap:
+    raise ValueError(
+        f"admitted entries still listed as extras: {_extra_overlap}")
+
+
 def queries():
     return {name: e["fn"] for name, e in ALL_ENTRIES.items()}
 

@@ -200,25 +200,10 @@ def _ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
     tag, label = _ivf_index_name(sf_dir)
     name = f"{_IVF_IDX_DB}.{label}"
     if not spark.catalog.tableExists(name):
-        from ..filesystem import FileOps
-
-        spark.sql(f"create database if not exists {_IVF_IDX_DB}")
-        for t in spark.catalog.listTables(_IVF_IDX_DB):
-            if t.name.startswith(f"ivf_cells_{tag}_") and t.name != label:
-                spark.sql(f"drop table if exists {_IVF_IDX_DB}.{t.name}")
-        # the session catalog is per-process but the warehouse directory
-        # persists: locations from an earlier process are not registered
-        # here (so not trustworthy) and must be cleared — including this
-        # label's own, else saveAsTable refuses with
-        # LOCATION_ALREADY_EXISTS.  Within one process the tableExists
-        # check above keeps the build truly once.  Cleared through the
-        # Hadoop-FS abstraction (ADVICE/VERDICT r6: shutil on a parsed
-        # local path silently no-ops on an object-store warehouse), so
-        # any warehouse scheme either works or fails loudly.
-        fops = FileOps(spark)
-        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        for stale in fops.glob(f"{wh}/{_IVF_IDX_DB}.db/ivf_cells_{tag}_*"):
-            fops.delete(stale, recursive=True)
+        # two-pass stale cleanup shared with the IVF-PQ builder — see
+        # _clear_superseded for why the warehouse pass clears the kept
+        # label's own (unregistered, untrustworthy) directory too
+        _clear_superseded(spark, f"ivf_cells_{tag}_", label)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         idx = S.ivf_index_frame(emb)
         (Waimak.spark_flow(spark)

@@ -123,11 +123,46 @@ _DRAIN_DIR_DEFAULT = "/tmp/waimak_stream_drain"
 def _drain_root(spark: SparkSession) -> str:
     override = spark.conf.get(DRAIN_DIR_CONF, None)
     if override:
+        # a shared-FS override is caller-managed: never prune it
         return override
+    _prune_stale_drain_dirs(exclude=spark.sparkContext.applicationId)
     return f"{_DRAIN_DIR_DEFAULT}/{spark.sparkContext.applicationId}"
 
 
-def _sink_rows_from_progress(q, complete: bool) -> int | None:
+#: age after which a sibling app-id drain folder is considered a dead
+#: process's leftovers — a LIVE lap rewrites its folder far more often
+_DRAIN_STALE_S = 6 * 3600
+
+
+def _prune_stale_drain_dirs(exclude: str) -> None:
+    """Best-effort local-FS prune of other applications' drain folders
+    (the app-id scoping that stopped concurrent-lap races would
+    otherwise leak one answer-sized folder per process forever).
+    Age-gated so a concurrently RUNNING lap's folder is never touched —
+    deleting only by name would reintroduce exactly the race the
+    scoping fixed."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(_DRAIN_DIR_DEFAULT)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        if name == exclude:
+            continue
+        path = os.path.join(_DRAIN_DIR_DEFAULT, name)
+        try:
+            if now - os.path.getmtime(path) > _DRAIN_STALE_S:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _sink_rows_from_progress(q, complete: bool,
+                             run: SparkSession | None = None) -> int | None:
     """Row count of a finished memory sink from the query's own progress
     events — free metadata replacing a ``count()`` job whose fixed
     overhead (~0.15-0.25 s warmed, measured in the round-8 drain
@@ -138,8 +173,10 @@ def _sink_rows_from_progress(q, complete: bool) -> int | None:
     count job) whenever the history cannot vouch for the total: no
     events, an unreporting sink (-1), or an append history at the
     retention cap (``spark.sql.streaming.numRecentProgressUpdates``,
-    default 100) where dropped events would undercount — an undercount
-    must never route an oversized sink through the driver-local path."""
+    read from the owning session — a LOWERED cap must lower the guard,
+    else dropped events would undercount) where dropped events would
+    undercount — an undercount must never route an oversized sink
+    through the driver-local path."""
     try:
         counts = [p["sink"]["numOutputRows"] for p in q.recentProgress]
     except Exception:
@@ -148,7 +185,14 @@ def _sink_rows_from_progress(q, complete: bool) -> int | None:
         return None
     if complete:
         return counts[-1]
-    if len(counts) >= 100:
+    cap = 100
+    if run is not None:
+        try:
+            cap = int(run.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"))
+        except (TypeError, ValueError):
+            pass
+    if len(counts) >= cap:
         return None
     return sum(counts)
 
@@ -249,8 +293,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return _collect_into_caller(spark, run, name,
-                                _sink_rows_from_progress(q, complete=True))
+    return _collect_into_caller(
+        spark, run, name, _sink_rows_from_progress(q, complete=True,
+                                                   run=run))
 
 
 STREAMING_TUMBLING_ORACLE = """
@@ -298,8 +343,9 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return _collect_into_caller(spark, run, name,
-                                _sink_rows_from_progress(q, complete=True))
+    return _collect_into_caller(
+        spark, run, name, _sink_rows_from_progress(q, complete=True,
+                                                   run=run))
 
 
 STREAMING_SESSION_ORACLE = f"""
@@ -351,8 +397,9 @@ def streaming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return _collect_into_caller(spark, run, name,
-                                _sink_rows_from_progress(q, complete=False))
+    return _collect_into_caller(
+        spark, run, name, _sink_rows_from_progress(q, complete=False,
+                                                   run=run))
 
 
 STREAMING_DEDUP_ORACLE = """
@@ -404,8 +451,9 @@ def streaming_trade_quote_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
-    return _collect_into_caller(spark, run, name,
-                                _sink_rows_from_progress(q, complete=False))
+    return _collect_into_caller(
+        spark, run, name, _sink_rows_from_progress(q, complete=False,
+                                                   run=run))
 
 
 STREAMING_SSJ_ORACLE = f"""

@@ -1081,7 +1081,13 @@ def bloom_corpus_positions(corpus: DataFrame, text_col: str = "text",
     in for the filter's bit array.  Build once, reuse across batches
     (persist or write; bounded by m rows, it only ever SHRINKS relative
     to the corpus)."""
+    # null-text rows carry no content to member — dropped on BOTH
+    # engines (seeded_hash(NULL) would yield NULL positions, and Spark's
+    # array_distinct KEEPS a null while DuckDB's list_distinct drops it,
+    # so nulls anywhere in this pipeline break oracle lockstep — the
+    # same engine difference functions/curation.py handles)
     return (corpus
+            .where(F.col(text_col).isNotNull())
             .select(F.explode(bloom_positions(F.col(text_col), k, m))
                     .alias("pos"))
             .distinct())
@@ -1100,15 +1106,21 @@ def bloom_dedup_against_corpus(new: DataFrame, corpus: DataFrame,
     the k/m choice), which is the accepted trade for O(m) membership
     state.  Plan shape: map-only probe explode, ONE join against the
     bounded position set (broadcastable by construction), one keyed
-    rollup — no text ever crosses the wire."""
+    rollup — no text ever crosses the wire.  Null-text docs are dropped
+    on both sides (no content to probe; see bloom_corpus_positions).
+    The position-set side carries an explicit broadcast hint: its row
+    count is bounded by m BY CONSTRUCTION, but Catalyst's size estimate
+    derives from the (unbounded) corpus child, so without the hint the
+    planner would shuffle the whole probe stream at scale."""
     pos_set = bloom_corpus_positions(corpus, text_col, k, m)
-    probes = (new.select(
+    probes = (new.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(bloom_positions(F.col(text_col), k, m))
         .alias("_ps"))
         .select("doc_id", F.size("_ps").cast("bigint").alias("n_probes"),
                 F.explode("_ps").alias("pos")))
-    hits = probes.join(pos_set.withColumn("_hit", F.lit(1)), "pos", "left")
+    hits = probes.join(
+        F.broadcast(pos_set.withColumn("_hit", F.lit(1))), "pos", "left")
     return (hits.groupBy("doc_id", "n_probes")
             .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
                  .cast("bigint").alias("n_hits"))
@@ -1130,10 +1142,10 @@ def bloom_dedup_against_corpus_sql(corpus_where: str, new_where: str,
     return f"""
         with corp as (
             select distinct unnest({pos_list('text')}) as pos
-            from documents where {corpus_where}
+            from documents where ({corpus_where}) and text is not null
         ), new_probes as (
             select doc_id, list_distinct({pos_list('text')}) as probes
-            from documents where {new_where}
+            from documents where ({new_where}) and text is not null
         ), probe as (
             select doc_id, len(probes)::BIGINT as n_probes,
                    unnest(probes) as pos
