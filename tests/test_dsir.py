@@ -180,3 +180,28 @@ class TestDsirPlanShape:
         sel_plan = dsir_select(docs, target, 10)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "TakeOrderedAndProject" in sel_plan  # never a global sort
+
+
+def test_catalog_wrapper_matches_its_admission_oracle(spark, sf_dir):
+    """The round-9 admission shape (catalog.curation.dsir_select +
+    _dsir_select_oracle) must already be lockstep BEFORE the slot opens —
+    admission day is then a one-line move from EXTRA_ENTRIES to ENTRIES."""
+    import duckdb
+
+    from waimak_spark.catalog.curation import (
+        _dsir_select_oracle,
+        dsir_select as catalog_dsir_select,
+    )
+
+    got = sorted(tuple(r)
+                 for r in catalog_dsir_select(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(f"create view documents as "
+                f"select * from '{sf_dir}/documents.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.execute(_dsir_select_oracle()).fetchall())
+    assert len(got) == len(want) == 100
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        for gv, wv in zip(g[1:], w[1:]):
+            assert gv == pytest.approx(wv, abs=1e-9)

@@ -114,13 +114,17 @@ ALL_ENTRIES.update((n, e) for n, e in _MERGED.items() if n not in ALL_ENTRIES)
 # each tool meant a future admission had to edit three places in sync);
 # test_scale_check_extras_stay_consistent locks it against ALL_ENTRIES
 # overlap, so an admitted entry must leave the extras the same round.
-from .curation import dedup_bloom_against_corpus as _x_bloom  # noqa: E402
+from .curation import (  # noqa: E402
+    dedup_bloom_against_corpus as _x_bloom,
+    dsir_select as _x_dsir,
+)
 from .similarity import (  # noqa: E402
     ann_ivf_pq_probe_stored as _x_ivf_pq,
     sample_kcenter_diverse as _x_kcenter,
 )
 
 EXTRA_ENTRIES = {
+    "dsir_select": _x_dsir,
     "ivf_pq_probe_stored": _x_ivf_pq,
     "bloom_dedup_against_corpus": _x_bloom,
     "sample_kcenter_diverse": _x_kcenter,

@@ -213,6 +213,30 @@ def _bloom_corpus_oracle() -> str:
         new_where=f"source not in ({_corpus_list})")
 
 
+# the shape the round-9 DSIR admission fronts (PARITY rotation ledger):
+# English documents as the target distribution, Gumbel-top-k over the
+# whole corpus — the same (target_where, k, seed) the lockstep tests pin
+DSIR_TARGET_WHERE = "lang = 'en'"
+DSIR_K = 100
+DSIR_SEED = 7
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-weighted Gumbel-top-k selection (Xie et al. 2023)
+    — round-9 catalog admission per the PARITY rotation ledger (retires
+    `ann_lsh_pairs`, staged then fronted round 10); until then verified
+    by tests/test_dsir.py every pytest run and measured through the
+    catalog EXTRA_ENTRIES registry.  Admission day: move this name from
+    EXTRA_ENTRIES into ENTRIES with `_dsir_select_oracle`."""
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    return C.dsir_select(docs, target, k=DSIR_K, seed=DSIR_SEED)
+
+
+def _dsir_select_oracle() -> str:
+    return C.dsir_select_sql(DSIR_TARGET_WHERE, DSIR_K, seed=DSIR_SEED)
+
+
 DEDUP_CORPUS_ORACLE = f"""
     select n.doc_id, n.source from documents n
     where n.source not in ({_corpus_list})
