@@ -973,8 +973,17 @@ def substring_ngram_dedup(df: DataFrame, text_col: str = "text",
     q11 float-threshold recipe). Documents shorter than ``window``
     tokens have no windows and are always kept.
 
-    Plan shape / 100 TB posture: windows are md5-hashed before the
-    shuffle (32 hex chars, not up-to-``window``-token strings); corpus
+    Plan shape / 100 TB posture: windows are hashed before the shuffle
+    with ``xxhash64`` (an 8-byte long, not up-to-``window``-token
+    strings — and 4x smaller on the wire than the 32-hex-char md5 it
+    replaced in round 8: the hash NEVER leaves the plan, only per-gram
+    frequency counts feed the verdict, so Spark and the DuckDB oracle
+    may hash differently and still agree exactly, barring a 64-bit
+    collision within one engine at ~n²/2⁶⁵.  Local timing is
+    noise-level (isolated min-of-6 1.37 → 1.32 s at sf0.1 — the
+    tokenize/slide/explode stages dominate at this scale); the payload
+    cut is kept for the shuffle-bound regime the operator targets);
+    corpus
     frequencies come from a groupBy (map-side partial aggregation
     collapses hot grams — boilerplate repeated millions of times — on
     the mappers, which a count-over-window could not: a single hot gram
@@ -997,7 +1006,13 @@ def substring_ngram_dedup(df: DataFrame, text_col: str = "text",
     g = (base.select("doc_id", F.size("grams").cast("bigint")
                      .alias("n_grams"),
                      F.explode_outer("grams").alias("gram"))
-         .select("doc_id", "n_grams", F.md5("gram").alias("g")))
+         .select("doc_id", "n_grams",
+                 # xxhash64 returns its SEED for an all-null input where
+                 # md5 propagated NULL — the explode_outer null-gram
+                 # sentinel of every zero-gram doc would otherwise
+                 # collide at one key and count as a duplicated window
+                 F.when(F.col("gram").isNotNull(),
+                        F.xxhash64("gram")).alias("g")))
     counts = (g.where(F.col("g").isNotNull())
               .groupBy("g").agg(F.count("*").alias("c")))
     flagged = g.join(counts.where(F.col("c") >= 2), "g", "left")
