@@ -52,6 +52,11 @@ def short_name(name: str) -> str:
     the END of the ~9-minute bench)."""
     import re
 
+    # initials-rule collisions get explicit overrides (uniqueness over the
+    # whole catalog is asserted by test_bench_short_names_unique_and_fit)
+    overrides = {"dsir_select": "dsir"}  # "ds" is dedup_simhash
+    if name in overrides:
+        return overrides[name]
     head = name.split("_", 1)[0]
     if re.fullmatch(r"q\d+", head):
         return head

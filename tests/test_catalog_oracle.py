@@ -215,13 +215,14 @@ def test_scale_check_extras_stay_consistent():
         assert "EXTRA_ENTRIES" in src, f"{tool} no longer uses the registry"
 
 
-def test_parity_round9_front_draft_stays_valid():
-    """PARITY.md precomputes round 9's _FRONT (the 50 r7-latest entries —
-    the stable set-A/set-B alternation at the 100-entry cap).  Lock the
-    draft against drift: every name must exist in the catalog, no
-    duplicates, it must fill exactly one window, and together with the
-    CURRENT window it must cover the whole catalog — the
-    every-other-round guarantee the rotation exists to provide."""
+def test_parity_round10_front_draft_stays_valid():
+    """PARITY.md precomputes round 10's _FRONT (the 49 r8-latest
+    survivors + the staged `dsir_select` admission — the set-A/set-B
+    alternation at the 100-entry cap, minus the round-9 `ann_lsh_pairs`
+    retirement).  Lock the draft against drift: every name must exist in
+    the catalog, no duplicates, it must fill exactly one window, and
+    together with the CURRENT window it must cover the whole catalog —
+    the every-other-round guarantee the rotation exists to provide."""
     import os
     import re
 
@@ -229,8 +230,8 @@ def test_parity_round9_front_draft_stays_valid():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     text = open(os.path.join(repo, "PARITY.md")).read()
-    m = re.search(r"r7-latest entries `([^`]+)`", text, re.S)
-    assert m, "PARITY.md round-9 _FRONT draft went missing"
+    m = re.search(r"49\s+r8-latest entries `([^`]+)`", text, re.S)
+    assert m, "PARITY.md round-10 _FRONT draft went missing"
     draft = [n.strip() for n in m.group(1).replace("\n", " ").split(",")
              if n.strip()]
     front = draft + list(STAGED_NEXT_ROUND)

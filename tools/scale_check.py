@@ -29,7 +29,7 @@ OUT = "/tmp/scale10"
 DOC_QUERIES = [
     "dedup_exact", "dedup_substring_ngram", "dedup_lsh_candidates",
     "dedup_simhash", "dedup_simhash_near_dups", "dedup_ngram_jaccard",
-    "ann_lsh_pairs", "dedup_embedding_cosine",
+    "dedup_embedding_cosine",
     "dedup_embedding_cosine_fixpoint", "ann_brute_force_topk",
     "ann_ivf_topk", "ann_ivf_recall", "embedding_centroids",
     "text_quality", "lang_id", "token_counts", "repetition_metrics",
@@ -52,6 +52,9 @@ DOC_QUERIES = [
     # round-6 entries
     "ann_ivf_probe_stored", "bigram_logprob", "contamination_overlap",
     "chunk_overlapping_windows", "dedup_semantic_kmeans",
+    # round-9 admission (ann_lsh_pairs retired per the rotation ledger —
+    # its LSH pair machinery keeps a row via dedup_embedding_cosine)
+    "dsir_select",
 ]
 EVENT_QUERIES = [
     "latest_event_per_user_type", "tumbling_window_counts",

@@ -223,11 +223,13 @@ DSIR_SEED = 7
 
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-weighted Gumbel-top-k selection (Xie et al. 2023)
-    — round-9 catalog admission per the PARITY rotation ledger (retires
-    `ann_lsh_pairs`, staged then fronted round 10); until then verified
-    by tests/test_dsir.py every pytest run and measured through the
-    catalog EXTRA_ENTRIES registry.  Admission day: move this name from
-    EXTRA_ENTRIES into ENTRIES with `_dsir_select_oracle`."""
+    — ADMITTED round 9 per the PARITY rotation ledger in the retired
+    `ann_lsh_pairs` slot (the `lsh_ann_pairs` operator keeps its unit
+    tests; `dedup_embedding_cosine` keeps the LSH pair machinery's
+    official row).  The round-9 window is fully forced (set-A), so the
+    entry takes the sanctioned STAGED_NEXT_ROUND path and fronts in
+    round 10; lockstep-verified every pytest run since round 7
+    (tests/test_dsir.py)."""
     docs = _docs(spark, sf_dir)
     target = docs.where(F.col("lang") == "en")
     return C.dsir_select(docs, target, k=DSIR_K, seed=DSIR_SEED)
@@ -806,4 +808,7 @@ ENTRIES = {
     "sample_weighted": {"fn": sample_weighted, "oracle": _weighted_oracle()},
     "decontaminate_near": {"fn": decontaminate_near_benchmark,
                            "oracle": _near_decontaminate_oracle()},
+    # round-9 admission (PARITY rotation ledger): staged this round,
+    # fronts round 10 — see catalog.STAGED_NEXT_ROUND
+    "dsir_select": {"fn": dsir_select, "oracle": _dsir_select_oracle()},
 }

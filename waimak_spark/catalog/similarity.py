@@ -14,9 +14,11 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, QUERY_IDS, k=5)
 
 
-def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.lsh_ann_pairs(emb, dims=64, min_cosine=0.0)
+# The `ann_lsh_pairs` catalog entry RETIRED in round 9 (PARITY rotation
+# ledger): subsumed by `dedup_embedding_cosine`, which exercises the same
+# `S.lsh_ann_pairs` machinery on the same embeddings; the operator itself
+# stays in functions/similarity.py with its unit tests
+# (tests/test_similarity_resolution.py).  Its slot admitted `dsir_select`.
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,10 +391,6 @@ ENTRIES = {
     "ann_brute_force_topk": {
         "fn": ann_brute_force_topk,
         "oracle": S.brute_force_topk_sql(QUERY_IDS, k=5),
-    },
-    "ann_lsh_pairs": {
-        "fn": ann_lsh_pairs,
-        "oracle": S.lsh_ann_pairs_sql(dims=64, min_cosine=0.0),
     },
     "ann_ivf_topk": {
         "fn": ann_ivf_topk,
