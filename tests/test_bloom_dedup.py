@@ -124,6 +124,45 @@ class TestBloomSemantics:
         assert got == _py_bloom(new, corpus_texts)
         assert got[1][2] == 1 and got[3][2] == 1  # exact members flag
 
+    def test_duplicate_doc_id_rows_keep_no_false_negatives(self, spark):
+        """ADVICE r8: with the old (doc_id, n_probes) rollup key, two
+        copies of an exact corpus member landed in ONE group, n_hits
+        reached 2×n_probes, and the member reported maybe_dup = 0 — a
+        silent false negative.  The probe-set rollup key fixes it:
+        identical (id, text) copies collapse to one row that still
+        flags; same-id-DIFFERENT-text rows keep separate verdict rows.
+        DuckDB runs the same shape, so lockstep is asserted too."""
+        cdf = spark.createDataFrame([Row(doc_id=100, text="alpha beta")])
+        ndf = spark.createDataFrame(
+            [Row(doc_id=1, text="alpha beta"),   # exact member, twice
+             Row(doc_id=1, text="alpha beta"),
+             Row(doc_id=2, text="alpha beta"),   # member + novel, same id
+             Row(doc_id=2, text="definitely novel text")])
+        rows = bloom_dedup_against_corpus(ndf, cdf).collect()
+        got = sorted((r.doc_id, r.n_probes, r.n_hits, r.maybe_dup)
+                     for r in rows)
+        by_id: dict[int, list] = {}
+        for t in got:
+            by_id.setdefault(t[0], []).append(t)
+        assert len(by_id[1]) == 1          # identical copies collapsed
+        assert by_id[1][0][3] == 1         # the member still flags
+        assert len(by_id[2]) == 2          # different texts kept apart
+        assert 1 in {t[3] for t in by_id[2]}  # the member row flags
+
+        con = duckdb.connect()
+        con.execute("create table documents(doc_id int, text varchar, "
+                    "source varchar)")
+        con.executemany(
+            "insert into documents values (?, ?, ?)",
+            [(100, "alpha beta", "c"),
+             (1, "alpha beta", "n"), (1, "alpha beta", "n"),
+             (2, "alpha beta", "n"), (2, "definitely novel text", "n")])
+        want = sorted(tuple(r) for r in con.execute(
+            bloom_dedup_against_corpus_sql(
+                corpus_where="source = 'c'",
+                new_where="source = 'n'")).fetchall())
+        assert want == got
+
     def test_null_text_dropped_both_sides_lockstep(self, spark):
         """Null-text rows carry no content: dropped from probes AND the
         filter build, and — the lockstep point — Spark's array_distinct

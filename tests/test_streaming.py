@@ -459,6 +459,28 @@ class TestStatePartitionSizing:
         assert not os.path.exists(f"{base}/dead-app")
         assert os.path.exists(f"{base}/live-app")
 
+    def test_drain_root_touch_keeps_own_folder_live(self, spark, tmp_path,
+                                                    monkeypatch):
+        """ADVICE r8: a caller can hold the lazily-read drain frame past
+        _DRAIN_STALE_S; liveness must therefore follow process ACTIVITY,
+        not the last subdir create/delete.  Every _drain_root call
+        touches the session's own folder, so a sibling pruner never sees
+        a draining process's folder as stale — even when its contents
+        haven't churned since before the stale horizon."""
+        import os
+        import time
+
+        import waimak_spark.catalog.streaming as st
+
+        base = str(tmp_path / "drain_touch")
+        app = spark.sparkContext.applicationId
+        os.makedirs(f"{base}/{app}/sink1", exist_ok=True)
+        old = time.time() - st._DRAIN_STALE_S - 60
+        os.utime(f"{base}/{app}", (old, old))
+        monkeypatch.setattr(st, "_DRAIN_DIR_DEFAULT", base)
+        st._drain_root(spark)
+        assert os.path.getmtime(f"{base}/{app}") > old + st._DRAIN_STALE_S
+
     def test_drain_root_is_session_scoped(self, spark):
         """VERDICT r7 #8: the default drain folder must be scoped by the
         Spark application id so two concurrent bench/verify PROCESSES

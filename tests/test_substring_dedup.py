@@ -167,3 +167,29 @@ class TestSubstringDedupPlan:
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_key_bits_paths_agree_and_widen_the_key(self, spark, sf_dir):
+        """ADVICE r8: the 64-bit gram key is birthday-exposed at the
+        operator's 100 TB posture (~1e11 grams → hundreds of expected
+        collisions, each SILENTLY over-flagging), so 128-bit (two
+        salted xxhash64 longs) is the default; 64 stays for bounded
+        corpora.  Both paths must agree exactly on real data (no
+        collisions at sandbox scale), the wide path must carry a second
+        hash column into the aggregate, and an unknown width must
+        raise."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        wide = {r.doc_id: (r.n_grams, r.dup_ngrams, r.dup_fraction, r.keep)
+                for r in substring_ngram_dedup(docs).collect()}
+        narrow = {r.doc_id: (r.n_grams, r.dup_ngrams, r.dup_fraction,
+                             r.keep)
+                  for r in substring_ngram_dedup(docs,
+                                                 key_bits=64).collect()}
+        assert wide == narrow
+        wide_plan = substring_ngram_dedup(docs)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        narrow_plan = substring_ngram_dedup(docs, key_bits=64)._jdf \
+            .queryExecution().optimizedPlan().toString()
+        assert wide_plan.count("xxhash64") > narrow_plan.count("xxhash64")
+        assert "g2" in wide_plan and "g2" not in narrow_plan
+        with pytest.raises(ValueError, match="key_bits"):
+            substring_ngram_dedup(docs, key_bits=32)

@@ -126,7 +126,21 @@ def _drain_root(spark: SparkSession) -> str:
         # a shared-FS override is caller-managed: never prune it
         return override
     _prune_stale_drain_dirs(exclude=spark.sparkContext.applicationId)
-    return f"{_DRAIN_DIR_DEFAULT}/{spark.sparkContext.applicationId}"
+    root = f"{_DRAIN_DIR_DEFAULT}/{spark.sparkContext.applicationId}"
+    # ADVICE r8: tie liveness to PROCESS ACTIVITY, not to the last
+    # subdir create/delete — the large-sink drain hands back a lazy
+    # spark.read.parquet over this folder, and a caller re-scanning that
+    # frame past _DRAIN_STALE_S would otherwise see a sibling process
+    # prune it mid-scan (mtime only moves on child churn).  Touching the
+    # app dir on every _drain_root call means any session that keeps
+    # draining keeps its folder's clock fresh.
+    import os
+
+    try:
+        os.utime(root)
+    except OSError:
+        pass  # not created yet — mkdir time becomes the fresh mtime
+    return root
 
 
 #: age after which a sibling app-id drain folder is considered a dead

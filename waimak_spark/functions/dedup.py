@@ -956,8 +956,8 @@ SUBSTRING_MAX_DUP_FRACTION = 0.5
 def substring_ngram_dedup(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           window: int = SUBSTRING_WINDOW,
-                          max_dup_fraction: float = SUBSTRING_MAX_DUP_FRACTION
-                          ) -> DataFrame:
+                          max_dup_fraction: float = SUBSTRING_MAX_DUP_FRACTION,
+                          key_bits: int = 128) -> DataFrame:
     """Per-document substring-duplication verdict: ``(doc_id, n_grams,
     dup_ngrams, dup_fraction, keep)`` — linear output (one row per input
     document, never a pair list or span list).
@@ -974,16 +974,27 @@ def substring_ngram_dedup(df: DataFrame, text_col: str = "text",
     tokens have no windows and are always kept.
 
     Plan shape / 100 TB posture: windows are hashed before the shuffle
-    with ``xxhash64`` (an 8-byte long, not up-to-``window``-token
-    strings — and 4x smaller on the wire than the 32-hex-char md5 it
-    replaced in round 8: the hash NEVER leaves the plan, only per-gram
-    frequency counts feed the verdict, so Spark and the DuckDB oracle
-    may hash differently and still agree exactly, barring a 64-bit
-    collision within one engine at ~n²/2⁶⁵.  Local timing is
-    noise-level (isolated min-of-6 1.37 → 1.32 s at sf0.1 — the
-    tokenize/slide/explode stages dominate at this scale); the payload
-    cut is kept for the shuffle-bound regime the operator targets);
-    corpus
+    — the hash NEVER leaves the plan, only per-gram frequency counts
+    feed the verdict, so Spark and the DuckDB oracle may hash
+    differently and still agree exactly, barring a within-engine
+    collision.  ``key_bits`` picks the key (ADVICE r8: the error
+    direction of a collision is SILENT over-flagging — distinct grams
+    merge and extra data gets dropped):
+
+    * ``128`` (default, the at-scale path): TWO differently-salted
+      ``xxhash64`` longs — collisions birthday-bounded at ~n²/2¹²⁹,
+      <1e-16 expected even at the operator's stated 100 TB posture
+      (~1e11 grams).  16 bytes/gram on the wire, still 2x smaller than
+      the 32-hex-char md5 STRING it replaced in round 8.
+    * ``64``: ONE ``xxhash64`` long — 4x smaller than md5 but
+      birthday-bounded at ~n²/2⁶⁵ (hundreds of expected collisions at
+      1e11 grams); acceptable for bounded corpora only, kept for the
+      shuffle-bound regime where the last 8 bytes/gram matter and the
+      corpus is known small.
+
+    Local timing is noise-level either way (isolated min-of-6: md5
+    1.37 s, 64-bit 1.32 s at sf0.1 — tokenize/slide/explode dominate at
+    this scale); corpus
     frequencies come from a groupBy (map-side partial aggregation
     collapses hot grams — boilerplate repeated millions of times — on
     the mappers, which a count-over-window could not: a single hot gram
@@ -1003,19 +1014,27 @@ def substring_ngram_dedup(df: DataFrame, text_col: str = "text",
     base = tk.select("doc_id", shingles(F.col("_t"), window).alias("grams"))
     # explode_outer keeps zero-gram docs as a null-gram row, so the
     # per-doc rollup needs no join back onto the corpus frame
+    if key_bits not in (64, 128):
+        raise ValueError(f"key_bits must be 64 or 128, got {key_bits}")
+    # xxhash64 returns its SEED for an all-null input where md5
+    # propagated NULL — the explode_outer null-gram sentinel of every
+    # zero-gram doc would otherwise collide at one key and count as a
+    # duplicated window, so null grams are guarded to null keys
+    nn = F.col("gram").isNotNull()
+    key_cols = [F.when(nn, F.xxhash64("gram")).alias("g")]
+    if key_bits == 128:
+        # second independent long: same xxhash64 with a literal salt
+        # prepended (changes the input stream, decorrelating the hash)
+        key_cols.append(
+            F.when(nn, F.xxhash64(F.lit("s2"), F.col("gram"))).alias("g2"))
+    keys = ["g", "g2"][:len(key_cols)]
     g = (base.select("doc_id", F.size("grams").cast("bigint")
                      .alias("n_grams"),
                      F.explode_outer("grams").alias("gram"))
-         .select("doc_id", "n_grams",
-                 # xxhash64 returns its SEED for an all-null input where
-                 # md5 propagated NULL — the explode_outer null-gram
-                 # sentinel of every zero-gram doc would otherwise
-                 # collide at one key and count as a duplicated window
-                 F.when(F.col("gram").isNotNull(),
-                        F.xxhash64("gram")).alias("g")))
+         .select("doc_id", "n_grams", *key_cols))
     counts = (g.where(F.col("g").isNotNull())
-              .groupBy("g").agg(F.count("*").alias("c")))
-    flagged = g.join(counts.where(F.col("c") >= 2), "g", "left")
+              .groupBy(*keys).agg(F.count("*").alias("c")))
+    flagged = g.join(counts.where(F.col("c") >= 2), keys, "left")
     per_doc = flagged.groupBy("doc_id", "n_grams").agg(
         F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
         .cast("bigint").alias("dup_ngrams"))
@@ -1123,6 +1142,15 @@ def bloom_dedup_against_corpus(new: DataFrame, corpus: DataFrame,
     bounded position set (broadcastable by construction), one keyed
     rollup — no text ever crosses the wire.  Null-text docs are dropped
     on both sides (no content to probe; see bloom_corpus_positions).
+    The rollup key is ``(doc_id, probe-set)`` — NOT ``(doc_id,
+    n_probes)`` — so duplicate ``doc_id`` rows in ``new`` cannot merge
+    probe groups (ADVICE r8: with two same-id copies in one ``(doc_id,
+    n_probes)`` group, n_hits could reach 2×n_probes and an exact
+    corpus member would report ``maybe_dup = 0``, silently breaking the
+    no-false-negative guarantee).  Identical (id, text) copies collapse
+    to one output row; same-id-different-text rows each keep their own
+    verdict row.  The probe-set key is ≤k ints, so the wider shuffle
+    key costs k×4 bytes per probe row — noise next to the text scan.
     The position-set side carries an explicit broadcast hint: its row
     count is bounded by m BY CONSTRUCTION, but Catalyst's size estimate
     derives from the (unbounded) corpus child, so without the hint the
@@ -1132,15 +1160,17 @@ def bloom_dedup_against_corpus(new: DataFrame, corpus: DataFrame,
         F.col(id_col).alias("doc_id"),
         F.array_distinct(bloom_positions(F.col(text_col), k, m))
         .alias("_ps"))
-        .select("doc_id", F.size("_ps").cast("bigint").alias("n_probes"),
-                F.explode("_ps").alias("pos")))
+        .distinct()
+        .select("doc_id", "_ps", F.explode("_ps").alias("pos")))
     hits = probes.join(
         F.broadcast(pos_set.withColumn("_hit", F.lit(1))), "pos", "left")
-    return (hits.groupBy("doc_id", "n_probes")
+    return (hits.groupBy("doc_id", "_ps")
             .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
                  .cast("bigint").alias("n_hits"))
-            .select("doc_id", "n_probes", "n_hits",
-                    (F.col("n_hits") == F.col("n_probes")).cast("int")
+            .select("doc_id",
+                    F.size("_ps").cast("bigint").alias("n_probes"),
+                    "n_hits",
+                    (F.col("n_hits") == F.size("_ps")).cast("int")
                     .alias("maybe_dup")))
 
 
@@ -1159,19 +1189,18 @@ def bloom_dedup_against_corpus_sql(corpus_where: str, new_where: str,
             select distinct unnest({pos_list('text')}) as pos
             from documents where ({corpus_where}) and text is not null
         ), new_probes as (
-            select doc_id, list_distinct({pos_list('text')}) as probes
+            select distinct doc_id, list_distinct({pos_list('text')}) as probes
             from documents where ({new_where}) and text is not null
         ), probe as (
-            select doc_id, len(probes)::BIGINT as n_probes,
-                   unnest(probes) as pos
+            select doc_id, probes, unnest(probes) as pos
             from new_probes
         ), hit as (
-            select probe.doc_id, probe.n_probes,
+            select probe.doc_id, probe.probes,
                    count(corp.pos)::BIGINT as n_hits
             from probe left join corp on probe.pos = corp.pos
-            group by probe.doc_id, probe.n_probes
+            group by probe.doc_id, probe.probes
         )
-        select doc_id, n_probes, n_hits,
+        select doc_id, len(probes)::BIGINT as n_probes, n_hits,
                case when n_hits = n_probes then 1 else 0 end as maybe_dup
         from hit
     """
