@@ -187,8 +187,30 @@ def test_bench_short_names_unique_and_fit():
         "unit": "sec",
         "queries": {s: 99.0 for s in shorts}, "sf": 0.1,
         "laps": 99,
+        "load": 99.999,
     }, separators=(",", ":"))
     assert len(line) < 1990, f"worst-case bench line {len(line)} chars"
+
+
+def test_bench_load_sentinel_shape_pinned(spark):
+    """VERDICT r8 #2: the load sentinel's shape (rows, partitions,
+    expression) is what its pinned quiet-host reference time calibrates —
+    lock the constants and smoke-run the job so a shape change that
+    invalidates SENTINEL_REF_S fails the suite with a message instead of
+    silently skewing every future lap's contamination verdict."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    assert (bench.SENTINEL_ROWS, bench.SENTINEL_PARTS) == (10 ** 9, 64), \
+        "sentinel shape changed — re-pin SENTINEL_REF_S and update this"
+    assert 0 < bench.SENTINEL_REF_S < 2.0
+    assert bench.SENTINEL_LOAD_FLAG > 1.0
+    dt = bench.run_sentinel(spark)
+    assert dt > 0
 
 
 def test_scale_check_extras_stay_consistent():
