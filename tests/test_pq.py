@@ -282,6 +282,65 @@ class TestIvfPqStoredIndex:
         assert plan.count("ArrowEvalPython") <= 2
 
 
+def test_catalog_wrapper_matches_its_admission_oracle(spark, sf_dir):
+    """The round-10 admission shape (catalog.similarity.
+    ann_ivf_pq_probe_stored + _pq_probe_stored_oracle) must already be
+    lockstep BEFORE the slot opens — admission day is then a one-line
+    move from EXTRA_ENTRIES to ENTRIES (the round-9 DSIR pattern,
+    VERDICT r8 #4).  The oracle is STATIC because the stored index uses
+    seeded data-independent codebooks; this test is the proof that the
+    static string and the stored tables can never drift apart."""
+    import duckdb
+
+    from waimak_spark.catalog.similarity import (
+        _pq_probe_stored_oracle,
+        ann_ivf_pq_probe_stored,
+        drop_ivf_pq_index,
+    )
+
+    drop_ivf_pq_index(spark, sf_dir)
+    try:
+        got = sorted(tuple(r) for r in
+                     ann_ivf_pq_probe_stored(spark, sf_dir).collect())
+    finally:
+        drop_ivf_pq_index(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(f"create view embeddings as "
+                f"select * from '{sf_dir}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.execute(_pq_probe_stored_oracle()).fetchall())
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]                      # (query_id, neighbor)
+        for gv, wv in zip(g[2:], w[2:]):
+            assert gv == pytest.approx(wv, abs=1e-9)
+
+
+def test_round10_admission_ledger_arithmetic():
+    """Test-lock the round-10 rotation arithmetic (VERDICT r8 #4): the
+    retirement target `ann_int8_recall` must still be a catalog entry
+    (it retires IN round 10, not before), the admission candidate must
+    still be in EXTRA_ENTRIES (it leaves the extras the round it is
+    admitted), its machinery-subsumption witness
+    `embedding_quantize_int8` must remain in the catalog, and the
+    staged-then-front arithmetic must hold: 49 surviving r9-latest
+    entries + 1 staged admission = one full window."""
+    from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
+
+    assert "ann_int8_recall" in ALL_ENTRIES
+    assert "embedding_quantize_int8" in ALL_ENTRIES
+    assert "ivf_pq_probe_stored" in EXTRA_ENTRIES
+    assert "ann_ivf_pq_probe_stored" not in ALL_ENTRIES
+    # the future round-10 window: 50 current-front entries rotate out,
+    # the other 50 (including dsir_select) rotate in; retiring
+    # ann_int8_recall (in the CURRENT front) then leaves 100-1 entries,
+    # and the PQ admission restores the 2x50 cap
+    names = list(ALL_ENTRIES)
+    assert len(names) == 100
+    assert "ann_int8_recall" in names[:50], \
+        "retirement target must be in the round-9 window (newest row r9)"
+
+
 class TestIvfPqStoredTable:
     """The cell-BUCKETED managed-table form (VERDICT r7 #3): codebooks +
     (id, cell, codes) persisted once per dataset fingerprint, probes
@@ -303,12 +362,21 @@ class TestIvfPqStoredTable:
         yield sf, cells_name, books_name
         drop_ivf_pq_index(spark, sf)
 
-    def test_books_round_trip_exactly(self, stored, spark, fitted):
+    def test_books_round_trip_exactly(self, stored, spark):
+        """The stored catalog index uses the SEEDED data-independent
+        codebooks (pq_fit n_iters=0 → _pq_init; the round-9 oracle-design
+        decision), so the exact stored content is predictable with no
+        data in hand — and must round-trip bit-exactly."""
         from waimak_spark.catalog.similarity import _load_pq_books
+        from waimak_spark.functions.similarity import (
+            PQ_K,
+            PQ_M,
+            _pq_init,
+        )
 
-        _, books = fitted
         _sf, _cells, books_name = stored
-        assert _load_pq_books(spark, books_name) == books
+        assert _load_pq_books(spark, books_name) == _pq_init(
+            PQ_M, PQ_K, 64 // PQ_M)
 
     def test_probe_matches_inline_and_prunes_buckets(self, stored, spark):
         from waimak_spark.catalog.similarity import (
@@ -320,7 +388,9 @@ class TestIvfPqStoredTable:
         sf, _cells, _books = stored
         probe = ann_ivf_pq_probe_stored(spark, sf)
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        _, books = pq_fit(emb)
+        # inline comparison uses the same seeded books the stored
+        # catalog index is built with (pq_fit n_iters=0)
+        _, books = pq_fit(emb, n_iters=0)
         inline = ivf_pq_topk(emb, books, QUERY_IDS, k=5)
         assert sorted(map(tuple, probe.collect())) == sorted(
             map(tuple, inline.collect()))

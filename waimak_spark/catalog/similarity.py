@@ -237,7 +237,15 @@ def ann_ivf_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-side Python; round-10 catalog admission candidate per the ledger)
 # ---------------------------------------------------------------------------
 
-_IVF_PQ_IDX_VERSION = "v1"
+# v2 (round 9): the stored catalog index switched from FITTED Lloyd
+# codebooks to the SEEDED data-independent init (pq_fit n_iters=0) so the
+# round-10 admission can carry a STATIC SQL oracle — fitted books are
+# data-dependent, and a static oracle string embedding them would be
+# silently invalidated by a driver-side testdata regeneration (the
+# decision PARITY's "Oracle design for the PQ entry" records).  Fitted
+# books keep their recall/quality gates in tests/test_pq.py where the
+# fit runs per-sf.  The version bump invalidates stale fitted indexes.
+_IVF_PQ_IDX_VERSION = "v2"
 
 
 def _ivf_pq_index_names(sf_dir: str) -> tuple[str, str, str]:
@@ -310,7 +318,10 @@ def _ivf_pq_index_tables(spark: SparkSession,
         _clear_superseded(spark, f"ivfpq_cells_{tag}_", cells_label)
         _clear_superseded(spark, f"ivfpq_books_{tag}_", books_label)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        base, books = S.pq_fit(emb)
+        # n_iters=0: seeded data-independent codebooks (see the
+        # _IVF_PQ_IDX_VERSION note) — pq_fit still materializes the
+        # normalized base the featurize pass reuses
+        base, books = S.pq_fit(emb, n_iters=0)
         idx = S.ivf_pq_index_frame(emb, books, base=base)
         (Waimak.spark_flow(spark)
          .open(cells_label, lambda c, df=idx: df)
@@ -348,12 +359,26 @@ def ann_ivf_pq_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-locked in test_pq.py), broadcasts the per-query LUTs, and scores
     candidates fully JVM-side.  Output is identical to the inline
     :func:`waimak_spark.functions.similarity.ivf_pq_topk` over the same
-    corpus (round-trip-locked)."""
+    corpus with the same (seeded) codebooks (round-trip-locked).
+    Round-10 catalog admission per the PARITY rotation ledger (retires
+    `ann_int8_recall`, staged then fronted round 11); its static oracle
+    is :func:`_pq_probe_stored_oracle`, lockstep-tested every pytest run
+    (tests/test_pq.py) the way the round-9 DSIR admission was."""
     cells_name, books_name = _ivf_pq_index_tables(spark, sf_dir)
     books = _load_pq_books(spark, books_name)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.ivf_pq_topk_from_index(spark.table(cells_name), emb, books,
                                     QUERY_IDS, k=5)
+
+
+def _pq_probe_stored_oracle() -> str:
+    """Static DuckDB oracle for the stored IVF-PQ probe: the stored index
+    uses SEEDED data-independent codebooks (``_pq_init`` — see the
+    ``_IVF_PQ_IDX_VERSION`` note), so the exact codebook literals are
+    computable here with no data in hand and the string never drifts
+    from the stored tables' content."""
+    books = S._pq_init(S.PQ_M, S.PQ_K, 64 // S.PQ_M)
+    return S.ivf_pq_topk_sql(books, QUERY_IDS, k=5)
 
 
 def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
