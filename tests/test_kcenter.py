@@ -135,8 +135,40 @@ class TestKCenterSemantics:
         df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
         with pytest.raises(ValueError, match="must be >= 1"):
             kcenter_select(df, k=0, dims=2)
-        with pytest.raises(ValueError, match="checkpoint rounds"):
-            kcenter_select(df, k=65, dims=2)
+        with pytest.raises(ValueError, match="argmax barriers"):
+            kcenter_select(df, k=1025, dims=2)
+
+    def test_checkpoint_trace_bit_identical(self, spark, sf_dir):
+        """VERDICT r8 #5: the plan cut every j rounds must not change a
+        single trace row — a checkpoint stores the same rounded doubles
+        the expression chain would re-derive, and least() over the
+        stored value equals the chained form.  k=16 with j=3 (five cuts,
+        cuts landing mid-run and back-to-back-ish) vs j=1000 (the old
+        uncheckpointed shape) must agree tuple-for-tuple; j=3 must also
+        still satisfy the oracle at an uncut-vs-cut k."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cut = kcenter_select(emb, k=16, checkpoint_every=3).collect()
+        uncut = kcenter_select(emb, k=16, checkpoint_every=1000).collect()
+        assert [tuple(r) for r in cut] == [tuple(r) for r in uncut]
+        assert len(cut) == 16
+
+    def test_checkpointed_trace_matches_oracle(self, spark, sf_dir):
+        """The checkpointed path (j small enough that cuts actually
+        fire) must still match the engine-exact unrolled SQL oracle —
+        the strongest form of the bit-identity claim."""
+        import duckdb
+
+        from waimak_spark.functions.similarity import kcenter_select_sql
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        got = [tuple(r) for r in
+               kcenter_select(emb, k=10, checkpoint_every=4).collect()]
+        con = duckdb.connect()
+        con.execute(f"create view embeddings as "
+                    f"select * from '{sf_dir}/embeddings.parquet'")
+        want = [tuple(r) for r in
+                con.execute(kcenter_select_sql(k=10)).fetchall()]
+        assert got == want
 
     def test_plan_stays_jvm_no_corpus_shuffle(self, spark, sf_dir):
         """The per-round argmax must plan as TakeOrderedAndProject (no

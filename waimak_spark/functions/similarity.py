@@ -2136,33 +2136,58 @@ def ivf_pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
 # 100 TB posture: k bounded scans (each one map-side literal-vector dot +
 # a TakeOrderedAndProject argmax — no shuffle of the corpus, no UDFs);
 # the only driver data is k one-row collects (the chosen centers).  The
-# running min-distance column accumulates as plan expressions — at k
-# beyond ~64 a deployment would checkpoint every few rounds; the operator
-# caps k accordingly.
+# running min-distance column accumulates as plan expressions, so every
+# KCENTER_CHECKPOINT_EVERY rounds the loop CUTS THE PLAN (VERDICT r8 #5):
+# the survivors' (id, v, _md) frame is persisted and eagerly materialized,
+# already-chosen rows are dropped at the cut, and the previous cut's
+# cache is released — plan depth, the not-chosen literal, and cached
+# copies all stay O(j) instead of O(k), which is what lets the cap sit
+# at 1024 instead of the old 64.  The trace is bit-identical either way:
+# a checkpoint stores the same rounded doubles the expressions would
+# re-derive, and least() over the stored value equals the chained form.
 # ---------------------------------------------------------------------------
 
 KCENTER_K = 8
 KCENTER_ROUND = 4
-_KCENTER_MAX_K = 64
+#: plan-cut cadence: rounds between materializations of the running
+#: min-distance frame (j≈8 keeps the argmax plan shallow while paying
+#: only k/j extra corpus-sized persists)
+KCENTER_CHECKPOINT_EVERY = 8
+#: beyond this, k sequential one-row argmax barriers dominate any
+#: deployment — raise deliberately, the plan no longer grows with k
+_KCENTER_MAX_K = 1024
 
 
 def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dims: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   materialize=None) -> DataFrame:
+                   materialize=None,
+                   checkpoint_every: int = KCENTER_CHECKPOINT_EVERY
+                   ) -> DataFrame:
     """Greedy k-center selection trace: ``(rank, vec_id, dist)`` — rank-r
     row is the r-th chosen center and ``dist`` its rounded cosine
-    distance to the nearest earlier center (null for the seed row)."""
+    distance to the nearest earlier center (null for the seed row).
+
+    ``checkpoint_every`` rounds, the running min-distance frame is
+    persisted + eagerly materialized with the already-chosen rows
+    dropped, and the previous cut's cache released — plan depth, the
+    not-chosen ``isin`` literal, and live cached copies stay O(j)
+    however large ``k`` gets (VERDICT r8 #5; the trace is bit-identical
+    to the uncheckpointed form, locked in tests/test_kcenter.py).  On a
+    real cluster, pass ``materialize=`` to swap the persist for the
+    framework's parquet plan-cut when executor memory is the scarcer
+    resource."""
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
     if k > _KCENTER_MAX_K:
         raise ValueError(
-            f"k={k} > {_KCENTER_MAX_K}: the running min-distance plan "
-            f"accumulates one literal-dot per round — checkpoint rounds "
-            f"before raising the cap")
+            f"k={k} > {_KCENTER_MAX_K}: k sequential one-row argmax "
+            f"barriers dominate any deployment at this size — raise "
+            f"_KCENTER_MAX_K deliberately (the plan itself stays "
+            f"bounded by the round checkpoints)")
     from .cache_registry import tracked_persist
 
-    base = (materialize or tracked_persist)(
-        _pq_unit_base(emb, dims, id_col, vec_col))
+    mat = materialize or tracked_persist
+    base = mat(_pq_unit_base(emb, dims, id_col, vec_col))
     first = base.orderBy(F.asc(id_col)).limit(1).collect()
     if not first:
         return emb.sparkSession.createDataFrame(
@@ -2170,20 +2195,36 @@ def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dims: int = 64,
     chosen = [(1, first[0][id_col], None)]
     chosen_vecs = [list(first[0]["v"])]
     cur = base
+    recent_ids = [first[0][id_col]]  # chosen since the last plan cut
+    prev_cut: DataFrame | None = None
     for rank in range(2, k + 1):
         lit_vec = F.array(*[F.lit(float(x)) for x in chosen_vecs[-1]])
         d_new = F.round(F.lit(1.0) - dot(F.col("v"), lit_vec),
                         KCENTER_ROUND)
         cur = cur.withColumn(
             "_md", d_new if rank == 2 else F.least(F.col("_md"), d_new))
-        top = (cur.where(~F.col(id_col).isin([c[1] for c in chosen]))
-               .orderBy(F.desc("_md"), F.asc(id_col))
+        live = (cur if not recent_ids
+                else cur.where(~F.col(id_col).isin(recent_ids)))
+        top = (live.orderBy(F.desc("_md"), F.asc(id_col))
                .select(id_col, "v", "_md")
                .limit(1).collect())
         if not top:  # corpus smaller than k
             break
         chosen.append((rank, top[0][id_col], float(top[0]["_md"])))
         chosen_vecs.append(list(top[0]["v"]))
+        recent_ids.append(top[0][id_col])
+        if rank < k and (rank - 1) % checkpoint_every == 0:
+            # plan cut: store the survivors' evaluated _md doubles (the
+            # same rounded values the expression chain would re-derive)
+            cut = mat(cur.where(~F.col(id_col).isin(recent_ids))
+                      .select(id_col, "v", "_md"))
+            cut.count()  # materialize NOW, while the old cache is live
+            if prev_cut is not None:
+                try:
+                    prev_cut.unpersist()
+                except Exception:
+                    pass
+            prev_cut, cur, recent_ids = cut, cut, []
     id_type = dict(base.dtypes)[id_col]
     return emb.sparkSession.createDataFrame(
         chosen, f"rank int, vec_id {id_type}, dist double")
