@@ -529,17 +529,41 @@ def dsir_importance(raw_df: DataFrame, target_df: DataFrame,
     # a gram-less corpus sums to NULL, not 0 — coalesce so the empty-target
     # boundary degrades to the uniform (all-alpha) model instead of
     # null-ing every llr
-    r_tot = cr.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("r_total"))
-    t_tot = ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_total"))
+    # cr/ct are bucket-count frames bounded at `buckets` rows BY
+    # CONSTRUCTION (B=4096 default) — collect each once (the
+    # bounded-collect pattern the fixpoint/probe operators already use)
+    # and rebuild the llr INPUT as a local frame.  This replaced the old
+    # shape (two keyless 1-row total joins) for two measured reasons:
+    # (a) the totals' only physical form was the BroadcastNestedLoopJoin
+    # the catalog-wide plan sweep (rightly) refuses to whitelist, and
+    # (b) the lazy plan computed the UN-persisted target gram stream
+    # twice (llr's ct + t_total's ct); collecting runs each stream
+    # exactly once.  Isolated min-of-6 at sf0.1, same day: 2.53 s (old
+    # joins) vs 2.51 s — parity; the plan-lock compliance is the win.
+    # Totals become exact-int literals (< 2^53, so the double
+    # equals the old cast(long as double) bit-for-bit); the llr MATH
+    # stays an engine expression, so Spark-vs-DuckDB divergence remains
+    # summation-order-only, absorbed by the 4dp gate.  A gram-less
+    # corpus has zero rows here — totals coalesce to 0 so the
+    # empty-target boundary degrades to the uniform (all-alpha) model
+    # instead of null-ing every llr.
+    cr_rows = [(r["b"], r["cr"]) for r in cr.collect()]
+    ct_rows = [(r["b"], r["ct"]) for r in ct.collect()]
+    r_total = float(sum(c for _, c in cr_rows))
+    t_total = float(sum(c for _, c in ct_rows))
+    ct_by_b = dict(ct_rows)
+    spark = raw_df.sparkSession
+    counts = spark.createDataFrame(
+        [(b, c, ct_by_b.get(b)) for b, c in cr_rows],
+        "b long, cr long, ct long")
     a, ab = F.lit(float(alpha)), F.lit(float(alpha) * buckets)
     # only raw-present buckets are ever looked up, so cr is the base side
-    llr = (cr.join(ct, "b", "left")
-           .join(F.broadcast(r_tot)).join(F.broadcast(t_tot))
-           .select("b",
-                   (F.log((F.coalesce(F.col("ct"), F.lit(0)) + a)
-                          / (F.col("t_total") + ab))
-                    - F.log((F.col("cr") + a) / (F.col("r_total") + ab))
-                    ).alias("llr")))
+    llr = counts.select(
+        "b",
+        (F.log((F.coalesce(F.col("ct"), F.lit(0)) + a)
+               / (F.lit(t_total) + ab))
+         - F.log((F.col("cr") + a) / (F.lit(r_total) + ab))
+         ).alias("llr"))
     scored = (raw_grams.select("doc_id", F.col("gram"), bucket)
               .join(F.broadcast(llr), "b", "left"))
     return (scored.groupBy("doc_id")
