@@ -7,6 +7,25 @@ os.environ.setdefault("PYSPARK_PYTHON", "python3")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+def pytest_collection_finish(session):
+    """Record the collected-test count and whether this run collected the
+    FULL suite (no path subsetting, no -k/-m filtering), so the README
+    test-count drift guard (tests/test_docs_drift.py) can assert the
+    documented number against the live collection instead of trusting a
+    hand-maintained edit (VERDICT r8 #7)."""
+    config = session.config
+    config._waimak_collected = len(session.items)
+    roots = {os.path.normpath(os.path.abspath(a.split("::")[0]))
+             for a in config.args}
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_dir = os.path.dirname(tests_dir)
+    config._waimak_full_suite = (
+        roots <= {tests_dir, repo_dir}
+        and not config.option.keyword
+        and not config.option.markexpr
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
