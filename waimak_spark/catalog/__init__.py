@@ -118,12 +118,14 @@ from .curation import (  # noqa: E402
 )
 from .similarity import (  # noqa: E402
     ann_ivf_pq_probe_stored as _x_ivf_pq,
+    ann_ivf_probe_appended as _x_ivf_apd,
     sample_kcenter_diverse as _x_kcenter,
 )
 
 EXTRA_ENTRIES = {
     # dsir_select left the extras at its round-9 catalog admission
     "ivf_pq_probe_stored": _x_ivf_pq,
+    "ivf_probe_appended": _x_ivf_apd,
     "bloom_dedup_against_corpus": _x_bloom,
     "sample_kcenter_diverse": _x_kcenter,
 }

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 
@@ -227,6 +228,116 @@ def ann_ivf_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _ivf_index_table(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.ivf_topk_from_index(spark.table(tbl), emb, QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# incremental IVF index APPEND (round 9; round-13 admission candidate per
+# the PARITY rotation ledger) — the maintenance path a 100 TB vector store
+# needs between rebuilds: new batches land in the stored bucketed index
+# WITHOUT touching the resident data.  Cell assignment is row-local (fixed
+# seeded centroids), so index(A) ∪ index(B) == index(A ∪ B) exactly, and
+# the probe over an appended index is bit-identical to a full build —
+# which is what licenses reusing ann_ivf_topk's static full-corpus oracle.
+# ---------------------------------------------------------------------------
+
+#: batch split for the demo entry: vec_id % 5 == 0 is the "late batch"
+#: appended after the initial build (a deterministic, data-independent
+#: ~20% of the corpus)
+_APPEND_BATCH_MOD = 5
+#: table property stamped AFTER the append completes — a crash between
+#: the build and the append leaves the property off, and the next caller
+#: rebuilds instead of probing a corpus-minus-batch index
+_APD_DONE_PROP = "wmk.append.done"
+_IVF_APD_VERSION = "v1"
+
+
+def _ivf_append_index_name(sf_dir: str) -> tuple[str, str]:
+    import os
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    label = (f"ivf_apd_{tag}_{_embeddings_fingerprint(sf_dir)}"
+             f"_{_IVF_APD_VERSION}")
+    return tag, label
+
+
+def drop_ivf_append_index(spark: SparkSession, sf_dir: str) -> None:
+    _, label = _ivf_append_index_name(sf_dir)
+    spark.sql(f"drop table if exists {_IVF_IDX_DB}.{label}")
+
+
+def ivf_index_append(spark: SparkSession, table_name: str,
+                     new_rows, sf_dir: str | None = None) -> None:
+    """Append a new batch's ``ivf_index_frame`` rows to an existing
+    stored bucketed IVF index table.  Only the batch is scanned,
+    featurized, and shuffled — the resident index files are untouched;
+    Spark refuses a mismatched bucket spec, so co-location can't drift.
+    The completion property is re-stamped by the CALLER once the whole
+    batch sequence is done."""
+    from .. import Waimak
+
+    db, label = table_name.split(".", 1)
+    idx = S.ivf_index_frame(new_rows)
+    (Waimak.spark_flow(spark)
+     .open(label, lambda c, df=idx: df)
+     .write_bucketed_table(db, label, ["cell"], S.IVF_CENTROIDS,
+                           sort_cols=["cell", "vec_id"], append=True)
+     .execute())
+
+
+def _ivf_appended_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Get-or-build the append-demo index: initial build on the resident
+    ~80% (``vec_id % 5 != 0``), then :func:`ivf_index_append` of the late
+    batch, then the completion property.  A table found WITHOUT the
+    property is a crash leftover (build done, append lost) and is rebuilt
+    — the same stale-build hygiene as the fingerprint keying."""
+    from .. import Waimak
+
+    tag, label = _ivf_append_index_name(sf_dir)
+    name = f"{_IVF_IDX_DB}.{label}"
+    if spark.catalog.tableExists(name):
+        props = {r["key"]: r["value"] for r in spark.sql(
+            f"show tblproperties {name}").collect()}
+        if props.get(_APD_DONE_PROP) == "1":
+            return name
+        spark.sql(f"drop table if exists {name}")
+    _clear_superseded(spark, f"ivf_apd_{tag}_", label)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    resident = emb.where(F.col("vec_id") % _APPEND_BATCH_MOD != 0)
+    batch = emb.where(F.col("vec_id") % _APPEND_BATCH_MOD == 0)
+    idx = S.ivf_index_frame(resident)
+    (Waimak.spark_flow(spark)
+     .open(label, lambda c, df=idx: df)
+     .write_bucketed_table(_IVF_IDX_DB, label, ["cell"],
+                           S.IVF_CENTROIDS,
+                           sort_cols=["cell", "vec_id"])
+     .execute())
+    ivf_index_append(spark, name, batch)
+    spark.sql(f"alter table {name} "
+              f"set tblproperties('{_APD_DONE_PROP}'='1')")
+    return name
+
+
+def ann_ivf_probe_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ANN against a stored IVF index maintained by APPEND: the
+    resident corpus is indexed once, the late batch lands via
+    :func:`ivf_index_append` (batch-only scan, resident files untouched,
+    bucket pruning preserved), and the probe must equal a full-corpus
+    build bit-for-bit — certified by reusing ``ann_ivf_topk``'s static
+    full-corpus oracle.  Round-13 admission candidate per the PARITY
+    rotation ledger; until then verified by tests/test_ivf_append.py
+    every pytest run and measured through the catalog EXTRA_ENTRIES
+    registry."""
+    tbl = _ivf_appended_index_table(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ivf_topk_from_index(spark.table(tbl), emb, QUERY_IDS, k=5)
+
+
+def _ivf_probe_appended_oracle() -> str:
+    """Static oracle: append-then-probe must equal the full-corpus IVF
+    top-k, so the oracle IS the full-corpus SQL."""
+    return S.ivf_topk_sql(QUERY_IDS, k=5)
 
 
 # ---------------------------------------------------------------------------

@@ -502,7 +502,8 @@ class SparkDataFlow(DataFlow):
     def write_bucketed_table(self, db_name: str, label: str,
                              bucket_cols: Sequence[str], num_buckets: int,
                              sort_cols: Sequence[str] | None = None,
-                             overwrite: bool = False):
+                             overwrite: bool = False,
+                             append: bool = False):
         """Managed table bucketed (and optionally sorted) on the join key.
 
         Bucketing is the 100-TB co-location primitive: two tables bucketed
@@ -511,8 +512,20 @@ class SparkDataFlow(DataFlow):
         every downstream query, paid for once at write time. Requires a
         metastore table (``saveAsTable``); plain parquet files cannot carry
         bucket metadata.
+
+        ``append=True`` adds new rows to an EXISTING bucketed table: each
+        append job writes its own bucket-tagged files (only the new batch
+        is scanned and shuffled — the resident data is untouched), readers
+        union the per-bucket files, and bucket pruning / shuffle-free
+        joins keep working.  Spark validates that the declared bucket spec
+        matches the existing table's, so a drifting ``num_buckets`` fails
+        loudly instead of silently corrupting co-location.
         """
-        mode = "overwrite" if overwrite else "errorifexists"
+        if overwrite and append:
+            raise ValueError("write_bucketed_table: overwrite and append "
+                             "are mutually exclusive")
+        mode = ("append" if append
+                else "overwrite" if overwrite else "errorifexists")
 
         def writer(w) -> None:
             w = w.bucketBy(num_buckets, *list(bucket_cols))
