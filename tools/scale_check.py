@@ -239,19 +239,24 @@ def main() -> None:
 
     print(f"{'query':34} {'1x(s)':>7} {'10x(s)':>7} {'ratio':>6}  rows 1x/10x")
     for name in names:
-        if name in ("ann_ivf_probe_stored", "ivf_pq_probe_stored"):
+        if name in ("ann_ivf_probe_stored", "ivf_pq_probe_stored",
+                    "ivf_probe_appended"):
             # VERDICT r6 #3: one conflated row mixed the ONE-TIME index
             # build (fingerprint miss on the replica) with the amortized
             # probe — the operator's whole point is build-once/probe-
             # many.  Report the split: [build] = drop index, cold run
             # (build + first probe); [probe] = stored index present.
+            # For the append demo, [build] = initial build + batch
+            # append + first probe.
             from waimak_spark.catalog.similarity import (
+                drop_ivf_append_index,
                 drop_ivf_index,
                 drop_ivf_pq_index,
             )
 
-            drop = (drop_ivf_pq_index if name == "ivf_pq_probe_stored"
-                    else drop_ivf_index)
+            drop = {"ivf_pq_probe_stored": drop_ivf_pq_index,
+                    "ivf_probe_appended": drop_ivf_append_index,
+                    "ann_ivf_probe_stored": drop_ivf_index}[name]
             rows = {}
             for scale, d in (("1x", BASE), ("10x", OUT)):
                 run(name, d)  # JIT/scan warmup; leaves an index built
