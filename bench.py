@@ -184,7 +184,8 @@ def main() -> None:
         spark._jvm.System.gc()
         return dt
 
-    sentinel_runs: list[float] = []
+    sentinel_heads: list[float] = []
+    sentinel_tails: list[float] = []
     for lap in range(N_TIMED_LAPS + 1):
         # sentinel brackets every timed lap (first AND last) so sustained
         # neighbor load anywhere in the lap shows up in its samples; the
@@ -196,7 +197,10 @@ def main() -> None:
                 runs[name].append(dt)
         s_tail = run_sentinel(spark)
         if lap > 0:
-            sentinel_runs += [s_head, s_tail]
+            sentinel_heads.append(s_head)
+            sentinel_tails.append(s_tail)
+    sentinel_runs = [x for pair in zip(sentinel_heads, sentinel_tails)
+                     for x in pair]
     for name, rs in runs.items():
         timings[name] = min(rs)
         print(f"# {name}: {rs}s", file=sys.stderr)
@@ -241,6 +245,14 @@ def main() -> None:
                        "runs": sentinel_runs,
                        "median": sentinel_median,
                        "min": min(sentinel_runs),
+                       # heads land at lap START, tails at lap END —
+                       # diverging medians mean the load (or JVM state)
+                       # is not uniform across the lap, so read the
+                       # per-query spread field alongside the verdict
+                       "head_median": round(
+                           statistics.median(sentinel_heads), 3),
+                       "tail_median": round(
+                           statistics.median(sentinel_tails), 3),
                        "ref_s": SENTINEL_REF_S,
                        "load_factor": load_factor,
                        "contaminated": contaminated,

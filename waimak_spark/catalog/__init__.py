@@ -121,6 +121,9 @@ from .similarity import (  # noqa: E402
     ann_ivf_probe_appended as _x_ivf_apd,
     sample_kcenter_diverse as _x_kcenter,
 )
+from .text import (  # noqa: E402
+    corpus_heavy_hitters as _x_cms,
+)
 
 EXTRA_ENTRIES = {
     # dsir_select left the extras at its round-9 catalog admission
@@ -128,6 +131,7 @@ EXTRA_ENTRIES = {
     "ivf_probe_appended": _x_ivf_apd,
     "bloom_dedup_against_corpus": _x_bloom,
     "sample_kcenter_diverse": _x_kcenter,
+    "corpus_heavy_hitters": _x_cms,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

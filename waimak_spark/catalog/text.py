@@ -149,6 +149,24 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_logprob(_docs(spark, sf_dir))
 
 
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the k most frequent word trigrams
+    with their exact counts, sketch estimates, and the per-row
+    no-undercount bit — round-14 catalog admission candidate per the
+    PARITY rotation ledger; until then verified by tests/test_cms.py
+    every pytest run and measured through the catalog EXTRA_ENTRIES
+    registry."""
+    from ..functions import sketch as SK
+
+    return SK.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+def _heavy_hitters_oracle() -> str:
+    from ..functions import sketch as SK
+
+    return SK.cms_heavy_hitters_sql()
+
+
 ENTRIES = {
     "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
     "unigram_logprob": {"fn": unigram_logprob,
