@@ -41,10 +41,18 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # protocol's local[32]; other CPUS record samples with a null verdict.
 SENTINEL_ROWS = 1_000_000_000
 SENTINEL_PARTS = 64
-#: fresh-JVM MEDIAN of 7 warmed samples on a quiet host (loadavg ~2 of
-#: 32), local[32], round 9 — the verdict compares the lap MEDIAN to this,
-#: so the reference is a median too; re-pin only if the shape changes
-SENTINEL_REF_S = 0.36
+#: IN-LAP median across two same-day round-9 laps on separate JVMs,
+#: local[32] — the venue matters: lap-START samples sit at ~0.32 s
+#: (matching the fresh-JVM quiet 0.36) while lap-END samples sit at
+#: ~0.53 s on BOTH JVMs (deterministic lap-end state after ~100 query
+#: executions — reproducible, so it is calibration, not load), and the
+#: verdict compares the in-lap sample median, so the reference is the
+#: in-lap quiet median.  Re-pin only if the sentinel shape or the lap
+#: structure changes.  Division of labor: this sentinel flags SUSTAINED
+#: / uniform host load (the round-8 1.27x signature); short co-tenant
+#: BURSTS that hit individual queries show up in the per-query spread
+#: field instead (rows > 0.25 get a measure_entry verdict).
+SENTINEL_REF_S = 0.42
 #: median-over-lap factor above which the lap is flagged load-contaminated
 #: (round-8 forensics: genuine host load showed as a UNIFORM ~1.27x; quiet
 #: in-lap jitter stayed well inside 1.15x)
