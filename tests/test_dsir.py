@@ -182,6 +182,26 @@ class TestDsirPlanShape:
         assert "TakeOrderedAndProject" in sel_plan  # never a global sort
 
 
+def test_subset_predicate_path_equals_two_frame_path(spark, sf_dir):
+    """The tokenize-once subset-target path (target_predicate) must
+    return exactly the two-frame path's rows — same gram multiset by
+    construction, locked tuple-for-tuple here.  Passing both or neither
+    target forms must raise."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = F.col("lang") == "en"
+    via_pred = sorted(tuple(r) for r in dsir_select(
+        docs, None, 40, seed=3, target_predicate=pred).collect())
+    via_frame = sorted(tuple(r) for r in dsir_select(
+        docs, docs.where(pred), 40, seed=3).collect())
+    assert via_pred == via_frame
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_select(docs, docs, 5, target_predicate=pred)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_select(docs, None, 5)
+
+
 def test_catalog_wrapper_matches_its_admission_oracle(spark, sf_dir):
     """The round-9 admission shape (catalog.curation.dsir_select +
     _dsir_select_oracle) must already be lockstep BEFORE the slot opens —

@@ -231,8 +231,12 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 10; lockstep-verified every pytest run since round 7
     (tests/test_dsir.py)."""
     docs = _docs(spark, sf_dir)
-    target = docs.where(F.col("lang") == "en")
-    return C.dsir_select(docs, target, k=DSIR_K, seed=DSIR_SEED)
+    # subset-target fast path (round 9): the target IS a raw-corpus
+    # subset, so the corpus tokenizes once and the target model filters
+    # the flagged gram stream — values identical to the two-frame path
+    # by construction (same gram multiset; equality test-locked)
+    return C.dsir_select(docs, None, k=DSIR_K, seed=DSIR_SEED,
+                         target_predicate=F.col("lang") == "en")
 
 
 def _dsir_select_oracle() -> str:

@@ -491,9 +491,13 @@ DSIR_BUCKETS = 4096
 DSIR_ALPHA = 1.0
 
 
-def _dsir_gram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _dsir_gram_stream(df: DataFrame, text_col: str, id_col: str,
+                      flag=None) -> DataFrame:
     """(doc_id, gram) with one row per unigram AND bigram occurrence;
-    zero-gram docs survive as a single null-gram row (explode_outer)."""
+    zero-gram docs survive as a single null-gram row (explode_outer).
+    ``flag`` (a boolean Column over ``df``'s columns) is carried through
+    as ``_t`` so a subset-target caller can split one tokenized stream
+    instead of tokenizing the corpus twice."""
     from .text import tokens
 
     toks = tokens(F.col(text_col))
@@ -503,27 +507,57 @@ def _dsir_gram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b))
     grams = F.concat(toks, bigrams)
-    return df.select(F.col(id_col).alias("doc_id"),
-                     F.explode_outer(grams).alias("gram"))
+    cols = [F.col(id_col).alias("doc_id"),
+            F.explode_outer(grams).alias("gram")]
+    if flag is not None:
+        cols.append(F.coalesce(flag, F.lit(False)).alias("_t"))
+    return df.select(*cols)
 
 
-def dsir_importance(raw_df: DataFrame, target_df: DataFrame,
+def dsir_importance(raw_df: DataFrame, target_df: DataFrame | None,
                     text_col: str = "text", id_col: str = "doc_id",
                     buckets: int = DSIR_BUCKETS,
-                    alpha: float = DSIR_ALPHA) -> DataFrame:
+                    alpha: float = DSIR_ALPHA,
+                    target_predicate=None) -> DataFrame:
     """(doc_id, n_grams, log_weight): per raw document, the DSIR
     log-importance weight of its hashed n-gram features under the
     target-vs-raw bag-of-n-grams models, rounded to 4dp.  Zero-gram docs
-    (empty/null text) get log_weight 0.0 (an empty product of ratios)."""
+    (empty/null text) get log_weight 0.0 (an empty product of ratios).
+
+    Two ways to name the target corpus:
+
+    * ``target_df`` — any frame; its gram stream is tokenized
+      separately (the general path).
+    * ``target_predicate`` — a boolean Column over ``raw_df``'s columns
+      when the target IS a subset of the raw corpus (the common DSIR
+      deployment: "docs that look like Wikipedia" out of the crawl).
+      The corpus is then tokenized ONCE: the persisted gram stream
+      carries the flag, and the target model is a filter over it —
+      identical values by construction (same gram multiset; equality
+      test-locked), one fewer tokenize pass over the target subset.
+      Measured back-to-back isolated min-of-6 at sf0.1 (stash A/B,
+      same day): 2.591 s two-frame vs 2.572 s predicate — parity; the
+      persist of the flagged stream absorbs the saved pass locally.
+      The win is the at-scale shape: the subset's tokenize work (its
+      fraction of the corpus) disappears, and nothing new is added but
+      one boolean column on the already-persisted stream.
+    """
     from .cache_registry import tracked_persist
     from .text import md5_hash32
 
+    if (target_df is None) == (target_predicate is None):
+        raise ValueError(
+            "pass exactly one of target_df / target_predicate")
     bucket = (md5_hash32(F.col("gram")) % buckets).alias("b")
     raw_grams = tracked_persist(
-        _dsir_gram_stream(raw_df, text_col, id_col))
+        _dsir_gram_stream(raw_df, text_col, id_col,
+                          flag=target_predicate))
     cr = (raw_grams.where(F.col("gram").isNotNull()).select(bucket)
           .groupBy("b").agg(F.count("*").alias("cr")))
-    ct = (_dsir_gram_stream(target_df, text_col, id_col)
+    tgt_grams = (raw_grams.where(F.col("_t"))
+                 if target_predicate is not None
+                 else _dsir_gram_stream(target_df, text_col, id_col))
+    ct = (tgt_grams
           .where(F.col("gram").isNotNull()).select(bucket)
           .groupBy("b").agg(F.count("*").alias("ct")))
     # a gram-less corpus sums to NULL, not 0 — coalesce so the empty-target
@@ -572,17 +606,20 @@ def dsir_importance(raw_df: DataFrame, target_df: DataFrame,
                  .alias("log_weight")))
 
 
-def dsir_select(raw_df: DataFrame, target_df: DataFrame, k: int,
+def dsir_select(raw_df: DataFrame, target_df: DataFrame | None, k: int,
                 seed: int = 1, text_col: str = "text",
                 id_col: str = "doc_id", buckets: int = DSIR_BUCKETS,
-                alpha: float = DSIR_ALPHA) -> DataFrame:
+                alpha: float = DSIR_ALPHA,
+                target_predicate=None) -> DataFrame:
     """Gumbel-top-k importance resampling: the paper's sampling-without-
     replacement, derandomised via seeded md5 so every engine/run/retry
     selects the same k documents.  Returns (doc_id, n_grams, log_weight,
-    gumbel_key) for the k selected docs."""
+    gumbel_key) for the k selected docs.  ``target_predicate`` is the
+    tokenize-once subset-target path (see :func:`dsir_importance`)."""
     from .text import seeded_hash
 
-    w = dsir_importance(raw_df, target_df, text_col, id_col, buckets, alpha)
+    w = dsir_importance(raw_df, target_df, text_col, id_col, buckets,
+                        alpha, target_predicate=target_predicate)
     u = ((seeded_hash(F.col("doc_id").cast("string"), seed) + 1)
          / F.lit(4294967297.0))  # (0,1) strictly: hash is 0..2^32-1
     key = F.round(F.col("log_weight") - F.log(-F.log(u)), 4)
