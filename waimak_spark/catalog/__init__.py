@@ -122,6 +122,8 @@ from .similarity import (  # noqa: E402
     sample_kcenter_diverse as _x_kcenter,
 )
 from .text import (  # noqa: E402
+    bm25_search as _x_bm25,
+    corpus_distinct_hll as _x_hll,
     corpus_heavy_hitters as _x_cms,
 )
 
@@ -132,6 +134,8 @@ EXTRA_ENTRIES = {
     "bloom_dedup_against_corpus": _x_bloom,
     "sample_kcenter_diverse": _x_kcenter,
     "corpus_heavy_hitters": _x_cms,
+    "corpus_distinct_hll": _x_hll,
+    "bm25_search": _x_bm25,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -167,6 +167,41 @@ def _heavy_hitters_oracle() -> str:
     return SK.cms_heavy_hitters_sql()
 
 
+def corpus_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-trigram counts per language: the exact
+    count-distinct (the run-once certification path) next to the
+    seeded-register HLL estimate and a 5%-relative-error bit —
+    round-15 catalog admission candidate per the PARITY rotation
+    ledger; until then verified by tests/test_hll.py every pytest run
+    and measured through the catalog EXTRA_ENTRIES registry."""
+    from ..functions import sketch as SK
+
+    return SK.hll_distinct_grams(_docs(spark, sf_dir))
+
+
+def _distinct_hll_oracle() -> str:
+    from ..functions import sketch as SK
+
+    return SK.hll_distinct_grams_sql()
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: the top-k documents per fixed query with
+    rounded scores and per-query ranks — round-16 catalog admission
+    candidate per the PARITY rotation ledger; until then verified by
+    tests/test_bm25.py every pytest run and measured through the
+    catalog EXTRA_ENTRIES registry."""
+    from ..functions import retrieval as R
+
+    return R.bm25_topk(_docs(spark, sf_dir))
+
+
+def _bm25_oracle() -> str:
+    from ..functions import retrieval as R
+
+    return R.bm25_topk_sql()
+
+
 ENTRIES = {
     "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
     "unigram_logprob": {"fn": unigram_logprob,
