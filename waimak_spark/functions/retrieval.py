@@ -77,6 +77,13 @@ def bm25_topk(docs: DataFrame, queries=BM25_QUERIES,
     on ascending doc_id."""
     k1f, bf = float(k1), float(b)
     vocab = sorted({t for _, q in queries for t in _qtokens(q)})
+    # NOT persisted, on measurement: the token frame feeds both the tf
+    # stream and the (N, avgdl) stats aggregate — the HLL/CMS
+    # double-tokenize shape — but here the second consumer only
+    # aggregates array sizes, and caching the WIDE token arrays costs
+    # what the saved pass saves (back-to-back isolated A/B at sf0.1:
+    # 1.96 s persisted vs 1.90 unpersisted; 10× one-shot 3.48 vs 3.51
+    # — parity, so the persist write is pure overhead at 1×)
     base = (spread_for_compute(docs)
             .where(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
