@@ -280,6 +280,131 @@ def _near_corpus_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# stored LSH dedup index with incremental APPEND (round 9; round-17
+# admission candidate per the PARITY rotation ledger) — the text-dedup
+# sibling of catalog/similarity's stored/appended IVF indexes:
+# dedup_near_against_corpus above recomputes the corpus signature pipeline
+# on EVERY refresh; here the corpus's (doc_id, band, band_key) rows
+# persist as a table bucketed by band_key, each accepted batch APPENDS
+# its own rows (row-local keys ⇒ union == full rebuild exactly), and a
+# probe scans the narrow key table instead of the corpus text.  Demo
+# split (deterministic, data-independent): resident = doc_id % 4 in
+# (1, 2) initially, the % 4 == 3 quarter arrives as the appended batch,
+# and the % 4 == 0 quarter is the probed new batch.
+# ---------------------------------------------------------------------------
+
+_LSH_IDX_VERSION = "v1"
+_LSH_DONE_PROP = "wmk.append.done"
+#: stored side = resident ∪ appended; probe side = the % 4 == 0 quarter
+_LSH_STORED_WHERE = "doc_id % 4 <> 0"
+_LSH_PROBE_WHERE = "doc_id % 4 = 0"
+#: band_key hash-buckets for the stored table — the probe join and the
+#: frequent-bucket count window both run exchange-free on the stored side
+_LSH_IDX_BUCKETS = 32
+
+
+def _lsh_index_name(sf_dir: str) -> tuple[str, str]:
+    import os
+    import re
+
+    from .similarity import _dataset_fingerprint
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    label = (f"lshdx_{tag}_"
+             f"{_dataset_fingerprint(sf_dir, 'documents.parquet')}"
+             f"_{_LSH_IDX_VERSION}")
+    return tag, label
+
+
+def drop_lsh_index(spark: SparkSession, sf_dir: str) -> None:
+    from .similarity import _IVF_IDX_DB
+
+    _, label = _lsh_index_name(sf_dir)
+    spark.sql(f"drop table if exists {_IVF_IDX_DB}.{label}")
+
+
+def lsh_index_append(spark: SparkSession, table_name: str,
+                     new_rows: DataFrame) -> None:
+    """Append a new batch's :func:`lsh_index_frame` rows to an existing
+    stored dedup index.  Only the batch is scanned, signatured, and
+    written — resident files untouched; Spark refuses a drifted bucket
+    spec.  The completion property is re-stamped by the CALLER once the
+    batch sequence is done (the IVF-append recipe)."""
+    from .. import Waimak
+    from ..functions import dedup as D
+
+    db, label = table_name.split(".", 1)
+    idx = D.lsh_index_frame(new_rows)
+    (Waimak.spark_flow(spark)
+     .open(label, lambda c, df=idx: df)
+     .write_bucketed_table(db, label, ["band_key"], _LSH_IDX_BUCKETS,
+                           sort_cols=["band_key", "doc_id"], append=True)
+     .execute())
+
+
+def _lsh_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Get-or-build the append-demo dedup index: initial build on the
+    ``% 4 in (1, 2)`` half, :func:`lsh_index_append` of the ``% 4 == 3``
+    late batch, then the completion property.  A table WITHOUT the
+    property is a crash leftover (build done, append lost) and is
+    rebuilt — the stale-build hygiene all stored indexes share."""
+    from .. import Waimak
+    from ..functions import dedup as D
+    from .similarity import _IVF_IDX_DB, _clear_superseded
+
+    tag, label = _lsh_index_name(sf_dir)
+    name = f"{_IVF_IDX_DB}.{label}"
+    if spark.catalog.tableExists(name):
+        props = {r["key"]: r["value"] for r in spark.sql(
+            f"show tblproperties {name}").collect()}
+        if props.get(_LSH_DONE_PROP) == "1":
+            return name
+        spark.sql(f"drop table if exists {name}")
+    _clear_superseded(spark, f"lshdx_{tag}_", label)
+    docs = _docs(spark, sf_dir)
+    resident = docs.where(F.expr("doc_id % 4 in (1, 2)"))
+    batch = docs.where(F.expr("doc_id % 4 = 3"))
+    idx = D.lsh_index_frame(resident)
+    (Waimak.spark_flow(spark)
+     .open(label, lambda c, df=idx: df)
+     .write_bucketed_table(_IVF_IDX_DB, label, ["band_key"],
+                           _LSH_IDX_BUCKETS,
+                           sort_cols=["band_key", "doc_id"])
+     .execute())
+    lsh_index_append(spark, name, batch)
+    spark.sql(f"alter table {name} "
+              f"set tblproperties('{_LSH_DONE_PROP}'='1')")
+    return name
+
+
+def dedup_lsh_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verdicts for a new batch against a STORED dedup index
+    maintained by append: the resident corpus is signatured once, the
+    late batch lands via :func:`lsh_index_append` (batch-only scan,
+    resident files untouched), and the probe — which must equal the
+    inline :func:`waimak_spark.functions.dedup.lsh_pairs_against_corpus`
+    aggregate bit-for-bit (row-local keys) — scans the narrow bucketed
+    key table, never the corpus text.  Round-17 admission candidate per
+    the PARITY rotation ledger; until then verified by
+    tests/test_lsh_index.py every pytest run and measured through the
+    catalog EXTRA_ENTRIES registry."""
+    from ..functions import dedup as D
+
+    tbl = _lsh_index_table(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return D.lsh_probe_stored(spark.table(tbl),
+                              docs.where(F.expr(_LSH_PROBE_WHERE)))
+
+
+def _lsh_probe_stored_oracle() -> str:
+    from ..functions import dedup as D
+
+    return D.lsh_probe_stored_sql(corpus_where=_LSH_STORED_WHERE,
+                                  new_where=_LSH_PROBE_WHERE)
+
+
+# ---------------------------------------------------------------------------
 # per-source curation report: one shuffle, partial aggregation
 # ---------------------------------------------------------------------------
 

@@ -141,11 +141,12 @@ _IVF_IDX_DB = "wmk_ann_idx"
 _IVF_IDX_VERSION = "v1"
 
 
-def _embeddings_fingerprint(sf_dir: str) -> str:
-    """Content-identity fingerprint of the embeddings dataset — the
-    stored index is keyed on it, so a driver-side regeneration of the
+def _dataset_fingerprint(sf_dir: str,
+                         fname: str = "embeddings.parquet") -> str:
+    """Content-identity fingerprint of a testdata dataset — every
+    stored index is keyed on one, so a driver-side regeneration of the
     testdata in place invalidates the index instead of silently serving
-    stale cells.  ADVICE r6: the old ``total_size + integer-second
+    stale content.  ADVICE r6: the old ``total_size + integer-second
     max(mtime)`` pair collided when a dataset was regenerated within the
     same second with identical total bytes — hash the full per-file
     listing (relative path, size, ``st_mtime_ns``) instead, so any file
@@ -153,7 +154,7 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     import hashlib
     import os
 
-    path = f"{sf_dir}/embeddings.parquet"
+    path = f"{sf_dir}/{fname}"
     lines = []
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
@@ -167,6 +168,13 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
         lines.append(f".:{st.st_size}:{st.st_mtime_ns}")
     digest = hashlib.md5("\n".join(sorted(lines)).encode()).hexdigest()
     return digest[:12]
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """The ANN indexes' key: :func:`_dataset_fingerprint` of the
+    embeddings table (kept as a named helper — its behavior is
+    regression-locked in tests/test_similarity_resolution.py)."""
+    return _dataset_fingerprint(sf_dir)
 
 
 def _ivf_index_name(sf_dir: str) -> tuple[str, str]:

@@ -321,6 +321,26 @@ def lsh_candidate_pairs_sql(seeds: list[int] = DEFAULT_SEEDS,
     """
 
 
+def _band_key_rows(sig: DataFrame, out_id: str, seeds: list[int],
+                   band_size: int, id_col: str) -> DataFrame:
+    """ROW-LOCAL banded LSH keys: ``(out_id, band, band_key)`` via one
+    posexplode over the signature frame — no corpus-level pruning, so
+    the output for a document depends on that document's text alone
+    (the property the stored-index append path needs: keys(A) ∪ keys(B)
+    == keys(A ∪ B) exactly).  Null-signature docs (< n tokens) are
+    dropped on both engines (see lsh_candidate_pairs)."""
+    n_bands = len(seeds) // band_size
+    band_keys = F.array(*[
+        F.md5(F.concat_ws(
+            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        ))
+        for b in range(n_bands)
+    ])
+    return (sig.where(F.col("mh0").isNotNull())
+            .select(F.col(id_col).alias(out_id),
+                    F.posexplode(band_keys).alias("band", "band_key")))
+
+
 def _banded_keys(sig: DataFrame, out_id: str, seeds: list[int],
                  band_size: int, max_bucket: int, id_col: str,
                  min_bucket: int = 1) -> DataFrame:
@@ -331,17 +351,8 @@ def _banded_keys(sig: DataFrame, out_id: str, seeds: list[int],
     window BEFORE any member arrays exist (a degenerate bucket would
     otherwise materialize its full member list in one aggregation
     buffer)."""
-    n_bands = len(seeds) // band_size
-    band_keys = F.array(*[
-        F.md5(F.concat_ws(
-            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        ))
-        for b in range(n_bands)
-    ])
     sig = tracked_persist(sig)
-    banded = (sig.where(F.col("mh0").isNotNull())
-              .select(F.col(id_col).alias(out_id),
-                      F.posexplode(band_keys).alias("band", "band_key")))
+    banded = _band_key_rows(sig, out_id, seeds, band_size, id_col)
     # bucket-size guard stays a count-over-window deliberately: md5 band
     # keys distribute near-uniformly (no hot-key sort risk — hotness
     # needs a giant EXACT-duplicate cluster, which exact-dedup upstream
@@ -419,6 +430,109 @@ def lsh_pairs_against_corpus_sql(corpus_where: str, new_where: str,
         select distinct c.id as corpus_id, n.id as new_id
         from banded_c c join banded_n n
           on c.band = n.band and c.band_key = n.band_key
+    """
+
+
+# ---------------------------------------------------------------------------
+# stored LSH dedup index (build once / append batches / probe many) — the
+# text-dedup sibling of the stored IVF index family in
+# catalog/similarity.py.  lsh_pairs_against_corpus above recomputes the
+# CORPUS side's tokenize→shingle→minhash→band pipeline on every call; at
+# 100 TB the corpus side dominates and never changes between batches, so
+# the production shape is: persist the corpus's (doc_id, band, band_key)
+# rows ONCE as a table bucketed by band_key, APPEND each new batch's rows
+# after probing (row-local keys ⇒ index(A) ∪ index(B) == index(A ∪ B)
+# exactly — no rebuild, resident files untouched), and per probe scan
+# only the narrow key table (24-ish bytes/row) instead of the corpus
+# text.  Bucketing by band_key means BOTH the frequent-bucket guard's
+# count window AND the probe join consume the stored side with ZERO
+# exchange (HashPartitioning(band_key) satisfies clustering on
+# (band, band_key)).
+# ---------------------------------------------------------------------------
+
+
+def lsh_index_frame(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    seeds: list[int] = DEFAULT_SEEDS,
+                    band_size: int = BAND_SIZE) -> DataFrame:
+    """``(doc_id, band, band_key)`` — the stored dedup index's content:
+    row-local banded minhash keys (no corpus-level bucket guard — that
+    is PROBE-time policy, see :func:`lsh_probe_stored`), so appending a
+    batch writes exactly the batch's rows and the union equals a full
+    rebuild bit-for-bit.  Docs with null/short text have no signature
+    and contribute no rows."""
+    sig = tracked_persist(
+        minhash_signature(df, text_col, id_col, seeds))
+    return _band_key_rows(sig, "doc_id", seeds, band_size, id_col)
+
+
+def lsh_probe_stored(index: DataFrame, new: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     seeds: list[int] = DEFAULT_SEEDS,
+                     band_size: int = BAND_SIZE,
+                     max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Near-dup verdicts for a NEW batch against a stored index:
+    ``(doc_id, n_candidates, maybe_dup)`` — one row per new doc with
+    non-null text (sig-less docs report 0), ``n_candidates`` = distinct
+    stored docs sharing ≥1 band.  Semantics equal
+    :func:`lsh_pairs_against_corpus` aggregated per new doc (both sides
+    carry the same ``max_bucket`` frequent-bucket guard; the stored
+    side's guard runs as a count window OVER THE NARROW INDEX — no
+    corpus text, and on a band_key-bucketed table no exchange either).
+    Because stored rows equal freshly computed rows exactly, the probe
+    is bit-identical to the inline form — which licenses a static
+    full-recompute oracle."""
+    nb = _banded_keys(
+        minhash_signature(new, text_col, id_col, seeds),
+        "new_id", seeds, band_size, max_bucket, id_col)
+    w = W.partitionBy("band", "band_key")
+    cb = (index.select(F.col("doc_id").alias("corpus_id"),
+                       "band", "band_key")
+          .withColumn("bn", F.count("*").over(w))
+          .where(F.col("bn") <= max_bucket).drop("bn"))
+    hits = (nb.join(cb, ["band", "band_key"])
+            .select("new_id", "corpus_id").distinct()
+            .groupBy("new_id")
+            .agg(F.count("*").cast("bigint").alias("n_candidates")))
+    base = (new.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id")))
+    return (base.join(hits.withColumnRenamed("new_id", "doc_id"),
+                      "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_candidates"), F.lit(0))
+                    .cast("bigint").alias("n_candidates"),
+                    (F.coalesce(F.col("n_candidates"), F.lit(0)) > 0)
+                    .cast("int").alias("maybe_dup"))
+            .orderBy("doc_id"))
+
+
+def lsh_probe_stored_sql(corpus_where: str, new_where: str,
+                         seeds: list[int] = DEFAULT_SEEDS,
+                         band_size: int = BAND_SIZE,
+                         max_bucket: int = MAX_BUCKET,
+                         n: int = SHINGLE_N) -> str:
+    """DuckDB oracle for :func:`lsh_probe_stored`: the stored index's
+    content is recomputed from the corpus predicate (append == full
+    build exactly, so the recompute IS the stored table), then the same
+    per-new-doc aggregate."""
+    pairs = lsh_pairs_against_corpus_sql(corpus_where, new_where,
+                                         seeds, band_size, max_bucket, n)
+    return f"""
+        with pairs as ({pairs}),
+        base as (
+            select doc_id from documents
+            where ({new_where}) and text is not null
+        ),
+        agg as (
+            select new_id as doc_id, count(*)::BIGINT as n_candidates
+            from pairs group by new_id
+        )
+        select b.doc_id,
+               coalesce(a.n_candidates, 0)::BIGINT as n_candidates,
+               case when coalesce(a.n_candidates, 0) > 0
+                    then 1 else 0 end as maybe_dup
+        from base b left join agg a using (doc_id)
+        order by b.doc_id
     """
 
 
