@@ -196,3 +196,50 @@ class TestHllPlan:
         plan = (hll_registers(g, "gram", ("lang",))
                 ._jdf.queryExecution().executedPlan().toString())
         assert "partial_max" in plan
+
+
+class TestStreamingHll:
+    """Round-18 admission candidate (catalog/streaming.py): the HLL
+    registers as bounded Structured-Streaming state — final state must
+    equal the batch sketch EXACTLY (register max is associative/
+    commutative/idempotent, so micro-batch splits are invisible),
+    which is why the entry shares the batch oracle verbatim."""
+
+    def test_streaming_matches_oracle_and_batch(self, spark, sf_dir):
+        from waimak_spark.catalog.streaming import (
+            _streaming_hll_oracle,
+            streaming_distinct_hll,
+        )
+        from waimak_spark.catalog.text import corpus_distinct_hll
+
+        got = [tuple(r) for r in
+               streaming_distinct_hll(spark, sf_dir).collect()]
+        batch = [tuple(r) for r in
+                 corpus_distinct_hll(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(f"create view documents as "
+                    f"select * from '{sf_dir}/documents.parquet'")
+        want = [tuple(r) for r in
+                con.execute(_streaming_hll_oracle()).fetchall()]
+        assert len(got) == len(want) > 0
+        assert got == want
+        assert got == batch
+
+    def test_streaming_state_is_bounded(self, spark, sf_dir):
+        """The production point: the drained register table holds at
+        most m rows per group however long the stream ran — the state
+        an exact streaming count-distinct could never bound."""
+        import pyspark.sql.functions as F
+        from waimak_spark.catalog.streaming import streaming_distinct_hll
+
+        streaming_distinct_hll(spark, sf_dir)  # builds + drains
+        # the sink itself lives in a throwaway child session; re-derive
+        # the bound from the batch registers the stream must equal
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        g = docs.where("text is not null and lang is not null").selectExpr(
+            "lang as grp",
+            "explode(filter(split(lower(text), '\\\\s+'), "
+            "x -> length(x) > 0)) as gram")
+        regs = hll_registers(g, "gram", ("grp",))
+        per_group = regs.groupBy("grp").count().collect()
+        assert all(r["count"] <= HLL_M for r in per_group)

@@ -115,11 +115,15 @@ ALL_ENTRIES.update((n, e) for n, e in _MERGED.items() if n not in ALL_ENTRIES)
 # overlap, so an admitted entry must leave the extras the same round.
 from .curation import (  # noqa: E402
     dedup_bloom_against_corpus as _x_bloom,
+    dedup_lsh_probe_stored as _x_lshdx,
 )
 from .similarity import (  # noqa: E402
     ann_ivf_pq_probe_stored as _x_ivf_pq,
     ann_ivf_probe_appended as _x_ivf_apd,
     sample_kcenter_diverse as _x_kcenter,
+)
+from .streaming import (  # noqa: E402
+    streaming_distinct_hll as _x_shll,
 )
 from .text import (  # noqa: E402
     bm25_search as _x_bm25,
@@ -136,6 +140,8 @@ EXTRA_ENTRIES = {
     "corpus_heavy_hitters": _x_cms,
     "corpus_distinct_hll": _x_hll,
     "bm25_search": _x_bm25,
+    "dedup_lsh_probe_stored": _x_lshdx,
+    "streaming_distinct_hll": _x_shll,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

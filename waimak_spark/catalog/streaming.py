@@ -488,6 +488,79 @@ STREAMING_SSJ_ORACLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# streaming HLL distinct counting (round 9; round-18 admission candidate
+# per the PARITY rotation ledger) — the sketch-as-streaming-state demo:
+# the register frame is a bounded streaming aggregation (≤ m rows per
+# group REGARDLESS of stream length — the state an exact streaming
+# count-distinct could never bound), and because register max is
+# associative/commutative/idempotent the final state is EXACTLY the
+# batch sketch however the micro-batches split, so the entry shares the
+# BATCH oracle verbatim (the mergeability argument, proved end-to-end
+# through Structured Streaming instead of a unionByName).
+# ---------------------------------------------------------------------------
+
+
+def streaming_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-trigram certification with the HLL
+    REGISTERS maintained as streaming state: a file stream over
+    ``documents`` feeds the map-only gram/register expressions, a
+    complete-mode streaming max holds ≤ 4096 rows per language, the
+    drained final state is estimated caller-side, and the exact
+    count-distinct certification runs batch-side (at 100 TB the exact
+    side is the run-once path; the stream keeps only the sketch).
+    Output and oracle are identical to the batch ``corpus_distinct_hll``
+    entry.  Round-18 admission candidate per the PARITY rotation
+    ledger; until then verified by tests/test_hll.py every pytest run
+    and measured through the catalog EXTRA_ENTRIES registry."""
+    from ..functions.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_gram_stream,
+        hll_registers,
+        hll_report,
+    )
+
+    run = _run_session(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (run.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    # spread the interpreted tokenize/shingle work across the cluster's
+    # cores INSIDE the streaming plan: the file-stream source yields one
+    # partition per FILE, so without this a few big files cap the
+    # CPU-heavy map at a few cores (isolated min-of-4 A/B on the 10×
+    # replica: 11.4 s without → 3.0 s with); the round-robin exchange
+    # carries raw text once per micro-batch, and the register agg still
+    # shuffles into the state-sized partition count
+    src = src.repartition(run.sparkContext.defaultParallelism)
+    regs = hll_registers(hll_gram_stream(src, spread=False),
+                         "gram", ("grp",))
+    name = "stream_distinct_hll_sink"
+    with _stream_state_sizing(run, (f"{sf_dir}/documents.parquet",)):
+        q = (regs.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+    regs_local = _collect_into_caller(
+        spark, run, name,
+        _sink_rows_from_progress(q, complete=True, run=run))
+    est = hll_estimate(regs_local, ("grp",))
+    g = hll_gram_stream(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    exact = g.groupBy("grp").agg(
+        F.countDistinct("gram").cast("bigint").alias("n_exact"))
+    return hll_report(exact, est)
+
+
+def _streaming_hll_oracle() -> str:
+    """The BATCH oracle verbatim — register max is order/batching
+    independent, so the streamed sketch equals the batch sketch
+    exactly."""
+    from ..functions.sketch import hll_distinct_grams_sql
+
+    return hll_distinct_grams_sql()
+
+
 ENTRIES = {
     "streaming_tumbling_counts": {
         "fn": streaming_tumbling_counts,

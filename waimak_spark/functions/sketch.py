@@ -289,6 +289,39 @@ def hll_estimate(reg: DataFrame, group_cols: tuple[str, ...] = (),
     return agg.select(*group_cols, F.round(est, 4).alias(est_col))
 
 
+def hll_gram_stream(df: DataFrame, text_col: str = "text",
+                    group_col: str = "lang", n: int = CMS_NGRAM,
+                    spread: bool = True) -> DataFrame:
+    """``(grp, gram)`` — one row per word-n-gram occurrence with its
+    group key.  ``spread=False`` skips the compute-spreading
+    repartition: a STREAMING source must keep this frame a pure map so
+    the only shuffle is the register aggregation itself (and
+    ``spread_for_compute`` reads driver-side file metadata a streaming
+    plan doesn't have)."""
+    base = spread_for_compute(df) if spread else df
+    return (base
+            .where(F.col(text_col).isNotNull() &
+                   F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    tokens(F.col(text_col)).alias("_t"))
+            .select("grp", F.explode(shingles(F.col("_t"), n))
+                    .alias("gram")))
+
+
+def hll_report(exact: DataFrame, est: DataFrame,
+               group_col: str = "lang") -> DataFrame:
+    """Join the exact certification side to the estimate and emit the
+    catalog shape ``(group, n_exact, n_est, within_tol)`` — the flag
+    compares the ROUNDED estimate so both engines evaluate the
+    identical boundary."""
+    return (exact.join(est, "grp")
+            .select(F.col("grp").alias(group_col), "n_exact", "n_est",
+                    (F.abs(F.col("n_est") / F.col("n_exact") - 1)
+                     <= F.lit(HLL_REL_TOL)).cast("int")
+                    .alias("within_tol"))
+            .orderBy(group_col))
+
+
 def hll_distinct_grams(df: DataFrame, text_col: str = "text",
                        group_col: str = "lang", n: int = CMS_NGRAM,
                        p: int = HLL_P, w: int = HLL_W) -> DataFrame:
@@ -305,23 +338,12 @@ def hll_distinct_grams(df: DataFrame, text_col: str = "text",
     alone reproduced 4.9 → 2.3 s)."""
     from .cache_registry import tracked_persist
 
-    g = tracked_persist(
-        spread_for_compute(df)
-        .where(F.col(text_col).isNotNull() &
-               F.col(group_col).isNotNull())
-        .select(F.col(group_col).alias("grp"),
-                tokens(F.col(text_col)).alias("_t"))
-        .select("grp", F.explode(shingles(F.col("_t"), n)).alias("gram")))
+    g = tracked_persist(hll_gram_stream(df, text_col, group_col, n))
     exact = g.groupBy("grp").agg(
         F.countDistinct("gram").cast("bigint").alias("n_exact"))
     est = hll_estimate(hll_registers(g, "gram", ("grp",), p, w),
                        ("grp",), p)
-    return (exact.join(est, "grp")
-            .select(F.col("grp").alias(group_col), "n_exact", "n_est",
-                    (F.abs(F.col("n_est") / F.col("n_exact") - 1)
-                     <= F.lit(HLL_REL_TOL)).cast("int")
-                    .alias("within_tol"))
-            .orderBy(group_col))
+    return hll_report(exact, est, group_col)
 
 
 def hll_distinct_grams_sql(n: int = CMS_NGRAM, p: int = HLL_P,
