@@ -129,6 +129,7 @@ from .text import (  # noqa: E402
     bm25_search as _x_bm25,
     corpus_distinct_hll as _x_hll,
     corpus_heavy_hitters as _x_cms,
+    dedup_jaccard_prefix as _x_ppj,
 )
 
 EXTRA_ENTRIES = {
@@ -142,6 +143,7 @@ EXTRA_ENTRIES = {
     "bm25_search": _x_bm25,
     "dedup_lsh_probe_stored": _x_lshdx,
     "streaming_distinct_hll": _x_shll,
+    "dedup_jaccard_prefix": _x_ppj,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -185,6 +185,21 @@ def _distinct_hll_oracle() -> str:
     return SK.hll_distinct_grams_sql()
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join with lossless prefix filtering
+    (Bayardo et al. 2007): every document pair with shingle-set Jaccard
+    >= 0.5, with the provably-complete candidate pruning the heuristic
+    LSH/df-cap paths trade away — round-19 catalog admission candidate
+    per the PARITY rotation ledger; until then verified by
+    tests/test_prefix_join.py every pytest run and measured through the
+    catalog EXTRA_ENTRIES registry."""
+    return D.jaccard_prefix_join(_docs(spark, sf_dir))
+
+
+def _jaccard_prefix_oracle() -> str:
+    return D.jaccard_prefix_join_sql()
+
+
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval: the top-k documents per fixed query with
     rounded scores and per-query ranks — round-16 catalog admission

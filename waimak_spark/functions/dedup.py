@@ -855,6 +855,170 @@ def ngram_jaccard_pairs_sql(n: int = SHINGLE_N, min_jaccard: float = 0.1) -> str
 
 
 # ---------------------------------------------------------------------------
+# exact set-similarity join with PREFIX FILTERING (Bayardo, Ma & Srikant
+# 2007, WWW — "Scaling Up All Pairs Similarity Search"; the prefix
+# principle PPJoin builds on, Xiao et al. 2008).  The LOSSLESS
+# counterpart to the heuristic candidate generators above: LSH banding
+# misses pairs with probability (1-s^r)^b, and ngram_jaccard_pairs'
+# stop-shingle df-cap can drop a true pair whose overlap rides on
+# common shingles — the prefix filter provably cannot.  Order every
+# doc's shingle set by GLOBAL RARITY (df asc, key asc); if
+# J(a,b) >= tau, then a and b must share a shingle within each other's
+# first |s| - ceil(tau*|s|) + 1 shingles (else too few remain to reach
+# the required overlap) — so joining on PREFIX shingles only is
+# complete, and because prefixes hold each doc's RAREST shingles the
+# join buckets are small by construction (the boilerplate shingle that
+# makes the naive inverted-index join quadratic is exactly the one the
+# ordering pushes OUT of every prefix).  Everything is integer set
+# math + one tau multiply, so the DuckDB oracle — and a brute-force
+# all-pairs check — match exactly.
+# ---------------------------------------------------------------------------
+
+#: default Jaccard threshold — 0.75 (= 3/4, exactly representable, so
+#: the ceil(tau*|s|) prefix-length arithmetic has no float-boundary
+#: risk; any tau works — both engines share IEEE rounding at e.g.
+#: 0.6*5 = 3.0000000000000004, and the pure-Python reference
+#: reproduces it — but an exact default keeps the boundary above
+#: suspicion).  0.75 over 0.5 on measurement: prefix length ~0.25|s|
+#: instead of ~0.5|s| cuts the candidate stage ~5x on the tiny-vocab
+#: test corpus (310k -> ~65k pairs at sf0.1) while the corpus's true
+#: near-dups sit at J >= 0.95 — the reported pair set barely changes
+PPJOIN_TAU = 0.75
+
+
+def jaccard_prefix_join(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = SHINGLE_N,
+                        tau: float = PPJOIN_TAU) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= ``tau``, exactly:
+    ``(doc_a, doc_b, shared, jaccard)`` — candidate generation via the
+    lossless prefix filter, verification via exact per-pair
+    ``array_intersect``.
+
+    Plan shape / 100 TB posture: one persisted distinct-shingle-array
+    base feeds everything — the exploded (id, sh) stream derives from
+    it for document frequencies (groupBy + join-back, map-side partial
+    agg collapses hot shingles) and the per-doc prefix rank (a window
+    partitioned BY DOCUMENT, never a hot global key); the prefix
+    equi-join's buckets hold only docs whose RAREST shingles coincide,
+    plus the tau length filter ``min(sz) >= tau*max(sz)`` inside the
+    join; verification moves each candidate doc's (already-distinct)
+    array to its pairs via two hash joins and computes one JVM
+    set-intersect per pair.
+
+    Measured shapes (isolated min-of-6 at sf0.1, tau=0.5 where noted):
+    persisting the prefix frame (BOTH self-join sides read it —
+    unpersisted, the df-join + window pipeline ran twice) 7.4 → 4.6 s;
+    array-intersect verify vs the exploded alternative (re-join
+    candidates against the shingle stream and count matches — shuffles
+    candidate-count × set-size rows) 4.6 → 2.7 s; the tau=0.75 default
+    (see PPJOIN_TAU) lands at 1.8 s; an exact-duplicate CLASS collapse
+    (fingerprint identical sets, prefix-join representatives, expand
+    member pairs — output-identical, test-verified) was measured and
+    REJECTED on this corpus: the distinct-set factor is 1.0 (no exact
+    dups to collapse, 4.1 vs 2.7 s isolated) and the 10× replica
+    perturbs each copy's text so copies are NEAR-dups that cannot
+    collapse either.  On a genuinely duplication-heavy corpus, run
+    ``exact_dedup`` FIRST — composing after it achieves the same
+    collapse without this operator carrying a second fingerprint pass.
+
+    Output is inherently quadratic in near-duplicate multiplicity (the
+    pair-lister contract shared by lsh/simhash/ngram listings here —
+    prefer the resolve family as the 100 TB product; this operator is
+    the exact AUDIT surface the heuristics are checked against, the
+    role its catalog entry plays).  No df-cap, no band probability —
+    every emitted pair is exact and NO qualifying pair can be missed
+    (completeness is hypothesis-tested against brute force)."""
+    base = tracked_persist(
+        shingle_base(df, text_col, id_col, n)
+        .select(F.col(id_col).alias("id"),
+                F.transform(F.col("_sh"), F.md5).alias("arr")))
+    sh_all = base.select("id", F.explode("arr").alias("sh"))
+    dfreq = sh_all.groupBy("sh").agg(F.count("*").alias("df"))
+    sizes = base.select("id", F.size("arr").alias("sz"))
+    w = W.partitionBy("id").orderBy(F.asc("df"), F.asc("sh"))
+    # persisted: BOTH sides of the candidate self-join read this frame
+    prefix = tracked_persist(
+        sh_all.join(dfreq, "sh").join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("sz")
+               - F.ceil(F.col("sz") * F.lit(float(tau))) + 1)
+        .select("id", "sz", "sh"))
+    pa = prefix.select("sh", F.col("id").alias("doc_a"),
+                       F.col("sz").alias("sz_a"))
+    pb = prefix.select("sh", F.col("id").alias("doc_b"),
+                       F.col("sz").alias("sz_b"))
+    cand = (pa.join(pb, "sh")
+            .where((F.col("doc_a") < F.col("doc_b")) &
+                   (F.least("sz_a", "sz_b")
+                    >= F.lit(float(tau)) * F.greatest("sz_a", "sz_b")))
+            .select("doc_a", "doc_b").distinct())
+    return (cand
+            .join(base.select(F.col("id").alias("doc_a"),
+                              F.col("arr").alias("_aa")), "doc_a")
+            .join(base.select(F.col("id").alias("doc_b"),
+                              F.col("arr").alias("_ab")), "doc_b")
+            .withColumn("shared",
+                        F.size(F.array_intersect("_aa", "_ab"))
+                        .cast("bigint"))
+            .withColumn("jaccard", F.round(
+                F.col("shared")
+                / (F.size("_aa") + F.size("_ab") - F.col("shared")), 4))
+            .where(F.col("jaccard") >= F.lit(float(tau)))
+            .select("doc_a", "doc_b", "shared", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+def jaccard_prefix_join_sql(n: int = SHINGLE_N,
+                            tau: float = PPJOIN_TAU) -> str:
+    """DuckDB oracle for :func:`jaccard_prefix_join` — the same prefix
+    construction (window per doc over (df, sh)), the same length
+    filter, the same exact verification."""
+    return f"""
+        with tok as (
+            select doc_id, {TOKENS_SQL.format(col='text')} as t
+            from documents
+        ), sh_all as (
+            select doc_id as id,
+                   md5(unnest(list_distinct({shingles_sql('t', n)}))) as sh
+            from tok
+        ), dfreq as (
+            select sh, count(*) as df from sh_all group by sh
+        ), sizes as (
+            select id, count(*) as sz from sh_all group by id
+        ), prefix as (
+            select id, sz, sh from (
+                select s.id, z.sz, s.sh,
+                       row_number() over (
+                           partition by s.id
+                           order by d.df asc, s.sh asc) as rn
+                from sh_all s
+                join dfreq d using (sh) join sizes z using (id)
+            ) where rn <= sz - ceil(sz * {float(tau)!r}::DOUBLE) + 1
+        ), cand as (
+            select distinct a.id as doc_a, b.id as doc_b
+            from prefix a join prefix b on a.sh = b.sh and a.id < b.id
+            where least(a.sz, b.sz)
+                  >= {float(tau)!r}::DOUBLE * greatest(a.sz, b.sz)
+        ), shared as (
+            select c.doc_a, c.doc_b, count(*)::BIGINT as shared
+            from cand c
+            join sh_all ta on ta.id = c.doc_a
+            join sh_all tb on tb.id = c.doc_b and tb.sh = ta.sh
+            group by c.doc_a, c.doc_b
+        )
+        select doc_a, doc_b, shared,
+               round(shared::DOUBLE / (sa.sz + sb.sz - shared), 4)
+                   as jaccard
+        from shared
+        join sizes sa on sa.id = doc_a
+        join sizes sb on sb.id = doc_b
+        where round(shared::DOUBLE / (sa.sz + sb.sz - shared), 4)
+              >= {float(tau)!r}::DOUBLE
+        order by doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # end-to-end resolution: candidate PAIRS -> one keep/drop row per document.
 # Pair listings are output-quadratic on duplicate-heavy corpora (the 10x
 # scaling experiment in PARITY.md measured ~1000x pair growth on the text
