@@ -116,6 +116,7 @@ ALL_ENTRIES.update((n, e) for n, e in _MERGED.items() if n not in ALL_ENTRIES)
 from .curation import (  # noqa: E402
     dedup_bloom_against_corpus as _x_bloom,
     dedup_lsh_probe_stored as _x_lshdx,
+    sample_priority_topk as _x_prio,
 )
 from .similarity import (  # noqa: E402
     ann_ivf_pq_probe_stored as _x_ivf_pq,
@@ -144,6 +145,7 @@ EXTRA_ENTRIES = {
     "dedup_lsh_probe_stored": _x_lshdx,
     "streaming_distinct_hll": _x_shll,
     "dedup_jaccard_prefix": _x_ppj,
+    "sample_priority_topk": _x_prio,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

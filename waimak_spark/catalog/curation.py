@@ -243,6 +243,30 @@ def _dsir_select_oracle() -> str:
     return C.dsir_select_sql(DSIR_TARGET_WHERE, DSIR_K, seed=DSIR_SEED)
 
 
+# fixed-budget weighted sampling: k docs with inclusion ~ n_chars via
+# derandomised priority keys (Efraimidis-Spiliotis); seed 11 keeps the
+# uniform stream disjoint from dsir_select's gumbel stream (seed 7)
+PRIORITY_K = 200
+PRIORITY_SEED = 11
+
+
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling without replacement (Efraimidis &
+    Spiliotis 2006): exactly k docs, inclusion probability ∝ document
+    length, one map-only pass + TakeOrderedAndProject — round-20
+    catalog admission candidate per the PARITY rotation ledger; until
+    then verified by tests/test_priority_sample.py every pytest run
+    and measured through the catalog EXTRA_ENTRIES registry."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return C.priority_sample_k(docs, F.col("n_chars"), k=PRIORITY_K,
+                               seed=PRIORITY_SEED)
+
+
+def _priority_topk_oracle() -> str:
+    return C.priority_sample_k_sql("n_chars", PRIORITY_K,
+                                   seed=PRIORITY_SEED)
+
+
 DEDUP_CORPUS_ORACLE = f"""
     select n.doc_id, n.source from documents n
     where n.source not in ({_corpus_list})

@@ -700,3 +700,65 @@ def dsir_select_sql(target_where: str, k: int, seed: int = 1,
         order by gumbel_key desc, doc_id
         limit {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+# Spiliotis 2006, IPL 97(5): priority/A-ES sampling) — the fixed-BUDGET
+# counterpart to weighted_sample_keep's Bernoulli thinning: keep exactly
+# k rows with inclusion ∝ per-row weight, in ONE pass with NO shuffle.
+# Each row gets key u^(1/w) for a uniform u — equivalently ln(u)/w,
+# used here — and the k largest keys are the sample; u is the same
+# seeded-md5 uniform the DSIR Gumbel selection uses, so every
+# engine/run/retry picks the identical rows (derandomised).  dsir_select
+# is the special case where w is the DSIR importance weight; this is the
+# standalone operator for any weight column (quality scores, length
+# budgets, dedup-cluster mass).  The 100 TB story: scoring is map-only
+# and selection is TakeOrderedAndProject — per-partition top-k then a
+# k-row merge on one reducer, never a global sort, zero data shuffle.
+# ---------------------------------------------------------------------------
+
+
+def priority_sample_k(df: DataFrame, weight: Column, k: int,
+                      id_col: str = "doc_id", seed: int = 1) -> DataFrame:
+    """The ``k`` rows with the largest ``round(ln(u)/w, 6)`` priority
+    keys (ties on ascending id — with the round, ordering is total and
+    engine-identical; 6dp rather than the aggregate family's 4dp
+    because the only cross-engine divergence here is ln's last ulp
+    (~1e-16) and large weights compress keys toward 0, where a 4dp
+    grid would quantize away most of the weight signal).  ``+ 0.0``
+    folds IEEE ``-0.0`` to ``0.0`` on both engines — DuckDB's round
+    preserves the negative zero ln produces at u→1, Spark's does not,
+    and a value-hashing comparator would see "-0" vs "0".  Rows with
+    null or non-positive weight are excluded (their inclusion
+    probability is 0; both engines agree).  Returns the input columns
+    plus ``priority_key``."""
+    from .text import seeded_hash
+
+    u = ((seeded_hash(F.col(id_col).cast("string"),
+                      seed) + 1) / F.lit(4294967297.0))
+    key = F.round(F.log(u) / weight, 6) + F.lit(0.0)
+    return (df.where(weight.isNotNull() & (weight > 0))
+            .withColumn("priority_key", key)
+            .orderBy(F.desc("priority_key"), F.asc(id_col))
+            .limit(k))
+
+
+def priority_sample_k_sql(weight_expr: str, k: int,
+                          table: str = "documents",
+                          cols: str = "doc_id, source, n_chars",
+                          id_expr: str = "doc_id",
+                          seed: int = 1) -> str:
+    """DuckDB oracle for :func:`priority_sample_k` over ``table``."""
+    from .text import md5_hash32_sql
+
+    h = md5_hash32_sql(f"'{seed}:' || ({id_expr})::VARCHAR")
+    key = (f"(round(ln(({h} + 1) / 4294967297.0::DOUBLE) "
+           f"/ ({weight_expr}), 6) + 0.0)")
+    return f"""
+        select {cols}, {key} as priority_key
+        from {table}
+        where ({weight_expr}) is not null and ({weight_expr}) > 0
+        order by priority_key desc, {id_expr} asc
+        limit {k}
+    """
