@@ -497,21 +497,39 @@ def _dsir_gram_stream(df: DataFrame, text_col: str, id_col: str,
     zero-gram docs survive as a single null-gram row (explode_outer).
     ``flag`` (a boolean Column over ``df``'s columns) is carried through
     as ``_t`` so a subset-target caller can split one tokenized stream
-    instead of tokenizing the corpus twice."""
+    instead of tokenizing the corpus twice.
+
+    The token array is projected in its OWN select step before the gram
+    expressions (the shingle_base recipe): interpreted higher-order
+    expressions get no common-subexpression elimination, so inlining
+    ``tokens(text)`` re-ran the whole split+filter once per reference —
+    five references here (size + two slices + concat) — and
+    CollapseProject keeps the boundary because the projected column is
+    non-cheap and multiply-referenced.  Plan-verified: the executed
+    plan carries ONE split(lower(...)) where the inline form carried
+    five.  Wall-clock effect on dsir_select is modest at sandbox scale
+    (isolated min-of-6: 3.11 → 2.99 s — the bucket aggregations and
+    scoring join dominate there), but four redundant tokenize passes
+    over 100 TB of text is exactly the class of waste the shingle_base
+    recipe exists to remove."""
     from .text import tokens
 
-    toks = tokens(F.col(text_col))
+    pre = [F.col(id_col).alias("doc_id"),
+           tokens(F.col(text_col)).alias("_tk")]
+    if flag is not None:
+        pre.append(F.coalesce(flag, F.lit(False)).alias("_t"))
+    tk = df.select(*pre)
+    toks = F.col("_tk")
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b))
     grams = F.concat(toks, bigrams)
-    cols = [F.col(id_col).alias("doc_id"),
-            F.explode_outer(grams).alias("gram")]
+    cols = ["doc_id", F.explode_outer(grams).alias("gram")]
     if flag is not None:
-        cols.append(F.coalesce(flag, F.lit(False)).alias("_t"))
-    return df.select(*cols)
+        cols.append("_t")
+    return tk.select(*cols)
 
 
 def dsir_importance(raw_df: DataFrame, target_df: DataFrame | None,
