@@ -85,6 +85,24 @@ class TestBm25Oracle:
             assert [(-(r.score), r.doc_id) for r in rows] == sorted(
                 (-(s), d) for (q, d), s in want.items() if q == qid)
 
+    def test_quoted_query_term_produces_valid_oracle_sql(self, spark):
+        """ADVICE r9: a query term containing a single quote must be
+        escaped in the interpolated oracle SQL (and stay lockstep)."""
+        from waimak_spark.functions.retrieval import bm25_topk_sql
+
+        queries = (("q'uid", "don't alpha"),)
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="don't stop alpha"),
+             Row(doc_id=1, text="dont stop beta")])
+        got = [tuple(r) for r in bm25_topk(df, queries=queries,
+                                           k=5).collect()]
+        con = duckdb.connect()
+        con.register("documents", df.toPandas())
+        want = [tuple(r) for r in con.execute(
+            bm25_topk_sql(queries=queries, k=5)).fetchall()]
+        assert got == want and len(got) > 0
+        assert got[0][0] == "q'uid"
+
     def test_repeated_query_term_scores_once(self, spark):
         df = spark.createDataFrame(
             [Row(doc_id=0, text="alpha beta gamma"),

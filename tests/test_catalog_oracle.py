@@ -262,14 +262,15 @@ def test_readme_test_count_matches_collection(request):
         f"{collected} — update the README number")
 
 
-def test_parity_round10_front_draft_stays_valid():
-    """PARITY.md precomputes round 10's _FRONT (the 49 r8-latest
-    survivors + the staged `dsir_select` admission — the set-A/set-B
-    alternation at the 100-entry cap, minus the round-9 `ann_lsh_pairs`
-    retirement).  Lock the draft against drift: every name must exist in
-    the catalog, no duplicates, it must fill exactly one window, and
-    together with the CURRENT window it must cover the whole catalog —
-    the every-other-round guarantee the rotation exists to provide."""
+def test_parity_round11_front_draft_stays_valid():
+    """PARITY.md precomputes round 11's _FRONT (the 49 r9-latest
+    survivors + the staged `ann_ivf_pq_probe_stored` admission — the
+    set-A/set-B alternation at the 100-entry cap, minus the round-10
+    `ann_int8_recall` retirement).  Lock the draft against drift: every
+    name must exist in the catalog, no duplicates, it must fill exactly
+    one window, and together with the CURRENT window it must cover the
+    whole catalog — the every-other-round guarantee the rotation exists
+    to provide."""
     import os
     import re
 
@@ -277,8 +278,9 @@ def test_parity_round10_front_draft_stays_valid():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     text = open(os.path.join(repo, "PARITY.md")).read()
-    m = re.search(r"49\s+r8-latest entries `([^`]+)`", text, re.S)
-    assert m, "PARITY.md round-10 _FRONT draft went missing"
+    m = re.search(r"49\s+surviving r9-latest entries `([^`]+)`", text,
+                  re.S)
+    assert m, "PARITY.md round-11 _FRONT draft went missing"
     draft = [n.strip() for n in m.group(1).replace("\n", " ").split(",")
              if n.strip()]
     front = draft + list(STAGED_NEXT_ROUND)

@@ -317,28 +317,51 @@ def test_catalog_wrapper_matches_its_admission_oracle(spark, sf_dir):
 
 
 def test_round10_admission_ledger_arithmetic():
-    """Test-lock the round-10 rotation arithmetic (VERDICT r8 #4): the
-    retirement target `ann_int8_recall` must still be a catalog entry
-    (it retires IN round 10, not before), the admission candidate must
-    still be in EXTRA_ENTRIES (it leaves the extras the round it is
-    admitted), its machinery-subsumption witness
-    `embedding_quantize_int8` must remain in the catalog, and the
-    staged-then-front arithmetic must hold: 49 surviving r9-latest
-    entries + 1 staged admission = one full window."""
-    from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
+    """Test-lock the round-10 rotation as EXECUTED (VERDICT r9 #1) plus
+    the round-11 front arithmetic: `ann_int8_recall` retired (gone from
+    the catalog, operators keep their unit tests), the PQ probe admitted
+    and OUT of the extras (an admitted entry leaves EXTRA_ENTRIES the
+    round it is admitted), its machinery-subsumption witness
+    `embedding_quantize_int8` still covered, and the staged-then-front
+    arithmetic holding: 49 surviving r9-latest entries + the staged
+    admission = one full round-11 window."""
+    from waimak_spark.catalog import (
+        ALL_ENTRIES,
+        EXTRA_ENTRIES,
+        STAGED_NEXT_ROUND,
+    )
 
-    assert "ann_int8_recall" in ALL_ENTRIES
+    assert "ann_int8_recall" not in ALL_ENTRIES
     assert "embedding_quantize_int8" in ALL_ENTRIES
-    assert "ivf_pq_probe_stored" in EXTRA_ENTRIES
-    assert "ann_ivf_pq_probe_stored" not in ALL_ENTRIES
-    # the future round-10 window: 50 current-front entries rotate out,
-    # the other 50 (including dsir_select) rotate in; retiring
-    # ann_int8_recall (in the CURRENT front) then leaves 100-1 entries,
-    # and the PQ admission restores the 2x50 cap
+    assert "ivf_pq_probe_stored" not in EXTRA_ENTRIES
+    assert "ann_ivf_pq_probe_stored" in ALL_ENTRIES
+    assert STAGED_NEXT_ROUND == ("ann_ivf_pq_probe_stored",)
     names = list(ALL_ENTRIES)
     assert len(names) == 100
-    assert "ann_int8_recall" in names[:50], \
-        "retirement target must be in the round-9 window (newest row r9)"
+    # the staged admission sits OUTSIDE the round-10 window (it fronts
+    # round 11); the retired entry freed exactly its slot
+    assert "ann_ivf_pq_probe_stored" not in names[:50]
+    assert names[0] == "dsir_select", \
+        "the round-9 staged admission fronts first in round 10"
+
+
+def test_round11_bloom_retirement_bookkeeping():
+    """Round-11 admission prep in the DSIR pattern (VERDICT r9 #5): the
+    Bloom candidate must still be measurable through EXTRA_ENTRIES, its
+    admission-shape lockstep runs every pytest
+    (tests/test_bloom_dedup.py::test_catalog_fn_matches_duckdb), and the
+    decided retirement target `dedup_simhash_near_dups` must sit in the
+    ROUND-10 window (newest row r10 — retiring it in round 11 then
+    removes a round-12 obligation, keeping the catalog at the 100 cap).
+    The simhash machinery keeps official coverage through
+    `dedup_simhash` and `dedup_simhash_resolve`."""
+    from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
+
+    assert "bloom_dedup_against_corpus" in EXTRA_ENTRIES
+    names = list(ALL_ENTRIES)
+    assert "dedup_simhash_near_dups" in names[:50]
+    assert "dedup_simhash" in ALL_ENTRIES
+    assert "dedup_simhash_resolve" in ALL_ENTRIES
 
 
 class TestIvfPqStoredTable:

@@ -49,37 +49,43 @@ for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES,
 # (test_driver_window_covers_all_unchecked_entries) fails the suite if any
 # entry would go two rounds without an official row.
 #
-# _FRONT for round 9 — the rotation precomputed in PARITY.md's round-8
-# ledger, executed verbatim (CORRECTNESS_r08 matched the committed round-8
+# _FRONT for round 10 — the rotation precomputed in PARITY.md's round-9
+# ledger, executed verbatim (CORRECTNESS_r09 matched the committed round-9
 # window exactly, key-for-key in order, so no re-derivation was needed):
-# the 50 entries whose newest official row is r7 — the stable set-A half
-# of the alternation at the 100-entry cap.  Zero free slots.  The decided
-# catalog-slot swap is ALSO executed this round: `ann_lsh_pairs` retires
-# (the `lsh_ann_pairs` operator stays in functions/similarity.py with its
-# unit tests; `dedup_embedding_cosine` exercises the same LSH pair
-# machinery on the same embeddings, so the machinery keeps an official
-# row) and `dsir_select` is admitted through the sanctioned staging path
-# below (the window is fully forced, so it fronts in round 10).
+# the staged `dsir_select` admission fronting first (its first official
+# row) plus the 49 surviving r8-latest entries — the set-B half of the
+# alternation at the 100-entry cap, minus the round-9 `ann_lsh_pairs`
+# retirement.  Zero free slots.  The decided catalog-slot swap is ALSO
+# executed this round (PARITY round-9 ledger / VERDICT r9 #1):
+# `ann_int8_recall` RETIRES (the int8 quantize/recall operators keep
+# their unit tests in tests/test_similarity_resolution.py, and
+# `embedding_quantize_int8` keeps the int8 machinery officially covered
+# — its newest row is r9, so retirement removes a round-11 obligation)
+# and `ann_ivf_pq_probe_stored` is admitted through the sanctioned
+# staging path below (the window is fully forced, so it fronts in
+# round 11).
 _FRONT: tuple[str, ...] = (
-    "contamination_overlap", "chunk_overlapping_windows",
-    "dedup_semantic_kmeans", "embedding_centroids", "dedup_simhash",
-    "dedup_minhash_resolve", "dedup_embedding_cosine_fixpoint",
-    "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
-    "q2_min_cost_supplier", "q8_market_share", "q12_late_priority",
-    "q15_top_supplier", "q16_supplier_count", "q19_disjunctive_revenue",
-    "q20_heavy_suppliers", "q21_waiting_suppliers",
-    "embedding_quantize_int8", "ann_int8_recall",
-    "embedding_cluster_exemplars", "sample_lang_balanced",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
-    "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",
-    "pivot_status_quantity", "customers_without_orders",
-    "part_feature_projection", "q4_priority_exists", "q7_nation_volume",
-    "q9_profit_by_nation", "q10_returned_revenue", "q13_order_distribution",
-    "q14_promo_share", "q17_small_quantity", "q18_large_volume",
-    "q22_wealthy_inactive", "status_custkey_setops", "order_window_stats",
-    "latest_event_per_user_type", "tumbling_window_counts",
-    "sessions_per_user", "running_value_per_user", "approx_event_stats",
-    "skew_count_distinct", "skew_salted_join", "event_funnel",
+    "dsir_select",
+    "dedup_substring_ngram", "ann_ivf_probe_stored", "bigram_logprob",
+    "q11_important_parts", "dq_window_anomaly", "dedup_simhash_resolve",
+    "asof_quote_per_trade", "range_join_shipments",
+    "grouping_sets_quantity", "streaming_tumbling_counts",
+    "streaming_session_counts", "streaming_dedup_pairs",
+    "streaming_trade_quote_join", "sample_stratified",
+    "split_leakage_safe", "pii_redaction", "repetition_metrics",
+    "dedup_against_corpus", "dedup_near_against_corpus", "source_rollup",
+    "sample_quota_per_stratum", "curation_pipeline",
+    "decontaminate_against_benchmark", "corpus_vocabulary",
+    "tfidf_top_terms", "pack_sequences", "sample_weighted",
+    "decontaminate_near", "dq_metrics_trend", "text_quality", "lang_id",
+    "token_counts", "doc_fingerprint", "dedup_exact",
+    "dedup_lsh_candidates", "dedup_simhash_near_dups",
+    "dedup_ngram_jaccard", "dedup_minhash_verified",
+    "dedup_minhash_verified_resolve", "ann_brute_force_topk",
+    "ann_ivf_topk", "ann_ivf_recall", "dedup_embedding_cosine",
+    "storage_snapshot_dedup", "storage_all_between",
+    "rdbm_temporal_snapshot", "rdbm_lowercase_all",
+    "multimodal_byte_features", "multimodal_image_decode",
 )
 
 # Entries NEW this round that the window cannot hold.  The sanctioned
@@ -87,12 +93,13 @@ _FRONT: tuple[str, ...] = (
 # verify_drive) and MUST be fronted next round — the rotation invariant
 # test treats a staged entry as legal outside the window ONLY while it
 # has never appeared in any official CORRECTNESS file (i.e. it is
-# genuinely new, not an old entry being parked).  Round 9: `dsir_select`
-# is admitted into the catalog in `ann_lsh_pairs`'s retired slot (PARITY
-# round-8 ledger) — the round-9 window is fully forced (set-A), so the
-# admission stages here and fronts in round 10 (round-10 forced = the 49
-# surviving r8-latest entries + this admission = 50).
-STAGED_NEXT_ROUND: tuple[str, ...] = ("dsir_select",)
+# genuinely new, not an old entry being parked).  Round 10:
+# `ann_ivf_pq_probe_stored` is admitted into the catalog in
+# `ann_int8_recall`'s retired slot (PARITY round-9 ledger) — the
+# round-10 window is fully forced (1 staged + 49 survivors), so the
+# admission stages here and fronts in round 11 (round-11 forced = the
+# 49 surviving r9-latest entries + this admission = 50).
+STAGED_NEXT_ROUND: tuple[str, ...] = ("ann_ivf_pq_probe_stored",)
 
 _missing = [n for n in _FRONT if n not in _MERGED]
 if _missing:
@@ -119,7 +126,6 @@ from .curation import (  # noqa: E402
     sample_priority_topk as _x_prio,
 )
 from .similarity import (  # noqa: E402
-    ann_ivf_pq_probe_stored as _x_ivf_pq,
     ann_ivf_probe_appended as _x_ivf_apd,
     sample_kcenter_diverse as _x_kcenter,
 )
@@ -134,8 +140,8 @@ from .text import (  # noqa: E402
 )
 
 EXTRA_ENTRIES = {
-    # dsir_select left the extras at its round-9 catalog admission
-    "ivf_pq_probe_stored": _x_ivf_pq,
+    # dsir_select left the extras at its round-9 catalog admission;
+    # ivf_pq_probe_stored left at its round-10 admission
     "ivf_probe_appended": _x_ivf_apd,
     "bloom_dedup_against_corpus": _x_bloom,
     "sample_kcenter_diverse": _x_kcenter,

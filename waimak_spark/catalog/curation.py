@@ -252,8 +252,11 @@ PRIORITY_SEED = 11
 
 def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size weighted sampling without replacement (Efraimidis &
-    Spiliotis 2006): exactly k docs, inclusion probability ∝ document
-    length, one map-only pass + TakeOrderedAndProject — round-20
+    Spiliotis 2006): exactly k docs, inclusion probability
+    approximately proportional to document length (A-ES priority keys
+    — exact probability-proportional-to-size inclusion for k > 1 is
+    the Chao/A-PS variant), one map-only pass + TakeOrderedAndProject
+    — round-20
     catalog admission candidate per the PARITY rotation ledger; until
     then verified by tests/test_priority_sample.py every pytest run
     and measured through the catalog EXTRA_ENTRIES registry."""

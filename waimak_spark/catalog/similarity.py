@@ -558,9 +558,13 @@ ENTRIES = {
         "fn": embedding_quantize_int8,
         "oracle": S.quantize_int8_sql(),
     },
-    "ann_int8_recall": {
-        "fn": ann_int8_recall,
-        "oracle": _int8_recall_oracle(),
+    # `ann_int8_recall` RETIRED round 10 per the PARITY rotation ledger
+    # (subsumed by ann_ivf_pq_probe_stored's stronger compressed-scoring
+    # recall story; the int8 operators keep their unit tests and
+    # `embedding_quantize_int8` keeps the machinery officially covered)
+    "ann_ivf_pq_probe_stored": {
+        "fn": ann_ivf_pq_probe_stored,
+        "oracle": _pq_probe_stored_oracle(),
     },
     "dedup_embedding_cosine": {
         "fn": dedup_embedding_cosine,

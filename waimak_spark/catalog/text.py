@@ -188,7 +188,9 @@ def _distinct_hll_oracle() -> str:
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join with lossless prefix filtering
     (Bayardo et al. 2007): every document pair with shingle-set Jaccard
-    >= 0.5, with the provably-complete candidate pruning the heuristic
+    >= PPJOIN_TAU (0.75 — the measured default in functions/dedup.py;
+    the threshold is exact at any tau, tested down to 0.3), with the
+    provably-complete candidate pruning the heuristic
     LSH/df-cap paths trade away — round-19 catalog admission candidate
     per the PARITY rotation ledger; until then verified by
     tests/test_prefix_join.py every pytest run and measured through the

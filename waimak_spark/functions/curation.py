@@ -767,7 +767,12 @@ def priority_sample_k_sql(weight_expr: str, k: int,
                           cols: str = "doc_id, source, n_chars",
                           id_expr: str = "doc_id",
                           seed: int = 1) -> str:
-    """DuckDB oracle for :func:`priority_sample_k` over ``table``."""
+    """DuckDB oracle for :func:`priority_sample_k` over ``table``.
+
+    ``weight_expr`` / ``id_expr`` / ``cols`` are SQL *fragments*
+    interpolated verbatim (they name columns or arithmetic over them,
+    like ``n_chars`` or ``n_chars * quality``) — callers pass trusted
+    expressions, never user-supplied strings."""
     from .text import md5_hash32_sql
 
     h = md5_hash32_sql(f"'{seed}:' || ({id_expr})::VARCHAR")

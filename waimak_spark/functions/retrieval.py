@@ -61,6 +61,14 @@ BM25_QUERIES = (
 )
 
 
+def _sql_str(t: str) -> str:
+    """Escape a term for interpolation as a SQL string literal —
+    the fixed BM25_QUERIES are safe, but the function is parameterized
+    on arbitrary query text and a single quote in a term would
+    otherwise produce malformed oracle SQL."""
+    return "'" + t.replace("'", "''") + "'"
+
+
 def _qtokens(query: str) -> list[str]:
     """Query-side tokenizer — the same lowercase/whitespace semantics
     as the document tokenizer; duplicate terms dropped (first
@@ -137,8 +145,8 @@ def bm25_topk_sql(queries=BM25_QUERIES, k: int = BM25_TOPK,
     the same total order)."""
     k1f, bf = float(k1), float(b)
     vocab = sorted({t for _, q in queries for t in _qtokens(q)})
-    vocab_sql = ", ".join(f"'{t}'" for t in vocab)
-    qvals = ", ".join(f"('{qid}', '{t}')"
+    vocab_sql = ", ".join(_sql_str(t) for t in vocab)
+    qvals = ", ".join(f"({_sql_str(str(qid))}, {_sql_str(t)})"
                       for qid, q in queries for t in _qtokens(q))
     return f"""
         with q(qid, term) as (values {qvals}),
