@@ -281,7 +281,15 @@ def main() -> None:
                                 "warmup lap; rows with spread > 0.25 get a "
                                 "tools/measure_entry.py fresh-JVM verdict "
                                 "before any regression call; load sentinel "
-                                "brackets every lap — see 'sentinel'"),
+                                "brackets every lap — see 'sentinel'; "
+                                "per-query rows integrate lap-POSITION "
+                                "state (round-10 bisect: a 1.45x row move "
+                                "across a catalog rotation reproduced in "
+                                "quiet laps but not fresh-JVM isolated), "
+                                "so cross-round PER-QUERY comparisons are "
+                                "protocol-grade only at unchanged catalog "
+                                "order or via measure_entry; the lap total "
+                                "and same-order deltas remain comparable"),
                    "spread_max_over_min_minus_1": spread,
                    "stdout_name_rule": ("qN_* emitted as qN; others as "
                                         "initials of underscore parts"),

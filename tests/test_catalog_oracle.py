@@ -262,6 +262,42 @@ def test_readme_test_count_matches_collection(request):
         f"{collected} — update the README number")
 
 
+def test_admission_runway_bookkeeping():
+    """VERDICT r9 #6: every staged admission candidate with a DECIDED
+    retirement is locked here so admission day stays a one-line move —
+    the candidate must still be measurable through EXTRA_ENTRIES, its
+    retirement target must still hold a catalog slot (it retires in the
+    admission round, not before), and the machinery witness that keeps
+    the retired operator's family officially covered must stay in the
+    catalog.  Candidates without a named retirement yet (r13/r15-r20)
+    are only checked for EXTRA_ENTRIES presence + an admission-shape
+    lockstep test (each family's test_catalog_fn_matches_duckdb runs
+    every pytest)."""
+    from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
+
+    decided = [
+        # (candidate in extras, retirement target, machinery witness)
+        ("bloom_dedup_against_corpus", "dedup_simhash_near_dups",
+         "dedup_simhash_resolve"),                              # r11
+        ("sample_kcenter_diverse", "dedup_embedding_cosine",
+         "dedup_embedding_cosine_fixpoint"),                    # r12
+        ("corpus_heavy_hitters", "corpus_vocabulary",
+         "tfidf_top_terms"),                                    # r14
+    ]
+    for cand, retires, witness in decided:
+        assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
+        assert retires in ALL_ENTRIES, (
+            f"{retires} retired before its admission round")
+        assert witness in ALL_ENTRIES, (
+            f"{witness} (coverage witness for {retires}) missing")
+    undecided = ["ivf_probe_appended", "corpus_distinct_hll",
+                 "bm25_search", "dedup_lsh_probe_stored",
+                 "streaming_distinct_hll", "dedup_jaccard_prefix",
+                 "sample_priority_topk"]
+    for cand in undecided:
+        assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
+
+
 def test_parity_round11_front_draft_stays_valid():
     """PARITY.md precomputes round 11's _FRONT (the 49 r9-latest
     survivors + the staged `ann_ivf_pq_probe_stored` admission — the

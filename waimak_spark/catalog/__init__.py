@@ -137,6 +137,7 @@ from .text import (  # noqa: E402
     corpus_distinct_hll as _x_hll,
     corpus_heavy_hitters as _x_cms,
     dedup_jaccard_prefix as _x_ppj,
+    dedup_jaccard_prefix_collapsed as _x_ppjc,
 )
 
 EXTRA_ENTRIES = {
@@ -151,6 +152,7 @@ EXTRA_ENTRIES = {
     "dedup_lsh_probe_stored": _x_lshdx,
     "streaming_distinct_hll": _x_shll,
     "dedup_jaccard_prefix": _x_ppj,
+    "dedup_jaccard_prefix_collapsed": _x_ppjc,
     "sample_priority_topk": _x_prio,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)

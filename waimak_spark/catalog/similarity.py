@@ -134,7 +134,83 @@ def _int8_recall_oracle() -> str:
 # "build once, probe many" stored IVF index
 # ---------------------------------------------------------------------------
 
-_IVF_IDX_DB = "wmk_ann_idx"
+_IVF_IDX_DB_BASE = "wmk_ann_idx"
+
+
+def _idx_db() -> str:
+    """Per-PROCESS stored-index namespace (VERDICT r9 #3).
+
+    The session catalog is per-process while the warehouse directory is
+    shared, so under the old single shared database a sibling JVM (a
+    measurement lap racing a pytest session) running
+    :func:`_clear_superseded` would delete table FILES this process had
+    registered and was actively reading — `keep`'s own directory is
+    deliberately cleared when unregistered-here, because an
+    unregistered leftover is untrustworthy (two stored-index tests
+    failed exactly this way in round 9; the mitigation was a process
+    rule, "run measurement strictly serially").  Keying the whole
+    database on the pid makes cross-process deletion structurally
+    impossible: a process only ever creates, drops, or clears inside
+    its own namespace, and orphaned namespaces from DEAD pids are swept
+    at first use (:func:`_sweep_orphan_idx_namespaces`) so the
+    warehouse doesn't accumulate abandoned builds.  Cross-process index
+    REUSE was never supported (the in-memory catalog can't see another
+    process's registrations, so a fresh process always rebuilt anyway)
+    — this trades nothing.  On a real cluster with a SHARED Hive
+    metastore the registrations are globally visible and a production
+    deployment would key on the dataset fingerprint alone behind the
+    metastore's own locking; the pid key is the correct form wherever
+    the catalog is process-local, which is every local[] session."""
+    import os
+
+    return f"{_IVF_IDX_DB_BASE}_p{os.getpid()}"
+
+
+_IVF_IDX_DB = _idx_db()
+_ORPHANS_SWEPT = False
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        # EPERM and friends: a process exists but isn't ours — alive
+        return True
+    return True
+
+
+def _sweep_orphan_idx_namespaces(spark: SparkSession) -> None:
+    """Delete stored-index namespaces whose owning pid is dead — run
+    once per process, at first stored-index use.  A LIVE sibling's
+    namespace is never touched (os.kill(pid, 0) liveness), which is the
+    whole point; a dead pid's directory is garbage by construction
+    (its registrations died with its session catalog).  The legacy
+    shared `wmk_ann_idx.db` directory (pre-per-process layout) is also
+    cleared: no current code can read it."""
+    global _ORPHANS_SWEPT
+    if _ORPHANS_SWEPT:
+        return
+    _ORPHANS_SWEPT = True
+    import os
+    import re
+
+    from ..filesystem import FileOps
+
+    fops = FileOps(spark)
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for path in fops.glob(f"{wh}/{_IVF_IDX_DB_BASE}_p*.db"):
+        m = re.search(r"_p(\d+)\.db/?$", path)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        if not _pid_alive(int(m.group(1))):
+            fops.delete(path, recursive=True)
+    fops.delete(f"{wh}/{_IVF_IDX_DB_BASE}.db", recursive=True)
+
+
 # bump when the index layout or the cell-assignment kernel changes: a
 # table from an older build (the metastore persists across rounds) must
 # not be trusted to match the current prober
@@ -403,6 +479,7 @@ def _clear_superseded(spark: SparkSession, prefix: str, keep: str) -> None:
     works or fails loudly."""
     from ..filesystem import FileOps
 
+    _sweep_orphan_idx_namespaces(spark)
     spark.sql(f"create database if not exists {_IVF_IDX_DB}")
     for t in spark.catalog.listTables(_IVF_IDX_DB):
         if t.name.startswith(prefix) and t.name != keep:

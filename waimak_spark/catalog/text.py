@@ -202,6 +202,37 @@ def _jaccard_prefix_oracle() -> str:
     return D.jaccard_prefix_join_sql()
 
 
+#: disjoint id space for the duplicated copy of the corpus (documents
+#: doc_ids are dense small ints at every sf and on the 10x replica)
+PREFIX_DUP_OFFSET = 1_000_000_000
+
+
+def dedup_jaccard_prefix_collapsed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The composed exact-dedup → prefix-join form (VERDICT r9 #4) on a
+    corpus WITH exact-duplicate multiplicity: the documents table
+    doubled (copy ids offset into a disjoint range), so every text has
+    multiplicity >= 2 — the regime the composition exists for.  The
+    expensive tokenize/shingle/prefix machinery runs once per DISTINCT
+    text; member pairs fan back out through two narrow hash joins.
+    Output-identical to the raw :func:`~waimak_spark.functions.dedup.
+    jaccard_prefix_join` over the same doubled corpus (locked in
+    tests/test_prefix_join.py), so the raw SQL oracle certifies it
+    verbatim."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = docs.select(
+        (F.col("doc_id") + F.lit(PREFIX_DUP_OFFSET)).alias("doc_id"),
+        "text")
+    return D.jaccard_prefix_join_collapsed(docs.unionByName(dup))
+
+
+def _jaccard_prefix_collapsed_oracle() -> str:
+    doubled = (f"(select doc_id, text from documents union all "
+               f"select doc_id + {PREFIX_DUP_OFFSET}, text "
+               f"from documents)")
+    return D.jaccard_prefix_join_sql(table=doubled)
+
+
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval: the top-k documents per fixed query with
     rounded scores and per-query ranks — round-16 catalog admission

@@ -912,14 +912,16 @@ def jaccard_prefix_join(df: DataFrame, text_col: str = "text",
     candidates against the shingle stream and count matches — shuffles
     candidate-count × set-size rows) 4.6 → 2.7 s; the tau=0.75 default
     (see PPJOIN_TAU) lands at 1.8 s; an exact-duplicate CLASS collapse
-    (fingerprint identical sets, prefix-join representatives, expand
-    member pairs — output-identical, test-verified) was measured and
-    REJECTED on this corpus: the distinct-set factor is 1.0 (no exact
-    dups to collapse, 4.1 vs 2.7 s isolated) and the 10× replica
-    perturbs each copy's text so copies are NEAR-dups that cannot
-    collapse either.  On a genuinely duplication-heavy corpus, run
-    ``exact_dedup`` FIRST — composing after it achieves the same
-    collapse without this operator carrying a second fingerprint pass.
+    built INTO this operator (fingerprint identical sets in-line) was
+    measured and REJECTED on this corpus: the distinct-set factor is
+    1.0 (no exact dups to collapse, 4.1 vs 2.7 s isolated) and the 10×
+    replica perturbs each copy's text so copies are NEAR-dups that
+    cannot collapse either.  On a genuinely duplication-heavy corpus
+    use :func:`jaccard_prefix_join_collapsed` (VERDICT r9 #4) — the
+    exact_dedup → prefix-join-on-representatives → fan-back
+    composition, OUTPUT-IDENTICAL to this operator (locked in
+    tests/test_prefix_join.py) with the expensive machinery scaling in
+    DISTINCT texts instead of documents.
 
     Output is inherently quadratic in near-duplicate multiplicity (the
     pair-lister contract shared by lsh/simhash/ngram listings here —
@@ -969,14 +971,18 @@ def jaccard_prefix_join(df: DataFrame, text_col: str = "text",
 
 
 def jaccard_prefix_join_sql(n: int = SHINGLE_N,
-                            tau: float = PPJOIN_TAU) -> str:
+                            tau: float = PPJOIN_TAU,
+                            table: str = "documents") -> str:
     """DuckDB oracle for :func:`jaccard_prefix_join` — the same prefix
     construction (window per doc over (df, sh)), the same length
-    filter, the same exact verification."""
+    filter, the same exact verification.  ``table`` may be a view name
+    or a parenthesized subquery (a trusted SQL fragment); because the
+    composed form is output-identical, this same oracle certifies
+    :func:`jaccard_prefix_join_collapsed` over any corpus."""
     return f"""
         with tok as (
             select doc_id, {TOKENS_SQL.format(col='text')} as t
-            from documents
+            from {table}
         ), sh_all as (
             select doc_id as id,
                    md5(unnest(list_distinct({shingles_sql('t', n)}))) as sh
@@ -1016,6 +1022,74 @@ def jaccard_prefix_join_sql(n: int = SHINGLE_N,
               >= {float(tau)!r}::DOUBLE
         order by doc_a, doc_b
     """
+
+
+def jaccard_prefix_join_collapsed(df: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  n: int = SHINGLE_N,
+                                  tau: float = PPJOIN_TAU) -> DataFrame:
+    """:func:`jaccard_prefix_join` composed AFTER an exact-duplicate
+    collapse — OUTPUT-IDENTICAL to the raw form (locked in
+    tests/test_prefix_join.py on corpora with real multiplicity), built
+    for duplication-heavy corpora (VERDICT r9 #4).
+
+    At 100 TB, exact-duplicate multiplicity is precisely the amplifier
+    that makes the raw pair-lister quadratic (PARITY's 10× text replica
+    measured ~1000× pair growth): m copies of one document contribute
+    m² of every pair they appear in, and the raw operator re-tokenizes,
+    re-shingles, and re-joins every copy.  Here the expensive machinery
+    runs once per DISTINCT content: documents group by ``md5(text)``
+    (the :func:`exact_dedup` identity), the min-id representative of
+    each class feeds the prefix join, and the rep-level pairs fan back
+    to member pairs with the SAME ``shared``/``jaccard`` values —
+    licensed exactly because identical text ⇒ identical shingle set ⇒
+    identical Jaccard against everything.  Intra-class pairs (J = 1 by
+    construction, qualifying at any tau ≤ 1) are emitted directly from
+    the membership frame without touching text at all; classes whose
+    text yields no shingles emit nothing, matching the raw form (an
+    empty set never generates a candidate and its Jaccard is null).
+    The output stays inherently quadratic in near-dup multiplicity —
+    that is the pair-lister CONTRACT — but the compute no longer is:
+    tokenize/shingle/df/prefix-join cost scales with distinct texts,
+    and the fan-out is two hash joins against a narrow (class, id)
+    frame.  On a corpus with no exact dups this adds one md5-groupBy
+    pass over the raw form (the measured round-9 rejection of an
+    in-operator collapse); the steer: raw for audit sweeps on curated
+    corpora, composed wherever exact multiplicity is expected."""
+    mem = tracked_persist(
+        df.where(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("_ch"),
+                F.col(id_col).alias("_id")))
+    cls = mem.groupBy("_ch").agg(F.min("_id").alias("_rep"))
+    # (class rep, member id) — persisted: read by the two inter-class
+    # fan-out joins AND the intra-class self-join
+    memx = tracked_persist(
+        mem.join(cls, "_ch").select("_rep", "_id"))
+    reps = df.join(cls.select(F.col("_rep").alias(id_col)), id_col)
+    rp = jaccard_prefix_join(reps, text_col, id_col, n, tau)
+    ea = memx.select(F.col("_rep").alias("doc_a"),
+                     F.col("_id").alias("_ida"))
+    eb = memx.select(F.col("_rep").alias("doc_b"),
+                     F.col("_id").alias("_idb"))
+    inter = (rp.join(ea, "doc_a").join(eb, "doc_b")
+             .select(F.least("_ida", "_idb").alias("doc_a"),
+                     F.greatest("_ida", "_idb").alias("doc_b"),
+                     "shared", "jaccard"))
+    # rep shingle-set sizes: the identical shingle_base plan the prefix
+    # join persisted, so this is a cache read, not a second tokenize
+    rsz = (shingle_base(reps, text_col, id_col, n)
+           .select(F.col(id_col).alias("_rep"),
+                   F.size("_sh").alias("_sz"))
+           .where(F.col("_sz") > 0))
+    intra = (memx.join(memx.select(F.col("_rep"),
+                                   F.col("_id").alias("_idb")), "_rep")
+             .where(F.col("_id") < F.col("_idb"))
+             .join(rsz, "_rep")
+             .select(F.col("_id").alias("doc_a"),
+                     F.col("_idb").alias("doc_b"),
+                     F.col("_sz").cast("bigint").alias("shared"),
+                     F.lit(1.0).alias("jaccard")))
+    return inter.unionByName(intra).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
