@@ -125,6 +125,9 @@ from .curation import (  # noqa: E402
     dedup_lsh_probe_stored as _x_lshdx,
     sample_priority_topk as _x_prio,
 )
+from .events import (  # noqa: E402
+    events_value_quantiles_kmv as _x_kmv,
+)
 from .similarity import (  # noqa: E402
     ann_ivf_probe_appended as _x_ivf_apd,
     sample_kcenter_diverse as _x_kcenter,
@@ -154,6 +157,7 @@ EXTRA_ENTRIES = {
     "dedup_jaccard_prefix": _x_ppj,
     "dedup_jaccard_prefix_collapsed": _x_ppjc,
     "sample_priority_topk": _x_prio,
+    "events_value_quantiles_kmv": _x_kmv,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

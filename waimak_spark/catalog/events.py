@@ -239,6 +239,29 @@ APPROX_STATS_ORACLE = """
 """
 
 
+
+def events_value_quantiles_kmv(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """KMV bottom-k quantile sketch certification over the events table
+    (Bar-Yossef et al. 2002) — the QUANTILE member of the sketch triad
+    (CMS = frequencies, HLL = distinct counts): per event_type, the
+    exact p50/p95/p99 of `value` (run-once certification), the sketch
+    estimate from a 256-row seeded bottom-k sample (bounded state
+    regardless of corpus size, exactly mergeable across batches), and
+    the exactly-computed rank error with a 2/sqrt(k) tolerance bit.
+    Post-runway extension measured through the catalog EXTRA_ENTRIES
+    registry; verified by tests/test_kmv.py every pytest run."""
+    from ..functions import sketch as SK
+
+    return SK.kmv_quantiles(_events_raw(spark, sf_dir))
+
+
+def _kmv_quantiles_oracle() -> str:
+    from ..functions import sketch as SK
+
+    return SK.kmv_quantiles_sql()
+
+
 ENTRIES = {
     "latest_event_per_user_type": {"fn": latest_event_per_user_type,
                                    "oracle": LATEST_ORACLE},

@@ -397,3 +397,222 @@ def hll_distinct_grams_sql(n: int = CMS_NGRAM, p: int = HLL_P,
         from exact e join est using (grp)
         order by {group_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k quantile sketch (round 10) — the QUANTILE member of the
+# sketch triad (CMS = frequencies, HLL = distinct counts, KMV = value
+# distribution), built on the k-minimum-values idea (Bar-Yossef et al.
+# 2002, RANDOM: the k smallest values of a uniform hash are a uniform
+# size-k sample without replacement).  The 100 TB story: an exact
+# quantile needs a per-group sort of the whole corpus; the sketch's
+# state is k rows per group REGARDLESS of corpus size, selection is one
+# map pass + a salted top-k (no per-group full sort, no hot single
+# partition), and bottom-k MERGES exactly — bottomk(A ∪ B) ==
+# bottomk(bottomk(A) ∪ bottomk(B)), the union-commutes identity the
+# stored-index family uses, so per-batch sketches roll up to the
+# corpus sketch with k-row state per batch.  The seeded md5 hash makes
+# the SAMPLE itself engine-reproducible — which estimate errors occur
+# is deterministic — licensing an exact DuckDB oracle (the Bloom/CMS/
+# HLL recipe).  The catalog entry reports, per group and quantile, the
+# exact value (run-once certification, the ann_ivf_recall pattern),
+# the sketch estimate, and the exactly-computed rank error with a
+# DKW-style tolerance flag.
+# ---------------------------------------------------------------------------
+
+#: sample size per group (rank-error std ~ sqrt(q(1-q)/k) <= 0.031)
+KMV_K = 256
+#: seed — disjoint from CMS (8000+), HLL (8100+), Bloom (7001+)
+KMV_SEED = 8200
+#: salt buckets for the two-phase per-group top-k (the BM25 pattern: a
+#: hot group can never pin a full corpus partition on one task)
+KMV_SALT = 32
+#: quantiles the catalog entry certifies
+KMV_QS = (0.5, 0.95, 0.99)
+#: rank-error tolerance: 2/sqrt(k) (DKW-flavored two-sided bound)
+KMV_RANK_TOL = 2.0 / (KMV_K ** 0.5)
+
+
+def kmv_bottomk(df: DataFrame, value_col: str = "value",
+                group_col: str = "event_type", id_col: str = "event_id",
+                k: int = KMV_K, seed: int = KMV_SEED,
+                salt: int = KMV_SALT) -> DataFrame:
+    """``(g, id, v, _u)`` — per group, the ``k`` rows with the smallest
+    seeded hash of the row id: a uniform size-k sample without
+    replacement, selected in TWO phases (row_number inside
+    ``(g, id % salt)`` buckets prunes to <= k*salt rows per group
+    before the final per-group rank) so the only per-group-keyed window
+    runs over a bounded frame.  Rows with a null group or value are
+    excluded on both engines."""
+    from pyspark.sql import Window as W
+
+    base = (spread_for_compute(df)
+            .where(F.col(value_col).isNotNull()
+                   & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("g"),
+                    F.col(id_col).alias("id"),
+                    F.col(value_col).alias("v"))
+            .withColumn("_u", seeded_hash(F.col("id").cast("string"),
+                                          seed)))
+    w1 = (W.partitionBy("g", F.pmod(F.col("id"), F.lit(salt)))
+          .orderBy(F.asc("_u"), F.asc("id")))
+    w2 = W.partitionBy("g").orderBy(F.asc("_u"), F.asc("id"))
+    return (base.withColumn("_pr", F.row_number().over(w1))
+            .where(F.col("_pr") <= k)
+            .withColumn("_r", F.row_number().over(w2))
+            .where(F.col("_r") <= k)
+            .select("g", "id", "v", "_u"))
+
+
+def _qtag(q: float) -> str:
+    return str(q).replace(".", "_")
+
+
+def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
+                  value_col: str = "value",
+                  group_col: str = "event_type",
+                  id_col: str = "event_id", k: int = KMV_K,
+                  seed: int = KMV_SEED) -> DataFrame:
+    """``(group, q, n, exact_q, est_q, rank_err, within_tol)`` — per
+    group and quantile: the exact type-1 (discrete) quantile from a
+    full per-group rank (the run-once CERTIFICATION side), the KMV
+    sketch estimate (the same pick rule over the bottom-k sample), and
+    the exactly-computed rank error ``|F(est_q) - q|`` with a
+    ``<= 2/sqrt(k)`` tolerance bit.  Every pick is rank
+    ``greatest(1, ceil(q*n))`` in ``(value asc, id asc)`` order — a
+    total order, so both engines pick the identical row; the rank-error
+    division is rounded to 4dp (the aggregate-family gate).
+
+    Plan shape: the null-filtered ``(g, id, v)`` projection persists
+    once and feeds (a) the per-group counts, (b) the exact-rank window,
+    (c) the rank-error conditional count — each one pass with map-side
+    partial aggregation; the sample side is bounded at ``k`` rows per
+    group.  The per-group full-sort window is the certification side
+    only — a production 100 TB run keeps the sketch path (one map pass
+    + salted top-k) and certifies on a slice."""
+    from pyspark.sql import Window as W
+
+    from .cache_registry import tracked_persist
+
+    full = tracked_persist(
+        df.where(F.col(value_col).isNotNull()
+                 & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.col(id_col).alias("id"),
+                F.col(value_col).alias("v")))
+    n_g = full.groupBy("g").agg(F.count("*").alias("n"))
+    wv = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    ranked = (full.withColumn("_rn", F.row_number().over(wv))
+              .join(F.broadcast(n_g), "g"))
+    exact_wide = ranked.groupBy("g", "n").agg(*[
+        F.max(F.when(
+            F.col("_rn") == F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(float(q)) * F.col("n"))),
+            F.col("v"))).alias(f"x_{_qtag(q)}")
+        for q in qs])
+    samp = kmv_bottomk(df, value_col, group_col, id_col, k, seed)
+    ws = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    sn = samp.groupBy("g").agg(F.count("*").alias("sn"))
+    est_wide = (samp.withColumn("_sr", F.row_number().over(ws))
+                .join(F.broadcast(sn), "g")
+                .groupBy("g").agg(*[
+                    F.max(F.when(
+                        F.col("_sr") == F.greatest(
+                            F.lit(1).cast("long"),
+                            F.ceil(F.lit(float(q)) * F.col("sn"))),
+                        F.col("v"))).alias(f"e_{_qtag(q)}")
+                    for q in qs]))
+    errs = (full.join(F.broadcast(est_wide), "g")
+            .groupBy("g").agg(*[
+                F.sum(F.when(F.col("v") <= F.col(f"e_{_qtag(q)}"), 1)
+                      .otherwise(0)).cast("long").alias(f"c_{_qtag(q)}")
+                for q in qs]))
+    wide = (exact_wide.join(est_wide, "g").join(errs, "g"))
+    stack_args = ", ".join(
+        f"cast({float(q)!r} as double), x_{_qtag(q)}, e_{_qtag(q)}, "
+        f"c_{_qtag(q)}" for q in qs)
+    long = wide.select(
+        "g", "n",
+        F.expr(f"stack({len(qs)}, {stack_args}) "
+               f"as (q, exact_q, est_q, c_le)"))
+    rank_err = F.round(F.abs(F.col("c_le") / F.col("n") - F.col("q")), 4)
+    return (long.select(
+        F.col("g").alias(group_col), "q", "n", "exact_q", "est_q",
+        rank_err.alias("rank_err"),
+        (rank_err <= F.lit(KMV_RANK_TOL)).cast("int")
+        .alias("within_tol"))
+        .orderBy(group_col, "q"))
+
+
+def kmv_quantiles_sql(qs: tuple = KMV_QS, k: int = KMV_K,
+                      seed: int = KMV_SEED, table: str = "events",
+                      value_col: str = "value",
+                      group_col: str = "event_type",
+                      id_col: str = "event_id") -> str:
+    """DuckDB oracle for :func:`kmv_quantiles` — the same seeded
+    bottom-k selection (single-phase: the salt pre-prune is exact, so
+    the sample is the identical row set), the same pick ranks in the
+    same total order, the same rounded rank error."""
+    # hashed selects from vals, where the id column is aliased `id`
+    u = seeded_hash_sql("id::VARCHAR", seed)
+    x_cols = ", ".join(
+        f"max(case when rn = greatest(1, ceil({float(q)!r}::DOUBLE * n))"
+        f" then v end) as x_{_qtag(q)}" for q in qs)
+    e_cols = ", ".join(
+        f"max(case when sr = greatest(1, ceil({float(q)!r}::DOUBLE * sn))"
+        f" then v end) as e_{_qtag(q)}" for q in qs)
+    c_cols = ", ".join(
+        f"sum(case when f.v <= e.e_{_qtag(q)} then 1 else 0 end)::BIGINT"
+        f" as c_{_qtag(q)}" for q in qs)
+    branches = " union all ".join(
+        f"select g, {float(q)!r}::DOUBLE as q, n, x_{_qtag(q)} as exact_q,"
+        f" e_{_qtag(q)} as est_q, c_{_qtag(q)} as c_le"
+        f" from wide" for q in qs)
+    return f"""
+        with vals as (
+            select {group_col} as g, {id_col} as id, {value_col} as v
+            from {table}
+            where {value_col} is not null and {group_col} is not null
+        ), ng as (
+            select g, count(*)::BIGINT as n from vals group by g
+        ), ranked as (
+            select g, v,
+                   row_number() over (partition by g
+                                      order by v asc, id asc) as rn
+            from vals
+        ), exact_wide as (
+            select g, n, {x_cols}
+            from ranked join ng using (g) group by g, n
+        ), hashed as (
+            select g, id, v, {u} as u from vals
+        ), samp as (
+            select g, id, v from (
+                select g, id, v,
+                       row_number() over (partition by g
+                                          order by u asc, id asc) as r
+                from hashed
+            ) where r <= {k}
+        ), sn as (
+            select g, count(*)::BIGINT as sn from samp group by g
+        ), est_wide as (
+            select g, {e_cols} from (
+                select g, v, sn,
+                       row_number() over (partition by g
+                                          order by v asc, id asc) as sr
+                from samp join sn using (g)
+            ) group by g
+        ), errs as (
+            select f.g, {c_cols}
+            from vals f join est_wide e using (g) group by f.g
+        ), wide as (
+            select * from exact_wide join est_wide using (g)
+            join errs using (g)
+        )
+        select g as {group_col}, q, n, exact_q, est_q,
+               round(abs(c_le::DOUBLE / n - q), 4) as rank_err,
+               case when round(abs(c_le::DOUBLE / n - q), 4)
+                         <= {KMV_RANK_TOL!r} then 1 else 0 end
+                   as within_tol
+        from ({branches})
+        order by {group_col}, q
+    """
