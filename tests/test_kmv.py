@@ -195,3 +195,107 @@ class TestKmvPlan:
         counts = (kmv_bottomk(ev).groupBy("g")
                   .agg(F.count("*").alias("c")).collect())
         assert all(r.c <= KMV_K for r in counts)
+
+
+def _py_bucket_minima(rows, b, seed_bucket, seed_order):
+    """Pure-python reference for the bucketed-minima sample."""
+    best: dict = {}
+    for g, i, v in rows:
+        if g is None or v is None:
+            continue
+        key = (g, _py_u(i, seed_bucket) % b)
+        cand = (_py_u(i, seed_order), i, v)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    return {(g, bk): (i, v) for (g, bk), (_, i, v) in best.items()}
+
+
+class TestKmvBucketMinima:
+    def test_batch_matches_duckdb(self, spark, sf_dir):
+        from waimak_spark.functions.sketch import (
+            kmv_bucket_quantiles,
+            kmv_bucket_quantiles_sql,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        got = [tuple(r) for r in kmv_bucket_quantiles(ev).collect()]
+        con = duckdb.connect()
+        con.execute(f"create view events as "
+                    f"select * from '{sf_dir}/events.parquet'")
+        want = [tuple(r) for r in
+                con.execute(kmv_bucket_quantiles_sql()).fetchall()]
+        assert len(got) == len(want) > 0
+        assert got == want
+
+    def test_minima_match_pure_python(self, spark):
+        from waimak_spark.functions.sketch import (
+            KMV_SEED,
+            KMV_SEED_BUCKET,
+            kmv_bucket_minima,
+        )
+
+        rows = [(f"g{i % 2}", i, float((i * 31) % 97))
+                for i in range(300)]
+        df = spark.createDataFrame(
+            [Row(event_type=g, event_id=i, value=v) for g, i, v in rows])
+        want = _py_bucket_minima(rows, 16, KMV_SEED_BUCKET, KMV_SEED)
+        got = {(r.g, r.bucket): (r.id, r.v)
+               for r in kmv_bucket_minima(df, b=16).collect()}
+        assert got == want
+
+    def test_minima_union_commutes(self, spark, sf_dir):
+        """Keyed-min mergeability: minima(A ∪ B) ==
+        minima(minima(A) ∪ minima(B)) — the identity that licenses the
+        streaming form and per-batch rollups."""
+        from waimak_spark.functions.sketch import kmv_bucket_minima
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = ev.where(F.col("event_id") % 2 == 0)
+        b = ev.where(F.col("event_id") % 2 == 1)
+
+        def as_events(m):
+            return m.select(F.col("g").alias("event_type"),
+                            F.col("id").alias("event_id"),
+                            F.col("v").alias("value"))
+
+        whole = sorted(tuple(r) for r in
+                       kmv_bucket_minima(ev).collect())
+        merged = sorted(tuple(r) for r in kmv_bucket_minima(
+            as_events(kmv_bucket_minima(a))
+            .unionByName(as_events(kmv_bucket_minima(b)))).collect())
+        assert merged == whole
+
+    def test_state_bounded(self, spark, sf_dir):
+        from waimak_spark.functions.sketch import (
+            KMV_BUCKETS,
+            kmv_bucket_minima,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        counts = (kmv_bucket_minima(ev).groupBy("g")
+                  .agg(F.count("*").alias("c")).collect())
+        assert all(r.c <= KMV_BUCKETS for r in counts)
+
+
+class TestStreamingKmv:
+    def test_streaming_matches_batch_and_oracle(self, spark, sf_dir):
+        """The drained streaming state yields the IDENTICAL report as
+        the batch bucketed-minima form (keyed min is order/batching
+        independent), and both match the shared DuckDB oracle."""
+        from waimak_spark.catalog.streaming import (
+            _streaming_kmv_oracle,
+            streaming_value_quantiles_kmv,
+        )
+        from waimak_spark.functions.sketch import kmv_bucket_quantiles
+
+        got = [tuple(r) for r in
+               streaming_value_quantiles_kmv(spark, sf_dir).collect()]
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch = [tuple(r) for r in kmv_bucket_quantiles(ev).collect()]
+        assert got == batch
+        con = duckdb.connect()
+        con.execute(f"create view events as "
+                    f"select * from '{sf_dir}/events.parquet'")
+        want = [tuple(r) for r in
+                con.execute(_streaming_kmv_oracle()).fetchall()]
+        assert got == want and len(got) > 0

@@ -47,7 +47,10 @@ DOC_QUERIES = [
     "pack_sequences", "sample_weighted", "decontaminate_near",
     # round-5 entries
     "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
-    "embedding_quantize_int8", "ann_int8_recall",
+    # ann_int8_recall retired round 10 (rotation ledger; int8 machinery
+    # stays covered via embedding_quantize_int8); its slot admitted the
+    # stored IVF-PQ probe, measured below via the build/probe split
+    "embedding_quantize_int8", "ann_ivf_pq_probe_stored",
     "embedding_cluster_exemplars", "sample_lang_balanced",
     # round-6 entries
     "ann_ivf_probe_stored", "bigram_logprob", "contamination_overlap",

@@ -134,6 +134,7 @@ from .similarity import (  # noqa: E402
 )
 from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
+    streaming_value_quantiles_kmv as _x_skmv,
 )
 from .text import (  # noqa: E402
     bm25_search as _x_bm25,
@@ -158,6 +159,7 @@ EXTRA_ENTRIES = {
     "dedup_jaccard_prefix_collapsed": _x_ppjc,
     "sample_priority_topk": _x_prio,
     "events_value_quantiles_kmv": _x_kmv,
+    "streaming_value_quantiles_kmv": _x_skmv,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

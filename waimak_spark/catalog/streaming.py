@@ -561,6 +561,57 @@ def _streaming_hll_oracle() -> str:
     return hll_distinct_grams_sql()
 
 
+def streaming_value_quantiles_kmv(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-event-type quantile certification with the KMV
+    bucketed-minima sample maintained as STREAMING STATE: global
+    bottom-k is a rank a stream cannot maintain incrementally, but the
+    per-(group, bucket-hash) keyed MIN is associative/commutative/
+    idempotent, so a complete-mode aggregation holds <= KMV_BUCKETS
+    rows per event_type however the micro-batches split, and the
+    drained state equals the batch :func:`~waimak_spark.functions.
+    sketch.kmv_bucket_minima` BIT-FOR-BIT (test-locked) — which is what
+    licenses sharing the batch oracle verbatim.  The estimate and the
+    exact certification run caller-side on the drained <= B-row state
+    (the run-once path), mirroring ``streaming_distinct_hll``.
+    Post-runway extension measured through the catalog EXTRA_ENTRIES
+    registry; verified by tests/test_kmv.py every pytest run."""
+    from ..functions.sketch import (
+        KMV_BUCKETS,
+        KMV_QS,
+        _kmv_full,
+        _kmv_report,
+        kmv_bucket_minima,
+    )
+    from .events import _events_raw
+
+    run = _run_session(spark)
+    src = _events_stream(run, sf_dir)
+    minima = kmv_bucket_minima(src)
+    name = "stream_kmv_minima_sink"
+    with _stream_state_sizing(run, (f"{sf_dir}/events.parquet",)):
+        q = (minima.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+    samp = _collect_into_caller(
+        spark, run, name,
+        _sink_rows_from_progress(q, complete=True, run=run))
+    full = _kmv_full(_events_raw(spark, sf_dir), "value", "event_type",
+                     "event_id")
+    return _kmv_report(full, samp.select("g", "id", "v"), KMV_QS,
+                       "event_type", 2.0 / (KMV_BUCKETS ** 0.5))
+
+
+def _streaming_kmv_oracle() -> str:
+    """The BATCH bucketed-minima oracle verbatim — keyed min is
+    order/batching independent, so the streamed sample equals the
+    batch sample exactly."""
+    from ..functions.sketch import kmv_bucket_quantiles_sql
+
+    return kmv_bucket_quantiles_sql()
+
+
 ENTRIES = {
     "streaming_tumbling_counts": {
         "fn": streaming_tumbling_counts,

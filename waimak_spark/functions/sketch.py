@@ -490,15 +490,36 @@ def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
     group.  The per-group full-sort window is the certification side
     only — a production 100 TB run keeps the sketch path (one map pass
     + salted top-k) and certifies on a slice."""
-    from pyspark.sql import Window as W
+    full = _kmv_full(df, value_col, group_col, id_col)
+    samp = kmv_bottomk(df, value_col, group_col, id_col, k, seed)
+    return _kmv_report(full, samp, qs, group_col, KMV_RANK_TOL)
 
+
+def _kmv_full(df: DataFrame, value_col: str, group_col: str,
+              id_col: str) -> DataFrame:
+    """Null-filtered persisted ``(g, id, v)`` projection — feeds the
+    per-group counts, the exact-rank window, and the rank-error count
+    (one cache write, three cache reads)."""
     from .cache_registry import tracked_persist
 
-    full = tracked_persist(
+    return tracked_persist(
         df.where(F.col(value_col).isNotNull()
                  & F.col(group_col).isNotNull())
         .select(F.col(group_col).alias("g"), F.col(id_col).alias("id"),
                 F.col(value_col).alias("v")))
+
+
+def _kmv_report(full: DataFrame, samp: DataFrame, qs: tuple,
+                group_col: str, tol: float) -> DataFrame:
+    """The shared certification report over any ``(g, id, v)`` sample
+    frame: exact type-1 quantiles from the full per-group rank, the
+    same pick rule over the sample, and the exactly-computed rank
+    error with a ``<= tol`` bit — used by the global bottom-k sketch
+    (:func:`kmv_quantiles`) and the bucketed-minima sketch
+    (:func:`kmv_bucket_quantiles`, whose keyed-min state is also the
+    streaming form)."""
+    from pyspark.sql import Window as W
+
     n_g = full.groupBy("g").agg(F.count("*").alias("n"))
     wv = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
     ranked = (full.withColumn("_rn", F.row_number().over(wv))
@@ -510,7 +531,6 @@ def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
                 F.ceil(F.lit(float(q)) * F.col("n"))),
             F.col("v"))).alias(f"x_{_qtag(q)}")
         for q in qs])
-    samp = kmv_bottomk(df, value_col, group_col, id_col, k, seed)
     ws = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
     sn = samp.groupBy("g").agg(F.count("*").alias("sn"))
     est_wide = (samp.withColumn("_sr", F.row_number().over(ws))
@@ -539,7 +559,7 @@ def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
     return (long.select(
         F.col("g").alias(group_col), "q", "n", "exact_q", "est_q",
         rank_err.alias("rank_err"),
-        (rank_err <= F.lit(KMV_RANK_TOL)).cast("int")
+        (rank_err <= F.lit(float(tol))).cast("int")
         .alias("within_tol"))
         .orderBy(group_col, "q"))
 
@@ -612,6 +632,147 @@ def kmv_quantiles_sql(qs: tuple = KMV_QS, k: int = KMV_K,
                round(abs(c_le::DOUBLE / n - q), 4) as rank_err,
                case when round(abs(c_le::DOUBLE / n - q), 4)
                          <= {KMV_RANK_TOL!r} then 1 else 0 end
+                   as within_tol
+        from ({branches})
+        order by {group_col}, q
+    """
+
+
+# ---------------------------------------------------------------------------
+# bucketed-minima KMV (round 10) — the STREAMING-STATE form of the
+# quantile sketch: global bottom-k is a rank, which Structured Streaming
+# cannot maintain incrementally, but a keyed MIN is associative,
+# commutative, and idempotent, so assigning each row to one of B buckets
+# by a second seeded hash and keeping the (order-hash)-minimum row per
+# (group, bucket) gives a <= B-rows-per-group state that streams in
+# complete mode and equals the batch computation BIT-FOR-BIT however the
+# micro-batches split (the streaming-HLL recipe; stochastic-averaging /
+# one-permutation-hashing flavor — Li, Owen & Zhang 2012, NIPS).  The
+# bucket hash (seed 8201) is independent of the order hash (seed 8200),
+# so each bucket's minimum is a uniformly random member of that bucket;
+# estimation quality is not assumed — the report computes the exact rank
+# error, the same measure-don't-guess gate as the global-bottom-k form.
+# ---------------------------------------------------------------------------
+
+#: bucket count — the sample size ceiling (non-empty buckets <= B)
+KMV_BUCKETS = 256
+#: bucket-assignment seed, independent of the order stream (KMV_SEED)
+KMV_SEED_BUCKET = 8201
+
+
+def kmv_bucket_minima(df: DataFrame, value_col: str = "value",
+                      group_col: str = "event_type",
+                      id_col: str = "event_id", b: int = KMV_BUCKETS,
+                      seed_bucket: int = KMV_SEED_BUCKET,
+                      seed_order: int = KMV_SEED) -> DataFrame:
+    """``(g, bucket, id, v)`` — per (group, bucket-hash % b), the row
+    with the smallest (order-hash, id): a bounded keyed-min aggregation
+    (state <= b rows per group) whose batch and streaming forms are
+    identical by min's associativity/idempotence.  The min runs over
+    ``struct(_u, id, v)`` — lexicographic struct ordering IS the
+    (order-hash, id) total order (ids are unique, so ``v`` is never
+    consulted), keeping the whole aggregation one JVM expression."""
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("g"),
+                    F.col(id_col).alias("id"),
+                    F.col(value_col).alias("v"))
+            .withColumn("_u", seeded_hash(F.col("id").cast("string"),
+                                          seed_order))
+            .withColumn("bucket",
+                        F.pmod(seeded_hash(F.col("id").cast("string"),
+                                           seed_bucket), F.lit(b))))
+    return (base.groupBy("g", "bucket")
+            .agg(F.min(F.struct("_u", "id", "v")).alias("m"))
+            .select("g", "bucket", F.col("m.id").alias("id"),
+                    F.col("m.v").alias("v")))
+
+
+def kmv_bucket_quantiles(df: DataFrame, qs: tuple = KMV_QS,
+                         value_col: str = "value",
+                         group_col: str = "event_type",
+                         id_col: str = "event_id",
+                         b: int = KMV_BUCKETS) -> DataFrame:
+    """:func:`kmv_quantiles` with the bucketed-minima sample — the
+    report shape and certification gate are identical; the sample is
+    the one a stream maintains as bounded keyed-min state."""
+    full = _kmv_full(df, value_col, group_col, id_col)
+    samp = kmv_bucket_minima(df, value_col, group_col, id_col, b)
+    return _kmv_report(full, samp.select("g", "id", "v"), qs,
+                       group_col, 2.0 / (b ** 0.5))
+
+
+def kmv_bucket_quantiles_sql(qs: tuple = KMV_QS, b: int = KMV_BUCKETS,
+                             seed_bucket: int = KMV_SEED_BUCKET,
+                             seed_order: int = KMV_SEED,
+                             table: str = "events",
+                             value_col: str = "value",
+                             group_col: str = "event_type",
+                             id_col: str = "event_id") -> str:
+    """DuckDB oracle for :func:`kmv_bucket_quantiles` (and, by the
+    state==batch identity, for the streaming entry): the same seeded
+    bucket assignment, the same per-bucket (order-hash, id) argmin, the
+    same picks and rounded rank error."""
+    u = seeded_hash_sql("id::VARCHAR", seed_order)
+    bk = f"(({seeded_hash_sql('id::VARCHAR', seed_bucket)}) % {b})"
+    tol = 2.0 / (b ** 0.5)
+    x_cols = ", ".join(
+        f"max(case when rn = greatest(1, ceil({float(q)!r}::DOUBLE * n))"
+        f" then v end) as x_{_qtag(q)}" for q in qs)
+    e_cols = ", ".join(
+        f"max(case when sr = greatest(1, ceil({float(q)!r}::DOUBLE * sn))"
+        f" then v end) as e_{_qtag(q)}" for q in qs)
+    c_cols = ", ".join(
+        f"sum(case when f.v <= e.e_{_qtag(q)} then 1 else 0 end)::BIGINT"
+        f" as c_{_qtag(q)}" for q in qs)
+    branches = " union all ".join(
+        f"select g, {float(q)!r}::DOUBLE as q, n, x_{_qtag(q)} as exact_q,"
+        f" e_{_qtag(q)} as est_q, c_{_qtag(q)} as c_le"
+        f" from wide" for q in qs)
+    return f"""
+        with vals as (
+            select {group_col} as g, {id_col} as id, {value_col} as v
+            from {table}
+            where {value_col} is not null and {group_col} is not null
+        ), ng as (
+            select g, count(*)::BIGINT as n from vals group by g
+        ), ranked as (
+            select g, v,
+                   row_number() over (partition by g
+                                      order by v asc, id asc) as rn
+            from vals
+        ), exact_wide as (
+            select g, n, {x_cols}
+            from ranked join ng using (g) group by g, n
+        ), hashed as (
+            select g, id, v, {u} as u, {bk} as bucket from vals
+        ), samp as (
+            select g, id, v from (
+                select g, id, v,
+                       row_number() over (partition by g, bucket
+                                          order by u asc, id asc) as r
+                from hashed
+            ) where r = 1
+        ), sn as (
+            select g, count(*)::BIGINT as sn from samp group by g
+        ), est_wide as (
+            select g, {e_cols} from (
+                select g, v, sn,
+                       row_number() over (partition by g
+                                          order by v asc, id asc) as sr
+                from samp join sn using (g)
+            ) group by g
+        ), errs as (
+            select f.g, {c_cols}
+            from vals f join est_wide e using (g) group by f.g
+        ), wide as (
+            select * from exact_wide join est_wide using (g)
+            join errs using (g)
+        )
+        select g as {group_col}, q, n, exact_q, est_q,
+               round(abs(c_le::DOUBLE / n - q), 4) as rank_err,
+               case when round(abs(c_le::DOUBLE / n - q), 4)
+                         <= {tol!r} then 1 else 0 end
                    as within_tol
         from ({branches})
         order by {group_col}, q
