@@ -41,6 +41,7 @@ def _py_kmv(rows, qs=KMV_QS, k=KMV_K, seed=KMV_SEED):
             continue
         by_g.setdefault(g, []).append((i, v))
     out = {}
+    tol = 2.0 / (k ** 0.5)  # the operator's k-dependent DKW tolerance
     for g, items in by_g.items():
         n = len(items)
         by_value = sorted(items, key=lambda t: (t[1], t[0]))
@@ -55,7 +56,7 @@ def _py_kmv(rows, qs=KMV_QS, k=KMV_K, seed=KMV_SEED):
             c_le = sum(1 for _, v in items if v <= est_q)
             rank_err = round(abs(c_le / n - q), 4)
             out[(g, q)] = (n, exact_q, est_q, rank_err,
-                           1 if rank_err <= KMV_RANK_TOL else 0)
+                           1 if rank_err <= tol else 0)
     return out
 
 
@@ -109,6 +110,27 @@ class TestKmvOracle:
         assert len(got) > 0
         assert all(r.within_tol == 1 for r in got)
         assert all(r.rank_err <= KMV_RANK_TOL for r in got)
+
+    def test_tolerance_scales_with_k_and_stays_lockstep(self, spark,
+                                                        sf_dir):
+        """Round-10 self-review regression: the within_tol bit must use
+        the k-dependent 2/sqrt(k) bound, not the default-k constant —
+        at k=16 a 0.3 rank error sits inside the documented 0.5 — and
+        the oracle must interpolate the same bound (lockstep at a
+        non-default k proves both sides moved together)."""
+        tol16 = 2.0 / (16 ** 0.5)
+        assert tol16 != KMV_RANK_TOL
+        assert repr(tol16) in kmv_quantiles_sql(k=16)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        got = [tuple(r) for r in kmv_quantiles(ev, k=16).collect()]
+        for r in got:
+            assert r[6] == (1 if r[5] <= tol16 else 0)
+        con = duckdb.connect()
+        con.execute(f"create view events as "
+                    f"select * from '{sf_dir}/events.parquet'")
+        want = [tuple(r) for r in
+                con.execute(kmv_quantiles_sql(k=16)).fetchall()]
+        assert got == want
 
     def test_determinism_and_seed_sensitivity(self, spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")

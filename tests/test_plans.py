@@ -38,15 +38,13 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   (corpus doc count + sum of sqrt weights — the mixture normalizer)
 # - q11_important_parts crosses with the ONE-row global-value aggregate
 #   (the HAVING-vs-global threshold; the > residual can't hash-join)
-# - ann_int8_recall composes brute-force and int8 top-k, both crossing
-#   with the whitelisted <=10-row broadcast query set
 # - sample_lang_balanced composes lang_mixture_weights, inheriting its
 #   1-row totals broadcast cross
+# (ann_int8_recall's waiver left with its round-10 catalog retirement)
 CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
             "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall",
             "unigram_logprob", "bigram_logprob", "lang_mixture_weights",
-            "q11_important_parts", "ann_int8_recall",
-            "sample_lang_balanced"}
+            "q11_important_parts", "sample_lang_balanced"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))

@@ -242,8 +242,7 @@ def main() -> None:
 
     print(f"{'query':34} {'1x(s)':>7} {'10x(s)':>7} {'ratio':>6}  rows 1x/10x")
     for name in names:
-        if name in ("ann_ivf_probe_stored", "ivf_pq_probe_stored",
-                    "ann_ivf_pq_probe_stored",  # post-r10-admission name
+        if name in ("ann_ivf_probe_stored", "ann_ivf_pq_probe_stored",
                     "ivf_probe_appended", "dedup_lsh_probe_stored"):
             # VERDICT r6 #3: one conflated row mixed the ONE-TIME index
             # build (fingerprint miss on the replica) with the amortized
@@ -259,8 +258,7 @@ def main() -> None:
                 drop_ivf_pq_index,
             )
 
-            drop = {"ivf_pq_probe_stored": drop_ivf_pq_index,
-                    "ann_ivf_pq_probe_stored": drop_ivf_pq_index,
+            drop = {"ann_ivf_pq_probe_stored": drop_ivf_pq_index,
                     "ivf_probe_appended": drop_ivf_append_index,
                     "dedup_lsh_probe_stored": drop_lsh_index,
                     "ann_ivf_probe_stored": drop_ivf_index}[name]

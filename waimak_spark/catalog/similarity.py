@@ -170,6 +170,26 @@ _IVF_IDX_DB = _idx_db()
 _ORPHANS_SWEPT = False
 
 
+def _refresh_idx_db_after_fork() -> None:
+    """A process that forks AFTER this module imported would otherwise
+    inherit the parent's pid-keyed namespace — and once the parent
+    exits, the orphan sweep would read that pid as dead and delete the
+    live child's files.  Re-key the namespace (and re-arm the sweep) in
+    every fork child; ``catalog/curation.py`` imports ``_IVF_IDX_DB``
+    inside its functions (late binding), so it picks the new value up.
+    Residual caveat: code that did a module-top ``from similarity
+    import _IVF_IDX_DB`` before the fork keeps the stale string — the
+    library itself never does (tests do, but tests don't fork)."""
+    global _IVF_IDX_DB, _ORPHANS_SWEPT
+    _IVF_IDX_DB = _idx_db()
+    _ORPHANS_SWEPT = False
+
+
+import os as _os  # noqa: E402
+
+_os.register_at_fork(after_in_child=_refresh_idx_db_after_fork)
+
+
 def _pid_alive(pid: int) -> bool:
     import os
 
@@ -189,8 +209,11 @@ def _sweep_orphan_idx_namespaces(spark: SparkSession) -> None:
     namespace is never touched (os.kill(pid, 0) liveness), which is the
     whole point; a dead pid's directory is garbage by construction
     (its registrations died with its session catalog).  The legacy
-    shared `wmk_ann_idx.db` directory (pre-per-process layout) is also
-    cleared: no current code can read it."""
+    shared `wmk_ann_idx.db` directory (pre-per-process layout) is
+    deliberately NOT touched: a still-running pre-upgrade process could
+    be registered in it, and deleting it here would reintroduce the
+    exact cross-process race this namespace exists to close — it was
+    removed once by hand at the upgrade commit and cannot reappear."""
     global _ORPHANS_SWEPT
     if _ORPHANS_SWEPT:
         return
@@ -208,7 +231,6 @@ def _sweep_orphan_idx_namespaces(spark: SparkSession) -> None:
             continue
         if not _pid_alive(int(m.group(1))):
             fops.delete(path, recursive=True)
-    fops.delete(f"{wh}/{_IVF_IDX_DB_BASE}.db", recursive=True)
 
 
 # bump when the index layout or the cell-assignment kernel changes: a

@@ -491,8 +491,10 @@ def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
     only — a production 100 TB run keeps the sketch path (one map pass
     + salted top-k) and certifies on a slice."""
     full = _kmv_full(df, value_col, group_col, id_col)
-    samp = kmv_bottomk(df, value_col, group_col, id_col, k, seed)
-    return _kmv_report(full, samp, qs, group_col, KMV_RANK_TOL)
+    # sample from the persisted projection (already named g/id/v) so the
+    # bottom-k side is a cache read, not a second corpus scan+filter
+    samp = kmv_bottomk(full, "v", "g", "id", k, seed)
+    return _kmv_report(full, samp, qs, group_col, 2.0 / (k ** 0.5))
 
 
 def _kmv_full(df: DataFrame, value_col: str, group_col: str,
@@ -564,17 +566,13 @@ def _kmv_report(full: DataFrame, samp: DataFrame, qs: tuple,
         .orderBy(group_col, "q"))
 
 
-def kmv_quantiles_sql(qs: tuple = KMV_QS, k: int = KMV_K,
-                      seed: int = KMV_SEED, table: str = "events",
-                      value_col: str = "value",
-                      group_col: str = "event_type",
-                      id_col: str = "event_id") -> str:
-    """DuckDB oracle for :func:`kmv_quantiles` — the same seeded
-    bottom-k selection (single-phase: the salt pre-prune is exact, so
-    the sample is the identical row set), the same pick ranks in the
-    same total order, the same rounded rank error."""
-    # hashed selects from vals, where the id column is aliased `id`
-    u = seeded_hash_sql("id::VARCHAR", seed)
+def _kmv_report_sql(qs: tuple, samp_cte: str, tol: float, table: str,
+                    value_col: str, group_col: str, id_col: str) -> str:
+    """The shared DuckDB report skeleton (the SQL twin of
+    :func:`_kmv_report`): callers supply only the ``samp`` CTE body —
+    any query over ``hashed``/``vals`` producing ``(g, id, v)`` — and
+    the tolerance, so the two oracles can never desynchronize on the
+    pick/round/flag rules."""
     x_cols = ", ".join(
         f"max(case when rn = greatest(1, ceil({float(q)!r}::DOUBLE * n))"
         f" then v end) as x_{_qtag(q)}" for q in qs)
@@ -603,15 +601,8 @@ def kmv_quantiles_sql(qs: tuple = KMV_QS, k: int = KMV_K,
         ), exact_wide as (
             select g, n, {x_cols}
             from ranked join ng using (g) group by g, n
-        ), hashed as (
-            select g, id, v, {u} as u from vals
         ), samp as (
-            select g, id, v from (
-                select g, id, v,
-                       row_number() over (partition by g
-                                          order by u asc, id asc) as r
-                from hashed
-            ) where r <= {k}
+            {samp_cte}
         ), sn as (
             select g, count(*)::BIGINT as sn from samp group by g
         ), est_wide as (
@@ -631,11 +622,34 @@ def kmv_quantiles_sql(qs: tuple = KMV_QS, k: int = KMV_K,
         select g as {group_col}, q, n, exact_q, est_q,
                round(abs(c_le::DOUBLE / n - q), 4) as rank_err,
                case when round(abs(c_le::DOUBLE / n - q), 4)
-                         <= {KMV_RANK_TOL!r} then 1 else 0 end
+                         <= {float(tol)!r} then 1 else 0 end
                    as within_tol
         from ({branches})
         order by {group_col}, q
     """
+
+
+def kmv_quantiles_sql(qs: tuple = KMV_QS, k: int = KMV_K,
+                      seed: int = KMV_SEED, table: str = "events",
+                      value_col: str = "value",
+                      group_col: str = "event_type",
+                      id_col: str = "event_id") -> str:
+    """DuckDB oracle for :func:`kmv_quantiles` — the same seeded
+    bottom-k selection (single-phase: the salt pre-prune is exact, so
+    the sample is the identical row set), the same pick ranks in the
+    same total order, the same rounded rank error, the same
+    ``2/sqrt(k)`` tolerance."""
+    # the samp CTE selects from vals, where the id column is aliased
+    # `id` whatever the table's id column is called
+    u = seeded_hash_sql("id::VARCHAR", seed)
+    samp_cte = f"""select g, id, v from (
+                select g, id, v,
+                       row_number() over (partition by g
+                                          order by u asc, id asc) as r
+                from (select g, id, v, {u} as u from vals)
+            ) where r <= {k}"""
+    return _kmv_report_sql(qs, samp_cte, 2.0 / (k ** 0.5), table,
+                           value_col, group_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -697,7 +711,9 @@ def kmv_bucket_quantiles(df: DataFrame, qs: tuple = KMV_QS,
     report shape and certification gate are identical; the sample is
     the one a stream maintains as bounded keyed-min state."""
     full = _kmv_full(df, value_col, group_col, id_col)
-    samp = kmv_bucket_minima(df, value_col, group_col, id_col, b)
+    # sample from the persisted projection (already named g/id/v) so
+    # the minima side is a cache read, not a second corpus scan
+    samp = kmv_bucket_minima(full, "v", "g", "id", b)
     return _kmv_report(full, samp.select("g", "id", "v"), qs,
                        group_col, 2.0 / (b ** 0.5))
 
@@ -712,68 +728,16 @@ def kmv_bucket_quantiles_sql(qs: tuple = KMV_QS, b: int = KMV_BUCKETS,
     """DuckDB oracle for :func:`kmv_bucket_quantiles` (and, by the
     state==batch identity, for the streaming entry): the same seeded
     bucket assignment, the same per-bucket (order-hash, id) argmin, the
-    same picks and rounded rank error."""
+    same picks and rounded rank error — the report skeleton is the
+    shared :func:`_kmv_report_sql`, so the two oracles cannot drift."""
     u = seeded_hash_sql("id::VARCHAR", seed_order)
     bk = f"(({seeded_hash_sql('id::VARCHAR', seed_bucket)}) % {b})"
-    tol = 2.0 / (b ** 0.5)
-    x_cols = ", ".join(
-        f"max(case when rn = greatest(1, ceil({float(q)!r}::DOUBLE * n))"
-        f" then v end) as x_{_qtag(q)}" for q in qs)
-    e_cols = ", ".join(
-        f"max(case when sr = greatest(1, ceil({float(q)!r}::DOUBLE * sn))"
-        f" then v end) as e_{_qtag(q)}" for q in qs)
-    c_cols = ", ".join(
-        f"sum(case when f.v <= e.e_{_qtag(q)} then 1 else 0 end)::BIGINT"
-        f" as c_{_qtag(q)}" for q in qs)
-    branches = " union all ".join(
-        f"select g, {float(q)!r}::DOUBLE as q, n, x_{_qtag(q)} as exact_q,"
-        f" e_{_qtag(q)} as est_q, c_{_qtag(q)} as c_le"
-        f" from wide" for q in qs)
-    return f"""
-        with vals as (
-            select {group_col} as g, {id_col} as id, {value_col} as v
-            from {table}
-            where {value_col} is not null and {group_col} is not null
-        ), ng as (
-            select g, count(*)::BIGINT as n from vals group by g
-        ), ranked as (
-            select g, v,
-                   row_number() over (partition by g
-                                      order by v asc, id asc) as rn
-            from vals
-        ), exact_wide as (
-            select g, n, {x_cols}
-            from ranked join ng using (g) group by g, n
-        ), hashed as (
-            select g, id, v, {u} as u, {bk} as bucket from vals
-        ), samp as (
-            select g, id, v from (
+    samp_cte = f"""select g, id, v from (
                 select g, id, v,
                        row_number() over (partition by g, bucket
                                           order by u asc, id asc) as r
-                from hashed
-            ) where r = 1
-        ), sn as (
-            select g, count(*)::BIGINT as sn from samp group by g
-        ), est_wide as (
-            select g, {e_cols} from (
-                select g, v, sn,
-                       row_number() over (partition by g
-                                          order by v asc, id asc) as sr
-                from samp join sn using (g)
-            ) group by g
-        ), errs as (
-            select f.g, {c_cols}
-            from vals f join est_wide e using (g) group by f.g
-        ), wide as (
-            select * from exact_wide join est_wide using (g)
-            join errs using (g)
-        )
-        select g as {group_col}, q, n, exact_q, est_q,
-               round(abs(c_le::DOUBLE / n - q), 4) as rank_err,
-               case when round(abs(c_le::DOUBLE / n - q), 4)
-                         <= {tol!r} then 1 else 0 end
-                   as within_tol
-        from ({branches})
-        order by {group_col}, q
-    """
+                from (select g, id, v, {u} as u, {bk} as bucket
+                      from vals)
+            ) where r = 1"""
+    return _kmv_report_sql(qs, samp_cte, 2.0 / (b ** 0.5), table,
+                           value_col, group_col, id_col)
