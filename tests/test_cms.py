@@ -157,3 +157,44 @@ class TestCmsPlan:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestStreamingCms:
+    """Post-runway streaming-triad member (catalog/streaming.py): the
+    CMS cells as bounded Structured-Streaming state — final state must
+    equal the batch sketch EXACTLY (keyed count is associative/
+    commutative, so micro-batch splits are invisible), which is why the
+    entry shares the batch oracle verbatim."""
+
+    def test_streaming_matches_oracle_and_batch(self, spark, sf_dir):
+        from waimak_spark.catalog.streaming import (
+            _streaming_cms_oracle,
+            streaming_heavy_hitters_cms,
+        )
+        from waimak_spark.catalog.text import corpus_heavy_hitters
+
+        got = [tuple(r) for r in
+               streaming_heavy_hitters_cms(spark, sf_dir).collect()]
+        batch = [tuple(r) for r in
+                 corpus_heavy_hitters(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(f"create view documents as "
+                    f"select * from '{sf_dir}/documents.parquet'")
+        want = [tuple(r) for r in
+                con.execute(_streaming_cms_oracle()).fetchall()]
+        assert len(got) == len(want) > 0
+        assert got == want
+        assert got == batch
+
+    def test_streaming_state_is_bounded(self, spark, sf_dir):
+        """The production point: the drained sketch holds at most
+        depth x width rows however long the stream ran — the state an
+        exact streaming gram count could never bound (one row per
+        DISTINCT gram grows with the corpus)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sk = cms_sketch(docs)
+        # the stream must equal this frame bit-for-bit (test above),
+        # so the batch bound IS the streaming-state bound
+        assert sk.count() <= CMS_DEPTH * CMS_WIDTH
+        per_row = sk.groupBy("j").count().collect()
+        assert all(r["count"] <= CMS_WIDTH for r in per_row)

@@ -134,6 +134,7 @@ from .similarity import (  # noqa: E402
 )
 from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
+    streaming_heavy_hitters_cms as _x_scms,
     streaming_value_quantiles_kmv as _x_skmv,
 )
 from .text import (  # noqa: E402
@@ -160,6 +161,7 @@ EXTRA_ENTRIES = {
     "sample_priority_topk": _x_prio,
     "events_value_quantiles_kmv": _x_kmv,
     "streaming_value_quantiles_kmv": _x_skmv,
+    "streaming_heavy_hitters_cms": _x_scms,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

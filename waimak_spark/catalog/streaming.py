@@ -603,6 +603,65 @@ def streaming_value_quantiles_kmv(spark: SparkSession,
                        "event_type", 2.0 / (KMV_BUCKETS ** 0.5))
 
 
+def streaming_heavy_hitters_cms(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter certification with the count-min sketch
+    CELLS maintained as STREAMING STATE — the third member of the
+    streaming sketch triad (HLL distinct, KMV quantiles, CMS
+    frequency).  A file stream over ``documents`` feeds the map-only
+    gram/probe expressions; the per-``(j, cell)`` keyed COUNT is
+    associative/commutative, so a complete-mode aggregation holds at
+    most ``depth × width`` rows (65 536 at the defaults) however the
+    micro-batches split, and the drained state equals the batch
+    :func:`~waimak_spark.functions.sketch.cms_sketch` BIT-FOR-BIT
+    (test-locked) — which is what licenses sharing the batch oracle
+    verbatim.  The exact top-k certification runs batch-side on the
+    caller (the run-once path at 100 TB; the stream keeps only the
+    sketch).  Output and oracle are identical to the batch
+    ``corpus_heavy_hitters`` entry.  Post-runway extension measured
+    through the catalog EXTRA_ENTRIES registry; verified by
+    tests/test_cms.py every pytest run."""
+    from ..functions.cache_registry import tracked_persist
+    from ..functions.sketch import (
+        cms_gram_stream,
+        cms_heavy_hitters_from_sketch,
+        cms_sketch_from_grams,
+    )
+
+    run = _run_session(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (run.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    # same partition-starvation fix as streaming_distinct_hll: the
+    # file-stream source yields one partition per FILE, so the
+    # CPU-heavy tokenize/shingle/probe map needs an explicit
+    # round-robin exchange to reach the cluster's cores
+    src = src.repartition(run.sparkContext.defaultParallelism)
+    sketch = cms_sketch_from_grams(cms_gram_stream(src, spread=False))
+    name = "stream_cms_sketch_sink"
+    with _stream_state_sizing(run, (f"{sf_dir}/documents.parquet",)):
+        q = (sketch.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+    sk_local = _collect_into_caller(
+        spark, run, name,
+        _sink_rows_from_progress(q, complete=True, run=run))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = tracked_persist(cms_gram_stream(docs))
+    return cms_heavy_hitters_from_sketch(sk_local, g)
+
+
+def _streaming_cms_oracle() -> str:
+    """The BATCH oracle verbatim — keyed count is order/batching
+    independent, so the streamed sketch equals the batch sketch
+    exactly."""
+    from ..functions.sketch import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql()
+
+
 def _streaming_kmv_oracle() -> str:
     """The BATCH bucketed-minima oracle verbatim — keyed min is
     order/batching independent, so the streamed sample equals the

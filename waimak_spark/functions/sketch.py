@@ -49,12 +49,18 @@ CMS_TOPK = 20
 
 
 def cms_gram_stream(df: DataFrame, text_col: str = "text",
-                    n: int = CMS_NGRAM) -> DataFrame:
+                    n: int = CMS_NGRAM, spread: bool = True) -> DataFrame:
     """One ``gram`` row per word-``n``-gram position (overlapping,
     position-counted — frequency semantics, not the distinct-set
     semantics of the Jaccard family).  Null/short texts contribute
-    nothing, which both engines agree on (explode of an empty array)."""
-    return (spread_for_compute(df)
+    nothing, which both engines agree on (explode of an empty array).
+    ``spread=False`` skips the compute-spreading repartition for
+    STREAMING sources (``spread_for_compute`` reads driver-side file
+    metadata a streaming plan doesn't have; the streaming caller
+    spreads with an explicit round-robin exchange instead — the
+    :func:`hll_gram_stream` contract)."""
+    base = spread_for_compute(df) if spread else df
+    return (base
             .where(F.col(text_col).isNotNull())
             .select(tokens(F.col(text_col)).alias("_t"))
             .select(F.explode(shingles(F.col("_t"), n)).alias("gram")))
@@ -138,11 +144,27 @@ def cms_heavy_hitters(df: DataFrame, text_col: str = "text",
     from .cache_registry import tracked_persist
 
     g = tracked_persist(cms_gram_stream(df, text_col, n))
-    exact = (g.groupBy("gram").agg(F.count("*").cast("bigint")
-                                   .alias("c_exact"))
+    return cms_heavy_hitters_from_sketch(
+        cms_sketch_from_grams(g, depth, width), g, k, depth, width)
+
+
+def cms_heavy_hitters_from_sketch(sketch: DataFrame, grams: DataFrame,
+                                  k: int = CMS_TOPK,
+                                  depth: int = CMS_DEPTH,
+                                  width: int = CMS_WIDTH) -> DataFrame:
+    """The certification report of :func:`cms_heavy_hitters` against a
+    PREBUILT ``(j, cell, c)`` sketch frame — the entry point for callers
+    whose sketch was accumulated elsewhere (the streaming catalog entry
+    drains its sketch from Structured-Streaming state; count is
+    associative/commutative, so the drained state equals the batch
+    sketch bit-for-bit and this report is identical either way).
+    ``grams`` is the batch-side gram stream the exact top-k certifies
+    from (the run-once expensive path at 100 TB)."""
+    exact = (grams.groupBy("gram").agg(F.count("*").cast("bigint")
+                                       .alias("c_exact"))
              .orderBy(F.desc("c_exact"), F.asc("gram")).limit(k))
-    est = cms_estimate(cms_sketch_from_grams(g, depth, width),
-                       exact.select("gram"), depth=depth, width=width)
+    est = cms_estimate(sketch, exact.select("gram"),
+                       depth=depth, width=width)
     return (exact.join(est, "gram")
             .select("gram", "c_exact", "c_est",
                     (F.col("c_est") >= F.col("c_exact")).cast("int")
