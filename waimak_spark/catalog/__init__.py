@@ -143,6 +143,7 @@ from .text import (  # noqa: E402
     corpus_heavy_hitters as _x_cms,
     dedup_jaccard_prefix as _x_ppj,
     dedup_jaccard_prefix_collapsed as _x_ppjc,
+    dedup_repeated_segments as _x_segs,
 )
 
 EXTRA_ENTRIES = {
@@ -162,6 +163,7 @@ EXTRA_ENTRIES = {
     "events_value_quantiles_kmv": _x_kmv,
     "streaming_value_quantiles_kmv": _x_skmv,
     "streaming_heavy_hitters_cms": _x_scms,
+    "dedup_repeated_segments": _x_segs,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

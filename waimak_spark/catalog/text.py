@@ -185,6 +185,22 @@ def _distinct_hll_oracle() -> str:
     return SK.hll_distinct_grams_sql()
 
 
+def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style repeated-segment (boilerplate) removal: every
+    document rewritten with its corpus-frequent k-token windows dropped
+    (Raffel et al. 2020 §2.2 / Wenzek et al. 2020 — the rewrite sibling
+    of the flag-only ``dedup_substring_ngram``).  One DF-count shuffle +
+    one anti-join + one per-doc rebuild; output linear in corpus size.
+    Post-runway extension measured through the catalog EXTRA_ENTRIES
+    registry; verified by tests/test_segment_dedup.py every pytest
+    run."""
+    return D.repeated_segment_removal(_docs(spark, sf_dir))
+
+
+def _repeated_segments_oracle() -> str:
+    return D.repeated_segment_removal_sql()
+
+
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact set-similarity join with lossless prefix filtering
     (Bayardo et al. 2007): every document pair with shingle-set Jaccard

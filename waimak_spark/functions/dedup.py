@@ -1556,3 +1556,122 @@ def bloom_dedup_against_corpus_sql(corpus_where: str, new_where: str,
                case when n_hits = n_probes then 1 else 0 end as maybe_dup
         from hit
     """
+
+
+# ---------------------------------------------------------------------------
+# Repeated-segment (boilerplate) removal — the C4 / CCNet line-dedup
+# family (Raffel et al. 2020 JMLR 21(140) §2.2 drops any three-sentence
+# span occurring more than once in the corpus; Wenzek et al. 2020 LREC
+# CCNet dedups paragraphs by hash).  The synthetic corpus has no line
+# breaks, so the segment unit here is the deterministic non-overlapping
+# k-token window — the same exact-span semantics, SQL-expressible on
+# both engines (vs the OVERLAPPING n-gram keys of the ExactSubstr-style
+# ``substring_dedup_flags`` above, which FLAGS suspect docs; this one
+# REWRITES them).  The 100 TB shape: one shuffle keyed on the segment
+# text for the corpus-wide document-frequency count (map-side partial
+# distinct collapses within-doc repeats), one anti-join against the
+# frequent-segment set (AQE converts it to broadcast when the set is
+# small — boilerplate is by definition a tiny fraction of distinct
+# segments), and the per-doc rebuild groups on doc_id — output rows are
+# one per document, linear in corpus size, never pairwise.
+# ---------------------------------------------------------------------------
+
+#: non-overlapping segment width in tokens (the "line" stand-in)
+SEG_K = 3
+#: a segment appearing in at least this many DISTINCT documents is
+#: boilerplate and is removed from every document
+SEG_MIN_DF = 3
+
+
+def segment_stream(df: DataFrame, text_col: str = "text",
+                   k: int = SEG_K) -> DataFrame:
+    """``(doc_id, pos, seg)`` — one row per non-overlapping ``k``-token
+    window in document order.  The final window may be shorter (both
+    engines truncate the slice the same way); empty/null texts
+    contribute nothing."""
+    base = (spread_for_compute(df)
+            .where(F.col(text_col).isNotNull())
+            .select("doc_id", tokens(F.col(text_col)).alias("_t")))
+    nseg = F.ceil(F.size("_t") / F.lit(float(k))).cast("int")
+    mk = lambda i: F.struct(  # noqa: E731
+        i.cast("int").alias("pos"),
+        F.array_join(F.slice(F.col("_t"), i * k + 1, k), " ").alias("seg"))
+    arr = (F.when(nseg > 0, F.transform(F.sequence(F.lit(0), nseg - 1), mk))
+           .otherwise(F.array().cast("array<struct<pos:int,seg:string>>")))
+    return base.select("doc_id", F.inline(arr))
+
+
+def repeated_segment_removal(df: DataFrame, text_col: str = "text",
+                             k: int = SEG_K,
+                             min_df: int = SEG_MIN_DF) -> DataFrame:
+    """``(doc_id, clean_text, n_kept, n_removed)`` — every document
+    rewritten with its boilerplate segments removed: a segment whose
+    corpus document frequency reaches ``min_df`` is dropped from ALL
+    documents (including the first), the C4 repeated-span rule.  A
+    document made entirely of boilerplate survives with
+    ``clean_text = ''`` (the caller decides whether to then drop it —
+    length filtering is ``text_quality``'s job, not this operator's).
+    The segment stream is persisted: the frequency count, the anti-join
+    probe, and the per-doc totals share ONE tokenize pass."""
+    segs = tracked_persist(segment_stream(df, text_col, k))
+    frequent = (segs.groupBy("seg")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .where(F.col("df") >= min_df)
+                .select("seg"))
+    kept = segs.join(frequent, "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                        lambda s: s["seg"]), " ").alias("clean_text"),
+        F.count("*").cast("int").alias("n_kept"))
+    totals = segs.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("_n_seg"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).cast("int")
+                    .alias("n_kept"),
+                    (F.col("_n_seg") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_removed"))
+            .orderBy("doc_id"))
+
+
+def repeated_segment_removal_sql(k: int = SEG_K, min_df: int = SEG_MIN_DF,
+                                 table: str = "documents",
+                                 text: str = "text") -> str:
+    """DuckDB oracle for :func:`repeated_segment_removal`."""
+    seg_struct = (f"{{'pos': i, 'seg': "
+                  f"array_to_string(t[i*{k}+1 : i*{k}+{k}], ' ')}}")
+    return f"""
+        with tok as (
+            select doc_id, {TOKENS_SQL.format(col=text)} as t
+            from {table} where {text} is not null
+        ), seg as (
+            select doc_id, u.pos::INT as pos, u.seg as seg
+            from (
+                select doc_id,
+                       unnest(list_transform(
+                           range(0, cast(ceil(len(t) / {k}.0) as int)),
+                           i -> {seg_struct})) as u
+                from tok)
+        ), freq as (
+            select seg from seg group by seg
+            having count(distinct doc_id) >= {min_df}
+        ), kept as (
+            select s.doc_id, s.pos, s.seg
+            from seg s anti join freq f using (seg)
+        ), agg as (
+            select doc_id,
+                   string_agg(seg, ' ' order by pos) as clean_text,
+                   count(*)::INT as n_kept
+            from kept group by doc_id
+        ), tot as (
+            select doc_id, count(*)::INT as n_seg from seg group by doc_id
+        )
+        select t.doc_id,
+               coalesce(a.clean_text, '') as clean_text,
+               coalesce(a.n_kept, 0)::INT as n_kept,
+               (t.n_seg - coalesce(a.n_kept, 0))::INT as n_removed
+        from tot t left join agg a using (doc_id)
+        order by t.doc_id
+    """
