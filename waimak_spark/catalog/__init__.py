@@ -131,6 +131,7 @@ from .events import (  # noqa: E402
 from .similarity import (  # noqa: E402
     ann_ivf_probe_appended as _x_ivf_apd,
     sample_kcenter_diverse as _x_kcenter,
+    sample_mmr_diverse as _x_mmr,
 )
 from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
@@ -164,6 +165,7 @@ EXTRA_ENTRIES = {
     "streaming_value_quantiles_kmv": _x_skmv,
     "streaming_heavy_hitters_cms": _x_scms,
     "dedup_repeated_segments": _x_segs,
+    "sample_mmr_diverse": _x_mmr,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -599,6 +599,21 @@ def _pq_probe_stored_oracle() -> str:
     return S.ivf_pq_topk_sql(books, QUERY_IDS, k=5)
 
 
+def sample_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection trace (Carbonell &
+    Goldstein 1998) — the relevance-aware member of the diverse-selection
+    family (k-center is the pure-coverage member; same k-sequential-
+    argmax execution shape, corpus never shuffles).  Post-runway
+    extension measured through the catalog EXTRA_ENTRIES registry;
+    verified by tests/test_mmr.py every pytest run."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.mmr_select(emb)
+
+
+def _mmr_oracle() -> str:
+    return S.mmr_select_sql()
+
+
 def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diverse sampling trace (Sener & Savarese 2018) —
     round-12 catalog admission candidate per the PARITY rotation ledger

@@ -2283,3 +2283,175 @@ def kcenter_select_sql(k: int = KCENTER_K, dims: int = 64) -> str:
                 f"(select md from c{r})" for r in range(2, k + 1)]
     return ("with " + ",\n        ".join(ctes) + "\n        "
             + "\n        union all ".join(selects))
+
+
+# ---------------------------------------------------------------------------
+# Maximal marginal relevance (Carbonell & Goldstein 1998, SIGIR) — the
+# RELEVANCE-AWARE member of the diverse-selection family: k-center above
+# maximizes pure coverage (farthest-point), MMR trades relevance to a
+# query against redundancy with the already-selected set:
+#     argmax  lam * rel(x, q)  -  (1 - lam) * max_{s in S} sim(x, s).
+# Same execution shape as k-center (k sequential one-row argmax
+# barriers over a distributed candidate frame, running column updated by
+# greatest(), plan cut every j rounds), so the same 100 TB posture: the
+# corpus never shuffles, each round is one TakeOrderedAndProject scan,
+# and plan depth / cached copies stay O(j) regardless of k.
+# ---------------------------------------------------------------------------
+
+MMR_K = 8
+#: relevance/diversity trade-off (1.0 = pure relevance ranking)
+MMR_LAMBDA = 0.7
+MMR_ROUND = 4
+
+
+def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
+               dims: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding", query_vec=None,
+               materialize=None,
+               checkpoint_every: int = KCENTER_CHECKPOINT_EVERY
+               ) -> DataFrame:
+    """Greedy MMR selection trace: ``(rank, vec_id, score)`` — rank-1 is
+    the most query-relevant item, each later rank-r row maximizes
+    ``lam*rel - (1-lam)*max_sim_to_selected`` (cosine both ways, 4dp
+    rounded before every compare, id tie-break — the k-center
+    determinism recipe, so the trace is engine-reproducible).
+
+    ``query_vec`` (a plain float list) is the caller's query embedding;
+    when omitted, the minimum-id row's unit vector stands in as the
+    query and that row is EXCLUDED from the candidates (a retrieval
+    query is not a candidate).  Rank-1's ``score`` is ``lam*rel`` (the
+    max-sim term over the empty selected set is 0 by convention).
+    Plan-cut / cap semantics are shared with :func:`kcenter_select`."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    if k > _KCENTER_MAX_K:
+        raise ValueError(
+            f"k={k} > {_KCENTER_MAX_K}: k sequential one-row argmax "
+            f"barriers dominate any deployment at this size")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam={lam} must be in [0, 1]")
+    from .cache_registry import tracked_persist
+
+    mat = materialize or tracked_persist
+    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    if query_vec is None:
+        seed = base.orderBy(F.asc(id_col)).limit(1).collect()
+        if not seed:
+            return emb.sparkSession.createDataFrame(
+                [], "rank int, vec_id long, score double")
+        qv = list(seed[0]["v"])
+        base = base.where(F.col(id_col) != seed[0][id_col])
+    else:
+        qv = [float(x) for x in query_vec]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    cand = mat(base.select(
+        id_col, "v", F.round(dot(F.col("v"), qlit), MMR_ROUND)
+        .alias("rel")))
+    first = (cand.select(id_col, "v", "rel",
+                         F.round(F.lit(lam) * F.col("rel"), MMR_ROUND)
+                         .alias("_sc"))
+             .orderBy(F.desc("rel"), F.asc(id_col)).limit(1).collect())
+    if not first:
+        return emb.sparkSession.createDataFrame(
+            [], "rank int, vec_id long, score double")
+    chosen = [(1, first[0][id_col], float(first[0]["_sc"]))]
+    chosen_vecs = [list(first[0]["v"])]
+    cur = cand
+    recent_ids = [first[0][id_col]]
+    prev_cut: DataFrame | None = None
+    for rank in range(2, k + 1):
+        lit_vec = F.array(*[F.lit(float(x)) for x in chosen_vecs[-1]])
+        s_new = F.round(dot(F.col("v"), lit_vec), MMR_ROUND)
+        cur = cur.withColumn(
+            "_ms", s_new if rank == 2 else F.greatest(F.col("_ms"), s_new))
+        live = (cur if not recent_ids
+                else cur.where(~F.col(id_col).isin(recent_ids)))
+        top = (live.select(
+                   id_col, "v", "rel", "_ms",
+                   F.round(F.lit(lam) * F.col("rel")
+                           - F.lit(1.0 - lam) * F.col("_ms"), MMR_ROUND)
+                   .alias("_sc"))
+               .orderBy(F.desc("_sc"), F.asc(id_col))
+               .limit(1).collect())
+        if not top:  # corpus smaller than k
+            break
+        chosen.append((rank, top[0][id_col], float(top[0]["_sc"])))
+        chosen_vecs.append(list(top[0]["v"]))
+        recent_ids.append(top[0][id_col])
+        if rank < k and (rank - 1) % checkpoint_every == 0:
+            cut = mat(cur.where(~F.col(id_col).isin(recent_ids))
+                      .select(id_col, "v", "rel", "_ms"))
+            cut.count()  # materialize NOW, while the old cache is live
+            if prev_cut is not None:
+                try:
+                    prev_cut.unpersist()
+                except Exception:
+                    pass
+            prev_cut, cur, recent_ids = cut, cut, []
+    id_type = dict(base.dtypes)[id_col]
+    return emb.sparkSession.createDataFrame(
+        chosen, f"rank int, vec_id {id_type}, score double")
+
+
+def mmr_select_sql(k: int = MMR_K, lam: float = MMR_LAMBDA,
+                   dims: int = 64) -> str:
+    """Unrolled DuckDB oracle for :func:`mmr_select` at the default
+    min-id-row query: round r's CTE carries every survivor's running
+    max-similarity; the next pick is its (score desc, vec_id asc) head.
+    Every chained CTE is MATERIALIZED (the k-center oracle's measured
+    re-expansion finding).  ``lam`` coefficients are embedded via
+    ``repr`` so the SQL doubles are bit-identical to the Spark
+    literals."""
+    l1, l2 = repr(float(lam)), repr(1.0 - float(lam))
+    base = f"""base as (
+            select vec_id,
+                   list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       as v
+            from (
+                select vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> case when coalesce(isfinite(x), false)
+                                then x else 0 end) as s,
+                       list_aggregate(list_transform(embedding::DOUBLE[],
+                               x -> coalesce(isfinite(x), false)),
+                           'bool_and') as ok
+                from embeddings
+                where embedding is not null and len(embedding) = {dims}
+            )
+            where ok and list_dot_product(s, s) > 0
+        )"""
+    ctes = [base,
+            "q as materialized (select vec_id, v from base "
+            "order by vec_id limit 1)",
+            """cand as materialized (
+            select b.vec_id, b.v,
+                   round(list_dot_product(b.v, (select v from q)), 4) as rel
+            from base b where b.vec_id <> (select vec_id from q)
+        )""",
+            f"""c1 as materialized (
+            select vec_id, v, rel, round({l1} * rel, 4) as sc
+            from cand order by rel desc, vec_id limit 1
+        )"""]
+    for r in range(2, k + 1):
+        prev = "cand" if r == 2 else f"m{r - 1}"
+        ms = (f"round(list_dot_product(m.v, (select v from c{r - 1})), 4)"
+              if r == 2 else
+              f"greatest(m.ms, round(list_dot_product("
+              f"m.v, (select v from c{r - 1})), 4))")
+        ctes.append(
+            f"""m{r} as materialized (
+            select m.vec_id, m.v, m.rel, {ms} as ms
+            from {prev} m where m.vec_id <> (select vec_id from c{r - 1})
+        )""")
+        ctes.append(
+            f"""c{r} as materialized (
+            select vec_id, v, rel, ms,
+                   round({l1} * rel - {l2} * ms, 4) as sc
+            from m{r} order by sc desc, vec_id limit 1
+        )""")
+    selects = ["select 1 as rank, (select vec_id from c1) as vec_id, "
+               "(select sc from c1) as score"]
+    selects += [f"select {r}, (select vec_id from c{r}), "
+                f"(select sc from c{r})" for r in range(2, k + 1)]
+    return ("with " + ",\n        ".join(ctes) + "\n        "
+            + "\n        union all ".join(selects))
