@@ -515,3 +515,64 @@ class TestStatePartitionSizing:
         assert leftover == []
         probe = spark.newSession()
         assert not probe.catalog.tableExists("stream_dedup_pairs_sink")
+
+
+class TestStatefulCatalogEntry:
+    """The custom applyInPandasWithState operator as an oracle-checked
+    catalog surface (post-runway EXTRA_ENTRIES candidate): the
+    max-n_events extraction must be deterministic under ANY micro-batch
+    split (n strictly increases per emission), and the final totals
+    must equal the batch groupBy."""
+
+    def test_matches_batch_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from waimak_spark.catalog.streaming import (
+            STREAMING_STATEFUL_TOTALS_ORACLE,
+            streaming_running_totals_stateful,
+        )
+
+        got = [(r.user_id, r.n_events, r.total_value) for r in
+               streaming_running_totals_stateful(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(f"create view events as "
+                    f"select * from '{sf_dir}/events.parquet'")
+        want = [tuple(r) for r in
+                con.execute(STREAMING_STATEFUL_TOTALS_ORACLE).fetchall()]
+        assert len(got) == len(want) > 0
+        for (gu, gn, gt), (wu, wn, wt) in zip(got, want):
+            assert (gu, gn) == (wu, wn)
+            assert gt == pytest.approx(wt, abs=1e-3)
+
+    def test_extraction_invariant_to_batch_split(self, spark, tmp_path):
+        """Force multiple micro-batches (maxFilesPerTrigger=1 over two
+        files) and check the max-n extraction still equals the batch
+        totals — the determinism claim the catalog entry's docstring
+        makes."""
+        from waimak_spark.streaming.ops import stateful_running_totals
+
+        src = str(tmp_path / "in_se")
+        _write_batch(spark, src, ROWS1)
+        _write_batch(spark, src, ROWS2)
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (stateful_running_totals(stream, "user_id", "value")
+             .writeStream.format("memory").queryName("se_tbl")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt_se"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql("select * from se_tbl").collect()
+        finals = {}
+        for r in rows:
+            if (r.user_id not in finals
+                    or r.n_events > finals[r.user_id][0]):
+                finals[r.user_id] = (r.n_events, r.total_value)
+        batch = {r.user_id: (r.n, r.t) for r in
+                 spark.read.parquet(src).groupBy("user_id")
+                 .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+                 .collect()}
+        assert set(finals) == set(batch)
+        for u in finals:
+            assert finals[u][0] == batch[u][0]
+            assert finals[u][1] == pytest.approx(batch[u][1], abs=1e-9)

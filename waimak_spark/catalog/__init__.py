@@ -136,6 +136,7 @@ from .similarity import (  # noqa: E402
 from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
     streaming_heavy_hitters_cms as _x_scms,
+    streaming_running_totals_stateful as _x_ssrt,
     streaming_value_quantiles_kmv as _x_skmv,
 )
 from .text import (  # noqa: E402
@@ -166,6 +167,7 @@ EXTRA_ENTRIES = {
     "streaming_heavy_hitters_cms": _x_scms,
     "dedup_repeated_segments": _x_segs,
     "sample_mmr_diverse": _x_mmr,
+    "streaming_running_totals_stateful": _x_ssrt,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

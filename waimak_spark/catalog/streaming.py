@@ -653,6 +653,51 @@ def streaming_heavy_hitters_cms(spark: SparkSession,
     return cms_heavy_hitters_from_sketch(sk_local, g)
 
 
+def streaming_running_totals_stateful(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The CUSTOM-STATEFUL-API member of the streaming family: per-user
+    running (count, sum) carried in explicit ``applyInPandasWithState``
+    state (streaming/ops.py::stateful_running_totals) — the escape
+    hatch for incremental semantics Spark's built-in aggregations can't
+    express.  Update mode emits a user's cumulative totals every batch
+    the user appears in; ``n_events`` STRICTLY INCREASES per emission,
+    so the final answer is the max-``n_events`` row per user — a
+    deterministic extraction under ANY micro-batch split.  The final
+    totals equal the batch groupBy exactly (count) / to 4dp (float sum
+    order differs per engine), which is what licenses the plain
+    batch-SQL oracle.  Post-runway extension measured through the
+    catalog EXTRA_ENTRIES registry; verified with the oracle every
+    pytest run (tests/test_streaming.py)."""
+    from ..streaming.ops import stateful_running_totals
+
+    run = _run_session(spark)
+    src = _events_stream(run, sf_dir)
+    totals = stateful_running_totals(src, "user_id", "value")
+    name = "stream_stateful_totals_sink"
+    with _stream_state_sizing(run, (f"{sf_dir}/events.parquet",)):
+        q = (totals.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+    rows = _collect_into_caller(
+        spark, run, name,
+        _sink_rows_from_progress(q, complete=False, run=run))
+    return (rows.groupBy("user_id")
+            .agg(F.max("n_events").cast("bigint").alias("n_events"),
+                 F.round(F.max_by("total_value", "n_events"), 4)
+                 .alias("total_value"))
+            .orderBy("user_id"))
+
+
+STREAMING_STATEFUL_TOTALS_ORACLE = """
+    select user_id, count(*)::BIGINT as n_events,
+           round(sum(value), 4) as total_value
+    from events
+    group by user_id
+    order by user_id
+"""
+
+
 def _streaming_cms_oracle() -> str:
     """The BATCH oracle verbatim — keyed count is order/batching
     independent, so the streamed sketch equals the batch sketch

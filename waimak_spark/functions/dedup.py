@@ -245,6 +245,53 @@ BAND_SIZE = 4  # 8 minhashes → 2 bands of 4
 MAX_BUCKET = 50  # frequent-bucket pruning: skip buckets larger than this
 
 
+def lsh_collision_probability(s: float, n_bands: int,
+                              band_size: int) -> float:
+    """P(candidate | Jaccard = s) for banded MinHash LSH:
+    ``1 - (1 - s^r)^b`` (Leskovec, Rajaraman & Ullman, MMDS §3.4.2)."""
+    return 1.0 - (1.0 - s ** band_size) ** n_bands
+
+
+def lsh_plan(threshold: float, n_hashes: int = 8,
+             n_points: int = 1000) -> dict:
+    """Pick the banding ``(band_size r, n_bands b)`` with ``b*r =
+    n_hashes`` whose collision S-curve best approximates the ideal step
+    at ``threshold`` — the standard MinHash-LSH planning rule (MMDS
+    §3.4.3).  Cost = false-positive mass below the threshold plus
+    false-negative mass above it, each a midpoint-rule integral of the
+    S-curve (deterministic, no randomness); ties break toward the
+    smaller band_size (cheaper keys).  Returns ``{"band_size",
+    "n_bands", "n_hashes", "cost", "s50"}`` where ``s50 =
+    (1 - 0.5^(1/b))^(1/r)`` is the curve's EXACT 50 %-collision
+    similarity (the folklore ``(1/b)^(1/r)`` is an approximation that
+    degenerates to 1.0 at b=1).  Feed the result into
+    :func:`lsh_candidate_pairs` / the resolve family by sizing
+    ``seeds`` to ``n_hashes`` and passing ``band_size``."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1)")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes={n_hashes} must be >= 1")
+    best = None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        fp = fn = 0.0
+        for i in range(n_points):
+            s = (i + 0.5) / n_points
+            p = lsh_collision_probability(s, b, r)
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        cost = (fp + fn) / n_points
+        if best is None or cost < best["cost"] - 1e-12:
+            best = {"band_size": r, "n_bands": b, "n_hashes": n_hashes,
+                    "cost": cost,
+                    "s50": (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)}
+    return best
+
+
 def lsh_candidate_pairs(sig: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
                         band_size: int = BAND_SIZE,
                         max_bucket: int = MAX_BUCKET,
