@@ -130,6 +130,7 @@ from .events import (  # noqa: E402
 )
 from .similarity import (  # noqa: E402
     ann_ivf_probe_appended as _x_ivf_apd,
+    embedding_kmeanspar_init as _x_kmpar,
     sample_kcenter_diverse as _x_kcenter,
     sample_mmr_diverse as _x_mmr,
 )
@@ -168,6 +169,7 @@ EXTRA_ENTRIES = {
     "dedup_repeated_segments": _x_segs,
     "sample_mmr_diverse": _x_mmr,
     "streaming_running_totals_stateful": _x_ssrt,
+    "embedding_kmeanspar_init": _x_kmpar,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -614,6 +614,22 @@ def _mmr_oracle() -> str:
     return S.mmr_select_sql()
 
 
+def embedding_kmeanspar_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| oversampling (Bahmani et al. 2012) — the distributed
+    initialization the kmeans family needs at 100 TB: a constant number
+    of rounds, each one map (running d2 vs the round's new centers) +
+    one bounded top-l, then a weighting pass; the corpus never
+    shuffles.  Post-runway extension measured through the catalog
+    EXTRA_ENTRIES registry; verified by tests/test_kmeanspar.py every
+    pytest run."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.kmeanspar_oversample(emb)
+
+
+def _kmeanspar_oracle() -> str:
+    return S.kmeanspar_oversample_sql()
+
+
 def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diverse sampling trace (Sener & Savarese 2018) —
     round-12 catalog admission candidate per the PARITY rotation ledger

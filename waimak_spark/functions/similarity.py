@@ -2455,3 +2455,187 @@ def mmr_select_sql(k: int = MMR_K, lam: float = MMR_LAMBDA,
                 f"(select sc from c{r})" for r in range(2, k + 1)]
     return ("with " + ",\n        ".join(ctes) + "\n        "
             + "\n        union all ".join(selects))
+
+
+# ---------------------------------------------------------------------------
+# k-means|| oversampling (Bahmani, Moseley, Vattani, Kumar & Vassilvitskii
+# 2012, VLDB 5(7): "Scalable k-means++") — the distributed INITIALIZATION
+# the plain kmeans_clusters family needs at 100 TB: k-means++ is k
+# sequential corpus passes (one per center); k-means|| collapses that to
+# a constant number of ROUNDS, each sampling a batch of candidates with
+# probability proportional to d^2(x, C), then weighting the candidate
+# set by assignment counts for the final (tiny, driver-side) clustering.
+# Derandomization: the paper samples each point independently with
+# p = l*d^2/phi; here each round takes EXACTLY l points by A-ES priority
+# keys weighted by d^2 (round(ln(u)/d2, 6), u from the seeded-md5
+# uniform the priority/DSIR samplers use) — the same
+# oversample-proportional-to-d^2 intent with a fixed-size, engine-
+# reproducible result and collects bounded BY CONSTRUCTION (l rows per
+# round; the candidate-set literal stays O(rounds*l)).  Each round is
+# one map (running d2 update vs the round's new centers) + one bounded
+# top-l; the corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+KMEANSPAR_K = 4
+KMEANSPAR_ROUNDS = 3
+#: per-round sample size l = ceil(oversample * k) (paper: l ~ O(k))
+KMEANSPAR_OVERSAMPLE = 2.0
+#: seed base for the per-round uniforms — disjoint from the KMEANS
+#: (2000+), PQ (3000+), Bloom (7001+), and sketch (8000+) ranges
+KMEANSPAR_SEED = 8300
+
+
+def kmeanspar_oversample(emb: DataFrame, k: int = KMEANSPAR_K,
+                         rounds: int = KMEANSPAR_ROUNDS,
+                         oversample: float = KMEANSPAR_OVERSAMPLE,
+                         dims: int = 64, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         seed: int = KMEANSPAR_SEED,
+                         materialize=None) -> DataFrame:
+    """``(cand_id, sample_round, n_assigned)`` — the k-means|| candidate set:
+    the min-id seed center (round 0) plus exactly ``l = ceil(oversample
+    * k)`` candidates per round sampled with A-ES priority keys
+    weighted by the CURRENT squared distance to the candidate set
+    (``d2 = round(2 - 2*cos, 4)`` on unit vectors; points already at
+    distance 0 are never re-sampled), and ``n_assigned`` the number of
+    corpus points whose nearest candidate it is (distance tie -> lower
+    id) — the weights the paper's final driver-side clustering consumes.
+    Deterministic on any engine: seeded-md5 uniforms, 4dp/6dp rounding
+    before every compare, id tie-breaks."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k={k} and rounds={rounds} must be >= 1")
+    l = int(-(-oversample * k // 1))  # ceil
+    if l < 1:
+        raise ValueError(f"oversample*k={oversample * k} must be >= 1")
+    from .cache_registry import tracked_persist
+
+    from .text import seeded_hash
+
+    mat = materialize or tracked_persist
+    base = mat(_pq_unit_base(emb, dims, id_col, vec_col))
+    seed_row = base.orderBy(F.asc(id_col)).limit(1).collect()
+    if not seed_row:
+        return emb.sparkSession.createDataFrame(
+            [], "cand_id long, sample_round int, n_assigned bigint")
+    cands = [(seed_row[0][id_col], 0)]
+    new_vecs = [list(seed_row[0]["v"])]
+    all_vecs = {seed_row[0][id_col]: new_vecs[0]}
+    cur = base
+    for r in range(1, rounds + 1):
+        d_exprs = [
+            F.round(F.lit(2.0) - F.lit(2.0)
+                    * dot(F.col("v"),
+                          F.array(*[F.lit(float(x)) for x in c])), 4)
+            for c in new_vecs]
+        d_new = d_exprs[0] if len(d_exprs) == 1 else F.least(*d_exprs)
+        cur = cur.withColumn(
+            "_d2", d_new if r == 1 else F.least(F.col("_d2"), d_new))
+        u = ((seeded_hash(F.col(id_col).cast("string"), seed + r) + 1)
+             / F.lit(4294967297.0))
+        key = F.round(F.log(u) / F.col("_d2"), 6) + F.lit(0.0)
+        picked = (cur.where(F.col("_d2") > 0)
+                  .select(id_col, "v", key.alias("_key"))
+                  .orderBy(F.desc("_key"), F.asc(id_col))
+                  .limit(l).collect())  # bounded: exactly <= l rows
+        if not picked:
+            break
+        new_vecs = [list(p["v"]) for p in picked]
+        for p in picked:
+            cands.append((p[id_col], r))
+            all_vecs[p[id_col]] = list(p["v"])
+    # weighting pass: nearest candidate per corpus point (one map over
+    # the persisted base; the candidate literal is O(rounds*l) structs)
+    assign = F.sort_array(F.array(*[
+        F.struct(
+            F.round(F.lit(2.0) - F.lit(2.0)
+                    * dot(F.col("v"),
+                          F.array(*[F.lit(float(x)) for x in v])), 4)
+            .alias("d"),
+            F.lit(cid).cast("long").alias("cid"))
+        for cid, v in all_vecs.items()]))[0]["cid"]
+    counts = {r["cand_id"]: r["n"] for r in
+              base.select(assign.alias("cand_id"))
+              .groupBy("cand_id").agg(F.count("*").alias("n"))
+              .collect()}  # bounded: <= len(cands) rows
+    out = [(int(cid), rr, int(counts.get(cid, 0))) for cid, rr in cands]
+    return emb.sparkSession.createDataFrame(
+        sorted(out), "cand_id long, sample_round int, n_assigned bigint")
+
+
+def kmeanspar_oversample_sql(k: int = KMEANSPAR_K,
+                             rounds: int = KMEANSPAR_ROUNDS,
+                             oversample: float = KMEANSPAR_OVERSAMPLE,
+                             dims: int = 64,
+                             seed: int = KMEANSPAR_SEED) -> str:
+    """Unrolled DuckDB oracle for :func:`kmeanspar_oversample`: round
+    r's CTE carries every point's running min squared distance to the
+    candidate set (least over the previous round's sampled vectors via
+    a scalar subquery), the round's sample is the top-l by the 6dp
+    priority key, and the weighting pass is a correlated nearest-
+    candidate argmin.  Materialized CTEs per the k-center oracle's
+    measured re-expansion finding."""
+    from .text import md5_hash32_sql
+
+    l = int(-(-oversample * k // 1))
+    base = f"""base as (
+            select vec_id,
+                   list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       as v
+            from (
+                select vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> case when coalesce(isfinite(x), false)
+                                then x else 0 end) as s,
+                       list_aggregate(list_transform(embedding::DOUBLE[],
+                               x -> coalesce(isfinite(x), false)),
+                           'bool_and') as ok
+                from embeddings
+                where embedding is not null and len(embedding) = {dims}
+            )
+            where ok and list_dot_product(s, s) > 0
+        )"""
+    ctes = [base,
+            "c0 as materialized (select vec_id, v from base "
+            "order by vec_id limit 1)"]
+    for r in range(1, rounds + 1):
+        prev_src = "c0" if r == 1 else f"s{r - 1}"
+        d_new = (f"(select min(round(2.0 - 2.0 * "
+                 f"list_dot_product(p.v, n.v), 4)) from {prev_src} n)")
+        if r == 1:
+            ctes.append(
+                f"""d1 as materialized (
+            select p.vec_id, p.v, {d_new} as d2 from base p
+        )""")
+        else:
+            ctes.append(
+                f"""d{r} as materialized (
+            select p.vec_id, p.v, least(p.d2, {d_new}) as d2
+            from d{r - 1} p
+        )""")
+        h = md5_hash32_sql(f"'{seed + r}:' || vec_id::VARCHAR")
+        key = (f"(round(ln(({h} + 1) / 4294967297.0::DOUBLE) / d2, 6)"
+               f" + 0.0)")
+        ctes.append(
+            f"""s{r} as materialized (
+            select vec_id, v from d{r} where d2 > 0
+            order by {key} desc, vec_id limit {l}
+        )""")
+    cand_union = " union all ".join(
+        ["select vec_id, 0 as sample_round, v from c0"]
+        + [f"select vec_id, {r} as sample_round, v from s{r}"
+           for r in range(1, rounds + 1)])
+    ctes.append(f"cands as materialized ({cand_union})")
+    ctes.append("""assigned as materialized (
+            select (select c.vec_id from cands c
+                    order by round(2.0 - 2.0 *
+                        list_dot_product(p.v, c.v), 4), c.vec_id
+                    limit 1) as cand_id
+            from base p
+        )""")
+    return ("with " + ",\n        ".join(ctes) + """
+        select c.vec_id as cand_id, c.sample_round,
+               count(a.cand_id)::BIGINT as n_assigned
+        from cands c left join assigned a on a.cand_id = c.vec_id
+        group by c.vec_id, c.sample_round
+        order by c.vec_id, c.sample_round
+    """)
