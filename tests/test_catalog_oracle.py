@@ -293,7 +293,14 @@ def test_admission_runway_bookkeeping():
     undecided = ["ivf_probe_appended", "corpus_distinct_hll",
                  "bm25_search", "dedup_lsh_probe_stored",
                  "streaming_distinct_hll", "dedup_jaccard_prefix",
-                 "sample_priority_topk"]
+                 "sample_priority_topk",
+                 # post-runway round-10 families (no retirement named)
+                 "events_value_quantiles_kmv",
+                 "streaming_value_quantiles_kmv",
+                 "dedup_jaccard_prefix_collapsed",
+                 "streaming_heavy_hitters_cms", "dedup_repeated_segments",
+                 "sample_mmr_diverse", "streaming_running_totals_stateful",
+                 "embedding_kmeanspar_init"]
     for cand in undecided:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
 
