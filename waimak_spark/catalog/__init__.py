@@ -147,6 +147,7 @@ from .text import (  # noqa: E402
     dedup_jaccard_prefix as _x_ppj,
     dedup_jaccard_prefix_collapsed as _x_ppjc,
     dedup_repeated_segments as _x_segs,
+    doc_winnow_fingerprints as _x_winnow,
 )
 
 EXTRA_ENTRIES = {
@@ -170,6 +171,7 @@ EXTRA_ENTRIES = {
     "sample_mmr_diverse": _x_mmr,
     "streaming_running_totals_stateful": _x_ssrt,
     "embedding_kmeanspar_init": _x_kmpar,
+    "doc_winnow_fingerprints": _x_winnow,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -185,6 +185,21 @@ def _distinct_hll_oracle() -> str:
     return SK.hll_distinct_grams_sql()
 
 
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — MOSS): per-window rightmost-minimum gram hashes with the
+    shared-run detection guarantee the single-global-min
+    ``doc_fingerprint`` cannot give.  One map pass, shuffle only for
+    the final distinct.  Post-runway extension measured through the
+    catalog EXTRA_ENTRIES registry; verified by
+    tests/test_winnowing.py every pytest run."""
+    return T.winnow_fingerprints(D.spread_for_compute(_docs(spark, sf_dir)))
+
+
+def _winnow_oracle() -> str:
+    return T.winnow_fingerprints_sql()
+
+
 def dedup_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style repeated-segment (boilerplate) removal: every
     document rewritten with its corpus-frequent k-token windows dropped

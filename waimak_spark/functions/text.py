@@ -417,3 +417,93 @@ def unigram_logprob_sql() -> str:
         from tok join freq using (tok) cross join tot
         group by doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, SIGMOD —
+# the MOSS algorithm): local fingerprint selection with the GUARANTEE
+# that any shared token run of length >= w + k - 1 between two documents
+# yields at least one shared fingerprint — the robustness the plain
+# rolling-hash doc_fingerprint (one global min) cannot give.  Per
+# document: hash every k-gram (seeded md5, engine-reproducible), slide a
+# window of w consecutive hashes, select each window's MINIMUM (tie ->
+# RIGHTMOST, the paper's rule), dedupe selected positions.  Expected
+# density 2/(w+1) of the gram count.  All array expressions — one map
+# pass, no shuffle until the caller aggregates/joins fingerprints.
+# ---------------------------------------------------------------------------
+
+#: gram order k (token-level: the shared-run guarantee is w+k-1 tokens)
+WINNOW_K = 3
+#: window size w over consecutive gram hashes
+WINNOW_W = 4
+#: seed for the gram hash — disjoint from Bloom/CMS/HLL/KMV/kmeans||
+WINNOW_SEED = 8400
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        w: int = WINNOW_W,
+                        seed: int = WINNOW_SEED) -> DataFrame:
+    """``(doc_id, pos, fp)`` — the winnowed fingerprint set: ``pos`` is
+    the 1-based gram index of each selected hash, ``fp`` the seeded-md5
+    gram hash.  Documents with fewer grams than ``w`` contribute their
+    single shorter window (the paper's boundary case); documents with
+    no grams contribute nothing."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k={k} and w={w} must be >= 1")
+    gh = F.transform(shingles(tokens(F.col(text_col)), k),
+                     lambda g: seeded_hash(g, seed))
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(id_col, gh.alias("_gh")))
+    n = F.size(F.col("_gh"))
+    nwin = F.greatest(n - (w - 1), F.lit(1))
+
+    def pick(i):
+        win = F.slice(F.col("_gh"), i, w)
+        m = F.array_min(win)
+        idx = F.element_at(
+            F.filter(F.sequence(F.lit(1), F.size(win)),
+                     lambda j: F.element_at(win, j) == m), -1)
+        return F.struct((i - 1 + idx).cast("int").alias("pos"),
+                        m.alias("fp"))
+
+    sel = (F.when(n >= 1, F.transform(F.sequence(F.lit(1), nwin), pick))
+           .otherwise(F.array().cast(
+               "array<struct<pos:int,fp:bigint>>")))
+    return (base.select(id_col, F.explode(sel).alias("s"))
+            .select(id_col, F.col("s.pos").alias("pos"),
+                    F.col("s.fp").alias("fp"))
+            .distinct()
+            .orderBy(id_col, "pos"))
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W,
+                            seed: int = WINNOW_SEED,
+                            table: str = "documents",
+                            text: str = "text",
+                            id_: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`winnow_fingerprints`."""
+    win = f"gh[i:i+{w - 1}]"
+    idx = (f"list_aggregate(list_filter(generate_series(1, len({win})), "
+           f"j -> {win}[j] = list_min({win})), 'max')")
+    struct = (f"{{'pos': i - 1 + {idx}, 'fp': list_min({win})}}")
+    return f"""
+        with g as (
+            select {id_} as doc_id,
+                   list_transform({shingles_sql('t', k)},
+                                  g -> {seeded_hash_sql('g', seed)}) as gh
+            from (select {id_}, {TOKENS_SQL.format(col=text)} as t
+                  from {table} where {text} is not null)
+        ), sel as (
+            select doc_id, unnest(
+                case when len(gh) >= 1 then
+                    list_transform(
+                        generate_series(1, greatest(len(gh) - {w - 1}, 1)),
+                        i -> {struct})
+                else [] end) as s
+            from g
+        )
+        select distinct doc_id, (s.pos)::INT as pos, (s.fp)::BIGINT as fp
+        from sel
+        order by doc_id, pos
+    """
