@@ -237,3 +237,28 @@ class TestSemanticDedupPlan:
         assert plan.count("Exchange") == 1, plan
         assert "SortMergeJoin" not in plan
         assert "Generate" not in plan
+
+
+class TestDynamicPartitionPruning:
+    def test_partitioned_fact_scan_gets_dynamic_filter(self, spark,
+                                                       sf_dir, tmp_path):
+        """The 100 TB star-join contract our partitioned writes enable:
+        a fact table written partitionBy(key) joined to a FILTERED
+        dimension must get a dynamicpruning subquery in the fact scan's
+        PartitionFilters — Spark reads only the partitions the filtered
+        dim selects, without the user naming them.  Locks both the conf
+        default and that our written layout is DPP-eligible."""
+        import pyspark.sql.functions as F
+
+        fact_dir = str(tmp_path / "fact_by_type")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (ev.select("event_id", "user_id", "value", "event_type")
+         .write.partitionBy("event_type").parquet(fact_dir))
+        fact = spark.read.parquet(fact_dir)
+        dim = (ev.select("event_type").distinct()
+               .withColumn("is_hot", F.length("event_type") >= 0)
+               .where(F.col("event_type").startswith("c")))
+        joined = fact.join(dim, "event_type").groupBy("event_type").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), (
+            "no dynamic partition pruning on the partitioned fact scan")

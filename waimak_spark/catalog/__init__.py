@@ -127,6 +127,7 @@ from .curation import (  # noqa: E402
 )
 from .events import (  # noqa: E402
     events_value_quantiles_kmv as _x_kmv,
+    events_value_winsorized as _x_wins,
 )
 from .similarity import (  # noqa: E402
     ann_ivf_probe_appended as _x_ivf_apd,
@@ -172,6 +173,7 @@ EXTRA_ENTRIES = {
     "streaming_running_totals_stateful": _x_ssrt,
     "embedding_kmeanspar_init": _x_kmpar,
     "doc_winnow_fingerprints": _x_winnow,
+    "events_value_winsorized": _x_wins,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -262,6 +262,61 @@ def _kmv_quantiles_oracle() -> str:
     return SK.kmv_quantiles_sql()
 
 
+# --------------------------------------------------------------------------
+# winsorized robust statistics: per-group exact-percentile clipping
+# --------------------------------------------------------------------------
+
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized value statistics: values clipped at the
+    group's EXACT p01/p99 (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition, so the
+    clip boundaries agree bit-for-bit before rounding) — the robust-
+    scaling step a numeric feature pipeline runs before training, and
+    the outlier-diagnosis counts a DQ check consumes.  One percentile
+    aggregation (5 rows, broadcast back) + one pass; at 100 TB swap the
+    exact percentile for the KMV sketch's estimates, same shape.
+    Post-runway extension measured through the catalog EXTRA_ENTRIES
+    registry; verified by tests/test_winsorize.py every pytest run."""
+    df = _events(spark, sf_dir)
+    pct = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("_lo"),
+        F.expr("percentile(value, 0.99)").alias("_hi"))
+    j = df.join(F.broadcast(pct), "event_type")
+    w = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return (j.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum((F.col("value") < F.col("_lo")).cast("int"))
+                 .cast("bigint").alias("n_clipped_low"),
+                 F.sum((F.col("value") > F.col("_hi")).cast("int"))
+                 .cast("bigint").alias("n_clipped_high"),
+                 F.round(F.min("_lo"), 4).alias("p01"),
+                 F.round(F.max("_hi"), 4).alias("p99"),
+                 F.round(F.avg("value"), 4).alias("mean_raw"),
+                 F.round(F.avg(w), 4).alias("mean_winsorized"))
+            .orderBy("event_type"))
+
+
+WINSORIZED_ORACLE = """
+    with pct as (
+        select event_type,
+               quantile_cont(value, 0.01) as lo,
+               quantile_cont(value, 0.99) as hi
+        from events group by event_type
+    )
+    select e.event_type, count(*)::BIGINT as n,
+           sum((e.value < lo)::INT)::BIGINT as n_clipped_low,
+           sum((e.value > hi)::INT)::BIGINT as n_clipped_high,
+           round(min(lo), 4) as p01,
+           round(max(hi), 4) as p99,
+           round(avg(e.value), 4) as mean_raw,
+           round(avg(least(greatest(e.value, lo), hi)), 4)
+               as mean_winsorized
+    from events e join pct using (event_type)
+    group by e.event_type
+    order by e.event_type
+"""
+
+
 ENTRIES = {
     "latest_event_per_user_type": {"fn": latest_event_per_user_type,
                                    "oracle": LATEST_ORACLE},
