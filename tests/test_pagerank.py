@@ -1,0 +1,153 @@
+"""PageRank over the customer-supplier co-purchase graph (Page et al.
+1999) — the iterative-distributed class: per-iteration rounding makes
+the power-iteration trajectory engine-reproducible, licensing the
+unrolled-CTE DuckDB oracle.  The reference has no graph surface; this
+is the training-data-pipeline extension family."""
+
+import math
+from collections import defaultdict
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+
+from waimak_spark.functions.graph import (
+    PAGERANK_D,
+    PAGERANK_ITERS,
+    PAGERANK_ROUND,
+    copurchase_edges,
+    copurchase_pagerank_sql,
+    pagerank,
+)
+
+
+def _r(x: float, nd: int = PAGERANK_ROUND) -> float:
+    """Spark's double round: HALF_UP on the shortest decimal repr
+    (BigDecimal.valueOf semantics) — Python's built-in round is
+    banker's and diverges on exact halves, which the crafted small-
+    rational edge weights deliberately produce."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _py_pagerank(edges: list[tuple], iters=PAGERANK_ITERS,
+                 d=PAGERANK_D) -> dict:
+    """Pure-Python power iteration with the same rounding grid;
+    edges = [(src, dst, w)] already undirected."""
+    ow = defaultdict(float)
+    for s, _, w in edges:
+        ow[s] += w
+    nodes = sorted(ow)
+    n = len(nodes)
+    r = {v: _r(1.0 / n) for v in nodes}
+    base = (1.0 - d) / n
+    for _ in range(iters):
+        c = defaultdict(float)
+        for s, t, w in edges:
+            c[t] += r[s] * (w / ow[s])
+        r = {v: _r(base + d * c.get(v, 0.0)) for v in nodes}
+    return r
+
+
+class TestPagerankOracle:
+    def test_catalog_fn_matches_duckdb(self, spark, sf_dir):
+        from waimak_spark.catalog.joins import (
+            _pagerank_oracle,
+            copurchase_pagerank,
+        )
+
+        got = [(r.node, r.rank) for r in
+               copurchase_pagerank(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(f"create view {t} as "
+                        f"select * from '{sf_dir}/{t}.parquet'")
+        want = [tuple(r) for r in
+                con.execute(copurchase_pagerank_sql()).fetchall()]
+        assert _pagerank_oracle() == copurchase_pagerank_sql()
+        assert len(got) == len(want) > 0
+        for (gn, gr), (wn, wr) in zip(got, want):
+            assert gn == wn
+            assert gr == pytest.approx(wr, abs=1e-9)
+        # probability mass is conserved up to the rounding grid drift
+        # (<= n_nodes * 5e-7 per iteration)
+        drift = len(got) * 5e-7 * (PAGERANK_ITERS + 1)
+        assert sum(r for _, r in got) == pytest.approx(1.0, abs=drift)
+
+    def test_hubs_outrank_leaves(self, spark, sf_dir):
+        """Suppliers touch many customers (high degree) — on this
+        bipartite graph every supplier must outrank every customer."""
+        from waimak_spark.catalog.joins import copurchase_pagerank
+        from waimak_spark.functions.graph import SUPP_OFFSET
+
+        rows = copurchase_pagerank(spark, sf_dir).collect()
+        supp = [r.rank for r in rows if r.node >= SUPP_OFFSET]
+        cust = [r.rank for r in rows if r.node < SUPP_OFFSET]
+        assert supp and cust
+        assert min(supp) > max(cust)
+
+
+class TestPagerankSemantics:
+    EDGES = [(1, 10, 1.0), (10, 1, 1.0),
+             (2, 10, 3.0), (10, 2, 3.0),
+             (3, 10, 1.0), (10, 3, 1.0),
+             (3, 11, 1.0), (11, 3, 1.0)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [Row(src=s, dst=t, w=w) for s, t, w in self.EDGES])
+
+    def test_matches_pure_python_reference(self, spark):
+        got = {r.node: r.rank
+               for r in pagerank(self._df(spark)).collect()}
+        want = _py_pagerank(self.EDGES)
+        assert set(got) == set(want)
+        for v in got:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+        # node 10 is the hub: strictly the highest rank
+        assert max(got, key=got.get) == 10
+
+    def test_damping_zero_is_uniform(self, spark):
+        got = {r.node: r.rank
+               for r in pagerank(self._df(spark), d=0.0).collect()}
+        assert all(v == pytest.approx(1.0 / 5, abs=1e-6)
+                   for v in got.values())
+
+    def test_zero_iterations_is_uniform_init(self, spark):
+        got = {r.node: r.rank
+               for r in pagerank(self._df(spark), iters=0).collect()}
+        assert all(v == round(1.0 / 5, PAGERANK_ROUND)
+                   for v in got.values())
+
+    def test_checkpoint_trace_bit_identical(self, spark, sf_dir):
+        """The plan-cut every j iterations must not move a single rank
+        (a checkpoint stores the same rounded doubles the chained
+        expressions would re-derive)."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        e = copurchase_edges(li, orders)
+        cut = [tuple(r) for r in
+               pagerank(e, iters=7, checkpoint_every=2).collect()]
+        uncut = [tuple(r) for r in
+                 pagerank(e, iters=7, checkpoint_every=1000).collect()]
+        assert cut == uncut
+
+    def test_param_validation(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="iters"):
+            pagerank(df, iters=-1)
+        with pytest.raises(ValueError, match="must be in"):
+            pagerank(df, d=1.5)
+
+    def test_weights_shift_rank(self, spark):
+        """Customer 2's triple-weight edge to the hub must earn it more
+        rank than the single-weight customers 1 and 3 get from the hub
+        alone — weighted transition probabilities are real."""
+        got = {r.node: r.rank
+               for r in pagerank(self._df(spark)).collect()}
+        assert got[2] > got[1]
+        # sanity vs the reference for exactly this claim
+        want = _py_pagerank(self.EDGES)
+        assert want[2] > want[1]

@@ -129,6 +129,9 @@ from .events import (  # noqa: E402
     events_value_quantiles_kmv as _x_kmv,
     events_value_winsorized as _x_wins,
 )
+from .joins import (  # noqa: E402
+    copurchase_pagerank as _x_pr,
+)
 from .similarity import (  # noqa: E402
     ann_ivf_probe_appended as _x_ivf_apd,
     embedding_kmeanspar_init as _x_kmpar,
@@ -174,6 +177,7 @@ EXTRA_ENTRIES = {
     "embedding_kmeanspar_init": _x_kmpar,
     "doc_winnow_fingerprints": _x_winnow,
     "events_value_winsorized": _x_wins,
+    "copurchase_pagerank": _x_pr,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -107,6 +107,27 @@ GROUPING_SETS_ORACLE = """
 """
 
 
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected customer-supplier co-purchase graph
+    (Page et al. 1999) — the iterative-distributed class: each power
+    iteration is one join + one keyed aggregation (sparse matvec), rank
+    frame plan-cut every j iterations, per-iteration rounding keeps the
+    trajectory bit-identical to the unrolled-CTE DuckDB oracle.
+    Post-runway extension measured through the catalog EXTRA_ENTRIES
+    registry; verified by tests/test_pagerank.py every pytest run."""
+    from ..functions.graph import copurchase_edges, pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return pagerank(copurchase_edges(li, orders))
+
+
+def _pagerank_oracle() -> str:
+    from ..functions.graph import copurchase_pagerank_sql
+
+    return copurchase_pagerank_sql()
+
+
 ENTRIES = {
     "asof_quote_per_trade": {"fn": asof_quote_per_trade,
                              "oracle": ASOF_ORACLE},

@@ -1,0 +1,145 @@
+"""PageRank over the customer-supplier co-purchase graph (Page, Brin,
+Motwani & Winograd 1999, Stanford InfoLab TR) — the ITERATIVE-
+DISTRIBUTED class of the catalog: each iteration is one join (ranks x
+transition edges) + one keyed aggregation — the sparse matrix-vector
+product — so at 100 TB the plan is iterations x (shuffle-on-node-id),
+with the transition frame persisted once and the rank frame
+checkpointed every j iterations (the k-center plan-cut recipe) so plan
+depth and cached copies stay O(j).
+
+Determinism recipe: edges are UNDIRECTED (both directions emitted), so
+the walk has no dangling nodes and no leaked mass; every iteration's
+rank is rounded to PAGERANK_ROUND dp before the next step, which makes
+the fixpoint trajectory bit-identical across engines (the per-node
+in-neighbor sums differ only in FP addition order, ~1e-16, far inside
+the rounding grid) — what licenses the unrolled-CTE DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: damping factor (the classic 0.85)
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 5
+#: per-iteration rounding dp — the cross-engine lockstep grid
+PAGERANK_ROUND = 6
+#: supplier node ids are offset into their own range so the bipartite
+#: node sets cannot collide
+SUPP_OFFSET = 1_000_000
+#: plan-cut cadence for the rank frame (kcenter recipe)
+PAGERANK_CHECKPOINT_EVERY = 4
+
+
+def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """``(src, dst, w)`` — undirected weighted edges between customers
+    and suppliers, weight = number of lineitems linking them (multi-
+    edges collapsed); both directions emitted so every node has
+    out-degree >= 1 (no dangling mass)."""
+    half = (lineitem.join(orders,
+                          lineitem["l_orderkey"] == orders["o_orderkey"])
+            .groupBy(F.col("o_custkey").alias("a"),
+                     (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("b"))
+            .agg(F.count("*").cast("double").alias("w")))
+    return (half.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                        "w")
+            .unionByName(half.select(F.col("b").alias("src"),
+                                     F.col("a").alias("dst"), "w")))
+
+
+def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
+             d: float = PAGERANK_D, materialize=None,
+             checkpoint_every: int = PAGERANK_CHECKPOINT_EVERY
+             ) -> DataFrame:
+    """``(node, rank)`` after ``iters`` power iterations of the damped
+    random walk, each rank rounded to :data:`PAGERANK_ROUND` dp before
+    the next step.  ``edges`` must contain every node as a ``src``
+    (undirected edge lists do by construction)."""
+    if iters < 0:
+        raise ValueError(f"iters={iters} must be >= 0")
+    if not 0.0 <= d <= 1.0:
+        raise ValueError(f"d={d} must be in [0, 1]")
+    from .cache_registry import tracked_persist
+
+    mat = materialize or tracked_persist
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
+    trans = mat(edges.join(out_w, "src")
+                .select("src", "dst",
+                        (F.col("w") / F.col("_ow")).alias("p")))
+    nodes = mat(edges.select(F.col("src").alias("node")).distinct())
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank double")
+    r = nodes.select("node",
+                     F.round(F.lit(1.0) / F.lit(float(n)),
+                             PAGERANK_ROUND).alias("rank"))
+    base = (1.0 - d) / float(n)
+    prev_cut: DataFrame | None = None
+    for t in range(1, iters + 1):
+        contrib = (trans.join(r, trans["src"] == r["node"])
+                   .groupBy(trans["dst"].alias("node"))
+                   .agg(F.sum(F.col("rank") * F.col("p")).alias("_c")))
+        r = (nodes.join(contrib, "node", "left")
+             .select("node",
+                     F.round(F.lit(base)
+                             + F.lit(d) * F.coalesce("_c", F.lit(0.0)),
+                             PAGERANK_ROUND).alias("rank")))
+        if t < iters and t % checkpoint_every == 0:
+            cut = mat(r)
+            cut.count()  # materialize while the old cache is live
+            if prev_cut is not None:
+                try:
+                    prev_cut.unpersist()
+                except Exception:
+                    pass
+            prev_cut, r = cut, cut
+    return r.orderBy("node")
+
+
+def copurchase_pagerank_sql(iters: int = PAGERANK_ITERS,
+                            d: float = PAGERANK_D) -> str:
+    """Unrolled materialized-CTE DuckDB oracle for PageRank over the
+    co-purchase graph — iteration r's CTE is the same join+aggregate
+    the Spark loop runs, with the identical rounding grid; damping
+    coefficients are embedded via ``repr`` so the SQL doubles match the
+    Spark literals ((1-d)/N is COMPUTED in both engines, never a
+    decimal literal — 1-0.85 is not 0.15 in binary)."""
+    dr = repr(float(d))
+    ctes = [f"""e0 as (
+            select o_custkey as a, {SUPP_OFFSET} + l_suppkey as b,
+                   count(*)::DOUBLE as w
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by 1, 2
+        )""",
+            """e as materialized (
+            select a as src, b as dst, w from e0
+            union all
+            select b as src, a as dst, w from e0
+        )""",
+            """ws as (select src, sum(w) as ow from e group by src)""",
+            """t as materialized (
+            select e.src, e.dst, e.w / ws.ow as p
+            from e join ws using (src)
+        )""",
+            """nd as materialized (select distinct src as node from e)""",
+            """r0 as materialized (
+            select node,
+                   round(1.0 / (select count(*)::DOUBLE from nd), 6)
+                       as rank
+            from nd
+        )"""]
+    for r in range(1, iters + 1):
+        ctes.append(f"""r{r} as materialized (
+            select nd.node,
+                   round((1 - {dr}) / (select count(*)::DOUBLE from nd)
+                         + {dr} * coalesce(s.c, 0.0), 6) as rank
+            from nd left join (
+                select t.dst as node, sum(p.rank * t.p) as c
+                from t join r{r - 1} p on t.src = p.node
+                group by t.dst
+            ) s using (node)
+        )""")
+    return ("with " + ",\n        ".join(ctes)
+            + f"\n        select node, rank from r{iters} order by node")
