@@ -152,6 +152,7 @@ from .text import (  # noqa: E402
     dedup_jaccard_prefix_collapsed as _x_ppjc,
     dedup_repeated_segments as _x_segs,
     doc_winnow_fingerprints as _x_winnow,
+    vocab_jaccard_kmv as _x_kmvj,
 )
 
 EXTRA_ENTRIES = {
@@ -178,6 +179,7 @@ EXTRA_ENTRIES = {
     "doc_winnow_fingerprints": _x_winnow,
     "events_value_winsorized": _x_wins,
     "copurchase_pagerank": _x_pr,
+    "vocab_jaccard_kmv": _x_kmvj,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -185,6 +185,24 @@ def _distinct_hll_oracle() -> str:
     return SK.hll_distinct_grams_sql()
 
 
+def vocab_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k set-similarity BETWEEN per-language vocabularies (Cohen
+    & Kaplan 2007 / Broder 1997): the k-row-per-group element sketch
+    makes the pairwise Jaccard estimate constant-cost regardless of set
+    size; the exact Jaccard runs as the run-once certification side.
+    Post-runway extension measured through the catalog EXTRA_ENTRIES
+    registry; verified by tests/test_kmv_jaccard.py every pytest run."""
+    from ..functions import sketch as SK
+
+    return SK.kmv_group_jaccard(_docs(spark, sf_dir))
+
+
+def _kmv_jaccard_oracle() -> str:
+    from ..functions import sketch as SK
+
+    return SK.kmv_group_jaccard_sql()
+
+
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
     2003 — MOSS): per-window rightmost-minimum gram hashes with the

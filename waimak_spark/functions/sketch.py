@@ -763,3 +763,159 @@ def kmv_bucket_quantiles_sql(qs: tuple = KMV_QS, b: int = KMV_BUCKETS,
             ) where r = 1"""
     return _kmv_report_sql(qs, samp_cte, 2.0 / (b ** 0.5), table,
                            value_col, group_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k set-similarity BETWEEN GROUPS (Cohen & Kaplan 2007, "Summarizing
+# data using bottom-k sketches", PODC; Broder 1997's min-wise resemblance
+# idea at k hashes from ONE hash function) — the document-level MinHash
+# family estimates pairwise Jaccard between DOCUMENTS; this estimates
+# Jaccard between LARGE SETS (per-language vocabularies, per-source gram
+# sets) whose exact intersection at 100 TB is a full shuffle of every
+# distinct element: the k-row-per-group sketch makes the estimate
+# constant-cost regardless of set size, and the k smallest hashes of the
+# UNION are a uniform sample of the union, so the fraction present in
+# both sketches estimates |A∩B|/|A∪B|.  Seeded md5 keeps the sketch —
+# and therefore which estimate errors occur — engine-reproducible,
+# licensing the exact DuckDB oracle (the sketch-family recipe).
+# ---------------------------------------------------------------------------
+
+#: element-sketch size per group (estimate std = sqrt(j(1-j)/k) <= 0.031)
+KMVJ_K = 256
+KMVJ_SEED = 8500
+
+
+def kmv_group_jaccard(df: DataFrame, text_col: str = "text",
+                      group_col: str = "lang", k: int = KMVJ_K,
+                      seed: int = KMVJ_SEED,
+                      tol: float = 2.0 / (KMVJ_K ** 0.5)) -> DataFrame:
+    """``(group_a, group_b, n_a, n_b, exact_j, est_j, within_tol)`` for
+    every unordered group pair (a < b): the exact vocabulary Jaccard
+    (the run-once certification side — one distinct-token shuffle) next
+    to the bottom-k estimate computed ONLY from the two groups' k-row
+    sketches.  Determinism: hash ties break on the token string, so
+    the sketch and the union-sample are total-ordered on any engine."""
+    from pyspark.sql import Window as W
+
+    from .dedup import spread_for_compute
+    from .cache_registry import tracked_persist
+
+    base = (spread_for_compute(df)
+            .where(F.col(text_col).isNotNull()
+                   & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("g"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+            .distinct())
+    dt = tracked_persist(base)
+    # per-group bottom-k element sketch (two-phase: salt bucket prunes
+    # to <= k rows per (g, bucket) before the per-group rank)
+    u = seeded_hash(F.col("tok"), seed)
+    w1 = (W.partitionBy("g", F.pmod(F.col("_u"), F.lit(KMV_SALT)))
+          .orderBy(F.asc("_u"), F.asc("tok")))
+    w2 = W.partitionBy("g").orderBy(F.asc("_u"), F.asc("tok"))
+    sk = tracked_persist(
+        dt.withColumn("_u", u)
+        .withColumn("_pr", F.row_number().over(w1))
+        .where(F.col("_pr") <= k)
+        .withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= k)
+        .select("g", "tok", "_u"))
+    groups = dt.groupBy("g").agg(F.countDistinct("tok").alias("n"))
+    pairs = (groups.alias("ga").crossJoin(groups.alias("gb"))
+             .where(F.col("ga.g") < F.col("gb.g"))
+             .select(F.col("ga.g").alias("la"), F.col("ga.n").alias("n_a"),
+                     F.col("gb.g").alias("lb"), F.col("gb.n").alias("n_b")))
+    # estimate: k smallest union elements, fraction present in BOTH
+    both = (pairs.select("la", "lb")
+            .join(sk, (sk["g"] == F.col("la")) | (sk["g"] == F.col("lb")))
+            .groupBy("la", "lb", "tok", "_u")
+            .agg(F.max((F.col("g") == F.col("la")).cast("int"))
+                 .alias("in_a"),
+                 F.max((F.col("g") == F.col("lb")).cast("int"))
+                 .alias("in_b")))
+    wp = W.partitionBy("la", "lb").orderBy(F.asc("_u"), F.asc("tok"))
+    est = (both.withColumn("_r", F.row_number().over(wp))
+           .where(F.col("_r") <= k)
+           .groupBy("la", "lb")
+           .agg((F.sum(F.col("in_a") * F.col("in_b"))
+                 / F.count("*")).alias("_est")))
+    inter = (dt.alias("a").join(dt.alias("b"),
+                                (F.col("a.tok") == F.col("b.tok"))
+                                & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("la"), F.col("b.g").alias("lb"))
+             .agg(F.count("*").alias("_inter")))
+    return (pairs.join(inter, ["la", "lb"], "left")
+            .join(est, ["la", "lb"])
+            .select(F.col("la").alias("group_a"),
+                    F.col("lb").alias("group_b"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.round(F.coalesce("_inter", F.lit(0))
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.coalesce("_inter", F.lit(0))), 4)
+                    .alias("exact_j"),
+                    F.round(F.col("_est"), 4).alias("est_j"),
+                    (F.abs(F.col("_est")
+                           - (F.coalesce("_inter", F.lit(0))
+                              / (F.col("n_a") + F.col("n_b")
+                                 - F.coalesce("_inter", F.lit(0)))))
+                     <= F.lit(tol)).cast("int").alias("within_tol"))
+            .orderBy("group_a", "group_b"))
+
+
+def kmv_group_jaccard_sql(k: int = KMVJ_K, seed: int = KMVJ_SEED,
+                          tol: float = 2.0 / (KMVJ_K ** 0.5),
+                          table: str = "documents", text: str = "text",
+                          group: str = "lang") -> str:
+    """DuckDB oracle for :func:`kmv_group_jaccard`."""
+    u = seeded_hash_sql("tok", seed)
+    return f"""
+        with dt as (
+            select distinct {group} as g, unnest(
+                {TOKENS_SQL.format(col=text)}) as tok
+            from {table}
+            where {text} is not null and {group} is not null
+        ), sk as (
+            select g, tok, u from (
+                select g, tok, u,
+                       row_number() over (partition by g
+                                          order by u asc, tok asc) as r
+                from (select g, tok, {u} as u from dt)
+            ) where r <= {k}
+        ), grp as (
+            select g, count(distinct tok)::BIGINT as n from dt group by g
+        ), pairs as (
+            select a.g as la, a.n as n_a, b.g as lb, b.n as n_b
+            from grp a join grp b on a.g < b.g
+        ), flags as (
+            select p.la, p.lb, s.tok, s.u,
+                   max((s.g = p.la)::INT) as in_a,
+                   max((s.g = p.lb)::INT) as in_b
+            from pairs p join sk s on s.g = p.la or s.g = p.lb
+            group by p.la, p.lb, s.tok, s.u
+        ), est as (
+            select la, lb, sum(in_a * in_b)::DOUBLE / count(*) as e
+            from (
+                select la, lb, in_a, in_b,
+                       row_number() over (partition by la, lb
+                                          order by u asc, tok asc) as r
+                from flags
+            ) where r <= {k}
+            group by la, lb
+        ), inter as (
+            select a.g as la, b.g as lb, count(*)::BIGINT as i
+            from dt a join dt b on a.tok = b.tok and a.g < b.g
+            group by a.g, b.g
+        )
+        select p.la as group_a, p.lb as group_b, p.n_a, p.n_b,
+               round(coalesce(i.i, 0)
+                     / (p.n_a + p.n_b - coalesce(i.i, 0)), 4) as exact_j,
+               round(est.e, 4) as est_j,
+               (abs(est.e - coalesce(i.i, 0)
+                    / (p.n_a + p.n_b - coalesce(i.i, 0)))
+                <= {tol!r})::INT as within_tol
+        from pairs p
+        left join inter i on i.la = p.la and i.lb = p.lb
+        join est on est.la = p.la and est.lb = p.lb
+        order by group_a, group_b
+    """
