@@ -133,6 +133,7 @@ from .joins import (  # noqa: E402
     copurchase_pagerank as _x_pr,
 )
 from .similarity import (  # noqa: E402
+    ann_ivf_pq_refined as _x_pqref,
     ann_ivf_probe_appended as _x_ivf_apd,
     embedding_kmeanspar_init as _x_kmpar,
     sample_kcenter_diverse as _x_kcenter,
@@ -180,6 +181,7 @@ EXTRA_ENTRIES = {
     "events_value_winsorized": _x_wins,
     "copurchase_pagerank": _x_pr,
     "vocab_jaccard_kmv": _x_kmvj,
+    "ann_ivf_pq_refined": _x_pqref,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

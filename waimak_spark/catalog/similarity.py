@@ -614,6 +614,26 @@ def _mmr_oracle() -> str:
     return S.mmr_select_sql()
 
 
+def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval with exact refinement (the FAISS
+    RefineFlat pattern): ADC shortlist at k*refine_factor from the
+    compressed codes, exact cosine re-rank on the shortlist only — the
+    recall-recovery step quantization error makes necessary; the exact
+    stage touches |queries|*k*rf raw vectors, never the corpus.  Uses
+    the same static seeded codebooks as the stored-index entry so the
+    oracle's literals are computable with no data in hand.  Post-runway
+    extension measured through the catalog EXTRA_ENTRIES registry;
+    verified by tests/test_pq_refine.py every pytest run."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S._pq_init(S.PQ_M, S.PQ_K, 64 // S.PQ_M)
+    return S.ivf_pq_refined_topk(emb, books, QUERY_IDS, k=5)
+
+
+def _pq_refined_oracle() -> str:
+    books = S._pq_init(S.PQ_M, S.PQ_K, 64 // S.PQ_M)
+    return S.ivf_pq_refined_topk_sql(books, QUERY_IDS, k=5)
+
+
 def embedding_kmeanspar_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means|| oversampling (Bahmani et al. 2012) — the distributed
     initialization the kmeans family needs at 100 TB: a constant number

@@ -2120,6 +2120,100 @@ def ivf_pq_topk_sql(books: list[list[list[float]]], query_ids: list[int],
     """
 
 
+def ivf_pq_refined_topk(emb: DataFrame, books: list[list[list[float]]],
+                        query_ids: list[int], k: int = 5,
+                        refine_factor: int = 4,
+                        n_centroids: int = IVF_CENTROIDS,
+                        nprobe: int = IVF_NPROBE, dims: int = 64,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Two-stage IVF-PQ retrieval with EXACT REFINEMENT (the FAISS
+    ``RefineFlat`` pattern): stage 1 takes the ADC top
+    ``k * refine_factor`` shortlist from the compressed index (cheap,
+    lossy), stage 2 rescopes ONLY the shortlist with exact cosine
+    against the raw vectors and re-ranks to the final top-k — the
+    standard recall-recovery step quantization error makes necessary.
+    At 100 TB the exact stage touches ``|queries| * k * refine_factor``
+    raw vectors instead of the corpus: the shortlist broadcasts into
+    one pruned join against the raw table.  Output:
+    ``(query_id, neighbor_id, rank, score)`` with the exact 4dp cosine."""
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor={refine_factor} must be >= 1")
+    from pyspark.sql import Window as W
+
+    from .cache_registry import tracked_persist
+
+    base = tracked_persist(_pq_unit_base(emb, dims, id_col, vec_col))
+    index = ivf_pq_index_frame(emb, books, n_centroids, dims, id_col,
+                               vec_col, base=base)
+    short = ivf_pq_topk_from_index(
+        index, emb, books, query_ids, k * refine_factor, n_centroids,
+        nprobe, dims, id_col, vec_col, query_base=base)
+    qv = (base.where(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("query_id"), F.col("v").alias("_qv")))
+    refined = (base.select(F.col(id_col).alias("neighbor_id"),
+                           F.col("v").alias("_nv"))
+               .join(F.broadcast(short.select("query_id", "neighbor_id")),
+                     "neighbor_id")
+               .join(F.broadcast(qv), "query_id")
+               .select("query_id", "neighbor_id",
+                       F.round(dot(F.col("_nv"), F.col("_qv")), 4)
+                       .alias("score")))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"),
+                                          F.asc("neighbor_id"))
+    return (refined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score")
+            .orderBy("query_id", "rank"))
+
+
+def ivf_pq_refined_topk_sql(books: list[list[list[float]]],
+                            query_ids: list[int], k: int = 5,
+                            refine_factor: int = 4,
+                            n_centroids: int = IVF_CENTROIDS,
+                            nprobe: int = IVF_NPROBE,
+                            dims: int = 64) -> str:
+    """DuckDB oracle for :func:`ivf_pq_refined_topk` — the stage-1
+    shortlist is the existing :func:`ivf_pq_topk_sql` at
+    ``k * refine_factor`` wrapped as a subquery, stage 2 re-scores it
+    with the exact dot product over the same normalized base."""
+    inner = ivf_pq_topk_sql(books, query_ids, k * refine_factor,
+                            n_centroids, nprobe, dims)
+    return f"""
+        with short as ({inner}),
+        rbase as (
+            select vec_id,
+                   list_transform(s, x -> x / sqrt(list_dot_product(s, s)))
+                       as v
+            from (
+                select vec_id,
+                       list_transform(embedding::DOUBLE[],
+                           x -> case when coalesce(isfinite(x), false)
+                                then x else 0 end) as s,
+                       list_aggregate(list_transform(embedding::DOUBLE[],
+                               x -> coalesce(isfinite(x), false)),
+                           'bool_and') as ok
+                from embeddings
+                where embedding is not null and len(embedding) = {dims}
+            )
+            where ok and list_dot_product(s, s) > 0
+        ), exact as (
+            select s.query_id, s.neighbor_id,
+                   round(list_dot_product(nb.v, qb.v), 4) as score
+            from short s
+            join rbase nb on nb.vec_id = s.neighbor_id
+            join rbase qb on qb.vec_id = s.query_id
+        )
+        select query_id, neighbor_id, rank, score
+        from (select *, row_number() over (partition by query_id
+                                           order by score desc,
+                                                    neighbor_id asc) as rank
+              from exact)
+        where rank <= {k}
+        order by query_id, rank
+    """
+
+
 # ---------------------------------------------------------------------------
 # k-center greedy diverse sampling (farthest-point traversal) — the coreset
 # selection of Sener & Savarese 2018 (ICLR, arXiv:1708.00489): pick the
