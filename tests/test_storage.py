@@ -345,3 +345,69 @@ class TestStorageFlowActions:
                                     output_prefix="hist"))
         _, final = flow2.execute()
         assert final.inputs.get("hist_persons").count() == 0
+
+
+class TestCompactZorderLayout:
+    """compact(layout_cols=...) writes the merged cold region Z-ORDERED
+    (operators/layout.py) — identical row set and region bookkeeping to
+    the round-robin path, but the region's files carry narrow footer
+    min/max bands on every listed column."""
+
+    def _numbers(self, spark, n=4000):
+        import pyspark.sql.functions as F
+
+        return (spark.range(n)
+                .select(F.col("id").cast("int").alias("id"),
+                        (F.col("id") % 97).cast("double").alias("a"),
+                        ((F.col("id") * 31) % 89).cast("double").alias("b"),
+                        F.lit(T0).alias("updated")))
+
+    def test_layout_preserves_rows_and_narrows_bands(self, ops, spark):
+        import duckdb
+
+        info = AuditTableInfo("numbers", ["id"], {}, True)
+        t = create_table(ops, info)
+        df = self._numbers(spark)
+        t, _ = t.append(df, "updated", T0)
+        t = t.compact(T2, small_region_row_threshold=10**9,
+                      recompact_all=True,
+                      compaction_partitioner=lambda d, r, b: 8,
+                      layout_cols=["a", "b"])
+        assert [r.store_type for r in t.regions] == [COLD_PARTITION]
+        assert t.regions[0].count == 4000
+        # identical row set to the source
+        got = sorted((r["id"], r["a"], r["b"]) for r in
+                     t.all_between(None, None)
+                     .select("id", "a", "b").collect())
+        want = sorted((r["id"], r["a"], r["b"]) for r in df.collect())
+        assert got == want
+        # every file carries narrow bands on BOTH z-ordered columns
+        region_dir = (f"{ops.base_path}/numbers/de_store_type=cold/"
+                      f"de_store_region={t.regions[0].store_region}")
+        con = duckdb.connect()
+        cov = {}
+        for col in ("a", "b"):
+            rows = con.execute(f"""
+                select file_name, min(stats_min_value::DOUBLE),
+                       max(stats_max_value::DOUBLE)
+                from parquet_metadata('{region_dir}/*.parquet')
+                where path_in_schema = '{col}'
+                group by file_name
+            """).fetchall()
+            assert len(rows) == 8
+            lo = min(r[1] for r in rows)
+            hi = max(r[2] for r in rows)
+            cov[col] = sum(r[2] - r[1] for r in rows) / ((hi - lo) * 8)
+        assert cov["a"] < 0.6 and cov["b"] < 0.6
+
+    def test_layout_path_equals_roundrobin_rowset(self, ops, spark):
+        """With retain_history=False the dedup window runs before the
+        layout — the kept row set must be identical on both paths."""
+        info = AuditTableInfo("numbers2", ["id"], {},
+                              retain_history=False)
+        t = create_table(ops, info)
+        t, _ = t.append(self._numbers(spark, 500), "updated", T0)
+        t, _ = t.append(self._numbers(spark, 500), "updated", T1)
+        t = t.compact(T2, layout_cols=["a"])
+        assert t.regions[0].count == 500  # dedup by PK still applied
+        assert t.all_between(None, None).count() == 500

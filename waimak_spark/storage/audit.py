@@ -239,11 +239,22 @@ class AuditTableFile:
                 trash_max_age_ms: int = 86_400_000,
                 small_region_row_threshold: int = 50_000_000,
                 compaction_partitioner: Optional[CompactionPartitioner] = None,
-                recompact_all: bool = False) -> "AuditTableFile":
+                recompact_all: bool = False,
+                layout_cols: Optional[list[str]] = None) -> "AuditTableFile":
         """Merge all hot regions + small cold regions into ONE new cold
         region; replaced region folders go to the trash bin and aged trash
         is purged. Tables with ``retain_history=False`` are deduplicated
-        during the merge."""
+        during the merge.
+
+        ``layout_cols``: when given, the merged region is written
+        Z-ORDERED on these columns (operators/layout.py) instead of
+        round-robin repartitioned — compaction is exactly the moment a
+        100 TB deployment pays for read locality, and the z-layout gives
+        every output file narrow footer min/max bands on EVERY listed
+        column so later keyed/range reads prune files.  Costs one extra
+        quantile pass over the merged data (a deliberate maintenance
+        trade; the row set written is identical either way,
+        test-locked)."""
         self._mark_to_update()
         compact_ts = compact_ts or datetime.utcnow()
         if compaction_partitioner is None:
@@ -252,7 +263,8 @@ class AuditTableFile:
         to_compact = self._regions_to_compact(small_region_row_threshold,
                                               recompact_all)
         new_self = self._compact_regions(to_compact, compact_ts,
-                                         compaction_partitioner)
+                                         compaction_partitioner,
+                                         layout_cols)
         self.ops.purge_trash(self.table_name,
                              int(compact_ts.timestamp() * 1000),
                              trash_max_age_ms)
@@ -282,7 +294,9 @@ class AuditTableFile:
 
     def _compact_regions(self, to_compact: list[AuditTableRegionInfo],
                          compact_ts: datetime,
-                         partitioner: CompactionPartitioner) -> "AuditTableFile":
+                         partitioner: CompactionPartitioner,
+                         layout_cols: Optional[list[str]] = None
+                         ) -> "AuditTableFile":
         if not to_compact:
             return AuditTableFile(self.table_info, self.regions, self.ops,
                                   self.full_region_view)
@@ -315,8 +329,13 @@ class AuditTableFile:
                 current = len(data.inputFiles())
             except Exception:
                 current = 0  # no file provenance → repartition (safe side)
-            data = (data.repartition(target) if target > current
-                    else data.coalesce(target))
+            if layout_cols:
+                from ..operators.layout import zorder_layout
+                data = zorder_layout(data, layout_cols,
+                                     num_partitions=target)
+            else:
+                data = (data.repartition(target) if target > current
+                        else data.coalesce(target))
             self.ops.atomic_write_and_cleanup(
                 self.table_name, data, new_path, paths,
                 int(compact_ts.timestamp() * 1000))
