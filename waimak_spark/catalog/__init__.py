@@ -147,6 +147,7 @@ from .streaming import (  # noqa: E402
 )
 from .text import (  # noqa: E402
     bm25_search as _x_bm25,
+    bpe_merges as _x_bpe,
     corpus_distinct_hll as _x_hll,
     corpus_heavy_hitters as _x_cms,
     dedup_jaccard_prefix as _x_ppj,
@@ -182,6 +183,7 @@ EXTRA_ENTRIES = {
     "copurchase_pagerank": _x_pr,
     "vocab_jaccard_kmv": _x_kmvj,
     "ann_ivf_pq_refined": _x_pqref,
+    "bpe_merges": _x_bpe,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

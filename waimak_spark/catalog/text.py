@@ -185,6 +185,19 @@ def _distinct_hll_oracle() -> str:
     return SK.hll_distinct_grams_sql()
 
 
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (Sennrich et al. 2016):
+    one distributed word-frequency shuffle capped to the top-V words,
+    then the bounded driver-side greedy merge loop — the HF-tokenizers
+    shape.  No SQL oracle (the merge loop is an iterative algorithm,
+    the brief's rows-only class); cross-checked against a pure-Python
+    reference in tests/test_bpe_learn.py every pytest run.
+    Post-runway extension measured through EXTRA_ENTRIES."""
+    from ..functions import text as TT
+
+    return TT.bpe_learn(_docs(spark, sf_dir))
+
+
 def vocab_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k set-similarity BETWEEN per-language vocabularies (Cohen
     & Kaplan 2007 / Broder 1997): the k-row-per-group element sketch

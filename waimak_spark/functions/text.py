@@ -507,3 +507,97 @@ def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W,
         from sel
         order by doc_id, pos
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich, Haddow & Birch 2016, ACL — "Neural
+# Machine Translation of Rare Words with Subword Units"): TOKENIZER
+# TRAINING, the step upstream of every LLM data pipeline.  The standard
+# scalable shape (what HF tokenizers do): the corpus-sized work is ONE
+# distributed word-frequency aggregation (map-side partial counts, one
+# shuffle keyed on the word), capped to the top-V words — vocabulary is
+# bounded while corpora are not — and the merge loop then runs
+# driver-side over that bounded frequency table (each merge touches
+# only words containing the merged pair; no corpus re-scan per merge).
+# Deterministic: ties on pair frequency break lexicographically, and
+# the top-V cap orders (freq desc, word asc), so the learned merge
+# table is run/engine-reproducible.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 16
+#: top-V word cap for the driver-side merge loop — the bounded collect
+BPE_VOCAB_CAP = 30_000
+#: end-of-word marker (the paper's convention)
+BPE_EOW = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text",
+                     cap: int = BPE_VOCAB_CAP) -> list[tuple[str, int]]:
+    """Top-``cap`` (word, count) pairs by (count desc, word asc) — the
+    distributed half of BPE training; the collect is bounded by ``cap``
+    BY CONSTRUCTION (TakeOrderedAndProject, never a global sort)."""
+    rows = (df.where(F.col(text_col).isNotNull())
+            .select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("w"))
+            .limit(cap).collect())
+    return [(r["w"], r["c"]) for r in rows]
+
+
+def learn_bpe_merges(word_freqs: list[tuple[str, int]],
+                     n_merges: int = BPE_MERGES) -> list[tuple]:
+    """``[(rank, left, right, freq)]`` — the classic greedy loop over a
+    word-frequency table: count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair (ties to the
+    lexicographically smallest), repeat.  Stops early when no pair
+    occurs twice."""
+    from collections import Counter
+
+    words = {}
+    for w, c in word_freqs:
+        sym = tuple(list(w) + [BPE_EOW])
+        words[sym] = words.get(sym, 0) + c
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        merges.append((rank, left, right, int(freq)))
+        merged = left + right
+        nxt = {}
+        for sym, c in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (i < len(sym) - 1 and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        words = nxt
+    return merges
+
+
+def bpe_learn(df: DataFrame, text_col: str = "text",
+              n_merges: int = BPE_MERGES,
+              cap: int = BPE_VOCAB_CAP) -> DataFrame:
+    """The learned merge table as a DataFrame ``(rank, left, right,
+    freq)`` — see :func:`word_frequencies` (distributed) and
+    :func:`learn_bpe_merges` (bounded local loop)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges={n_merges} must be >= 1")
+    merges = learn_bpe_merges(word_frequencies(df, text_col, cap),
+                              n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, freq bigint")
