@@ -1,3 +1,14 @@
-from . import curation, dedup, similarity, text
+from . import (
+    curation,
+    dedup,
+    graph,
+    joins,
+    retrieval,
+    similarity,
+    sketch,
+    skew,
+    text,
+)
 
-__all__ = ["curation", "dedup", "similarity", "text"]
+__all__ = ["curation", "dedup", "graph", "joins", "retrieval",
+           "similarity", "sketch", "skew", "text"]
