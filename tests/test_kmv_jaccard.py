@@ -128,3 +128,19 @@ class TestKmvJaccardSemantics:
         want = [tuple(r) for r in
                 con.execute(kmv_group_jaccard_sql()).fetchall()]
         assert got == want
+
+
+class TestKmvJaccardPlan:
+    def test_plan_stays_jvm_no_cartesian(self, spark, sf_dir):
+        """The group-pair cross join is over the tiny per-group count
+        frame (groups x groups, broadcastable) — it must never become a
+        corpus-sized nested loop, and the family runs zero Python."""
+        from waimak_spark.catalog.text import vocab_jaccard_kmv
+
+        plan = (vocab_jaccard_kmv(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # the deliberate pairs cross join is broadcast over the k-row
+        # group frame; no shuffled cartesian may appear
+        assert "CartesianProduct" not in plan

@@ -170,3 +170,15 @@ class TestWinnowSemantics:
                                    schema="doc_id long, text string")
         got = {(r.pos, r.fp) for r in winnow_fingerprints(df).collect()}
         assert got == _py_winnow(text)
+
+
+class TestWinnowPlan:
+    def test_plan_stays_jvm_no_cartesian(self, spark, sf_dir):
+        from waimak_spark.catalog.text import doc_winnow_fingerprints
+
+        plan = (doc_winnow_fingerprints(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -86,3 +86,19 @@ class TestWinsorized:
         assert (g.n_clipped_low, g.n_clipped_high) == (w[2], w[3])
         assert g.mean_raw == pytest.approx(w[6], abs=1e-9)
         assert g.mean_winsorized == pytest.approx(w[7], abs=1e-9)
+
+
+class TestWinsorizedPlan:
+    def test_percentiles_broadcast_no_python(self, spark, sf_dir):
+        """The 5-row percentile frame must broadcast back to the fact
+        side (never shuffle the events for the clip join), and the
+        whole entry stays JVM-side."""
+        from waimak_spark.catalog.events import events_value_winsorized
+
+        plan = (events_value_winsorized(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
