@@ -576,3 +576,34 @@ class TestStatefulCatalogEntry:
         for u in finals:
             assert finals[u][0] == batch[u][0]
             assert finals[u][1] == pytest.approx(batch[u][1], abs=1e-9)
+
+
+class TestSlidingWindowEntry:
+    def test_matches_oracle_and_overlap_property(self, spark, sf_dir):
+        """Sliding 10-min/5-min windows: lockstep with the containment
+        oracle, and every event lands in EXACTLY two windows (the
+        overlap tumbling cannot express): sum of per-window counts is
+        twice the event count."""
+        import duckdb
+
+        from waimak_spark.catalog.streaming import (
+            STREAMING_SLIDING_ORACLE,
+            streaming_sliding_counts,
+        )
+
+        got = [(r.window_start, r.event_type, r.n, r.sum_value) for r in
+               streaming_sliding_counts(spark, sf_dir)
+               .orderBy("window_start", "event_type").collect()]
+        con = duckdb.connect()
+        con.execute(f"create view events as "
+                    f"select * from '{sf_dir}/events.parquet'")
+        want = [tuple(r) for r in con.execute(
+            STREAMING_SLIDING_ORACLE
+            + " order by window_start, event_type").fetchall()]
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            assert g[3] == pytest.approx(w[3], abs=1e-3)
+        n_events = spark.read.parquet(
+            f"{sf_dir}/events.parquet").count()
+        assert sum(g[2] for g in got) == 2 * n_events

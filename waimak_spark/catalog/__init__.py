@@ -143,6 +143,7 @@ from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
     streaming_heavy_hitters_cms as _x_scms,
     streaming_running_totals_stateful as _x_ssrt,
+    streaming_sliding_counts as _x_sslc,
     streaming_value_quantiles_kmv as _x_skmv,
 )
 from .text import (  # noqa: E402
@@ -184,6 +185,7 @@ EXTRA_ENTRIES = {
     "vocab_jaccard_kmv": _x_kmvj,
     "ann_ivf_pq_refined": _x_pqref,
     "bpe_merges": _x_bpe,
+    "streaming_sliding_counts": _x_sslc,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -326,6 +326,58 @@ STREAMING_TUMBLING_ORACLE = """
 """
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (overlapping) event-time windows — 10-minute windows
+    every 5 minutes, so each event lands in exactly two windows: the
+    overlap is what tumbling windows cannot express (rolling rates,
+    smoothed counters).  Same incremental shape as the tumbling entry
+    (watermarked window agg, complete-mode backfill); the oracle
+    materializes each event's two candidate window starts and filters
+    by containment — the definition Spark's F.window implements.
+    Post-runway extension measured through the catalog EXTRA_ENTRIES
+    registry; verified by tests/test_streaming.py every pytest run."""
+    run = _run_session(spark)
+    src = _events_stream(run, sf_dir)
+    with_ts = src.withColumn("ts_ev", _ts_ev(src))
+    windowed = watermarked_window_agg(
+        with_ts, "ts_ev", "10 minutes", "10 minutes",
+        aggs=[F.count("*").alias("n"),
+              F.round(F.sum("value"), 4).alias("sum_value")],
+        group_cols=["event_type"],
+        slide="5 minutes",
+    )
+    out = windowed.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type", "n", "sum_value")
+    name = "stream_sliding_counts_sink"
+    with _stream_state_sizing(run, (f"{sf_dir}/events.parquet",)):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+    return _collect_into_caller(
+        spark, run, name, _sink_rows_from_progress(q, complete=True,
+                                                   run=run))
+
+
+STREAMING_SLIDING_ORACLE = """
+    with ev as (
+        select epoch_ns(ts) // 1000000000 as t, event_type, value
+        from events
+    ), w as (
+        select unnest([(t // 300) * 300, (t // 300) * 300 - 300])
+                   as window_start,
+               event_type, value, t
+        from ev
+    )
+    select window_start, event_type, count(*) as n,
+           round(sum(value), 4) as sum_value
+    from w
+    where t >= window_start and t < window_start + 600
+    group by 1, 2
+"""
+
+
 SESSION_GAP_S = 1800
 
 
