@@ -334,3 +334,73 @@ class TestComposableChecks:
             handlers=[ExceptionQualityAlert([AlertImportance.CRITICAL])])
         with pytest.raises(Exception, match="uniqueness"):
             flow.execute()
+
+
+class TestOutlierRateCheck:
+    """Robust median/MAD outlier-rate prefab (beyond the reference's
+    four): the Hampel rule is immune to the outliers it measures — a
+    mean/stddev rule would let one huge outlier inflate sigma and hide
+    itself."""
+
+    def _values(self, spark, vals, groups=None):
+        if groups is None:
+            rows = [(i, float(v)) for i, v in enumerate(vals)]
+            return _df(spark, rows, "id int, x double")
+        rows = [(i, float(v), g)
+                for i, (v, g) in enumerate(zip(vals, groups))]
+        return _df(spark, rows, "id int, x double, g string")
+
+    def test_clean_data_passes(self, spark, tmp_path):
+        from waimak_spark.dataquality import outlier_rate_check
+
+        h = CollectingAlertHandler()
+        df = self._values(spark, [10, 11, 12, 10, 11, 12, 10, 11])
+        _run(spark, tmp_path, df, outlier_rate_check("x"), h,
+             label="vals")
+        assert h.alerts == []
+
+    def test_gross_outliers_alert(self, spark, tmp_path):
+        from waimak_spark.dataquality import outlier_rate_check
+
+        h = CollectingAlertHandler()
+        df = self._values(
+            spark, [10, 11, 12, 10, 11, 12, 10, 11, 9000, 9001])
+        _run(spark, tmp_path, df,
+             outlier_rate_check("x", warning_threshold=0.05), h,
+             label="vals")
+        assert len(h.alerts) == 1
+        assert "Outlier rate of x" in h.alerts[0].alert_message
+        assert h.alerts[0].importance == AlertImportance.WARNING
+
+    def test_mean_rule_would_miss_what_mad_catches(self, spark, tmp_path):
+        """The robustness claim, demonstrated: one colossal outlier in
+        20 points inflates stddev so much that |x - mean| < 3*sigma for
+        every point (the mean rule is blind), while the MAD rule flags
+        it."""
+        import statistics
+
+        from waimak_spark.dataquality import outlier_rate_check
+
+        # n=9: the max possible z-score is (n-1)/sqrt(n) = 2.67 < 3, so
+        # a 3-sigma mean rule PROVABLY cannot flag anything — masking
+        vals = [10.0, 11.0, 12.0, 10.0, 11.0, 12.0, 10.0, 11.0, 1e7]
+        mu = statistics.mean(vals)
+        sd = statistics.pstdev(vals)
+        assert all(abs(v - mu) < 3 * sd for v in vals)  # mean-rule blind
+        h = CollectingAlertHandler()
+        _run(spark, tmp_path, self._values(spark, vals),
+             outlier_rate_check("x", warning_threshold=0.01), h,
+             label="vals")
+        assert len(h.alerts) == 1  # MAD rule catches it
+
+    def test_per_group_alert_names_group(self, spark, tmp_path):
+        from waimak_spark.dataquality import outlier_rate_check
+
+        h = CollectingAlertHandler()
+        vals = [10, 11, 12, 10, 11, 9000] + [5, 6, 5, 6, 5, 6]
+        groups = ["a"] * 6 + ["b"] * 6
+        _run(spark, tmp_path, self._values(spark, vals, groups),
+             outlier_rate_check("x", warning_threshold=0.05,
+                                group_col="g"), h, label="vals")
+        assert len(h.alerts) == 1
+        assert "(group a)" in h.alerts[0].alert_message

@@ -53,6 +53,7 @@ from .extension import (
 from .prefab import (
     completeness_check,
     generic_sql_check,
+    outlier_rate_check,
     recent_timestamp_check,
     uniqueness_check,
 )
@@ -65,7 +66,7 @@ __all__ = [
     "SlackQualityAlert", "EmailQualityAlert", "SMTPEmailSettings",
     "Check", "CheckLevel", "ComposableCheck", "add_checks",
     "add_data_quality_check", "completeness_check", "uniqueness_check",
-    "recent_timestamp_check", "generic_sql_check",
+    "recent_timestamp_check", "generic_sql_check", "outlier_rate_check",
     "AnomalyCheck", "add_anomaly_check", "size_metric",
     "StorageLayerMetricsRepository", "AbsoluteChangeStrategy",
     "RelativeRateOfChangeStrategy", "BatchNormalStrategy",
