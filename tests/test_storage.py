@@ -411,3 +411,35 @@ class TestCompactZorderLayout:
         t = t.compact(T2, layout_cols=["a"])
         assert t.regions[0].count == 500  # dedup by PK still applied
         assert t.all_between(None, None).count() == 500
+
+
+class TestSnapshotDiff:
+    """Change-data view between two snapshot timestamps: full-outer
+    join on the PK, null-safe struct comparison for 'changed'."""
+
+    def test_added_changed_removed(self, ops, spark):
+        t = create_table(ops, INFO)
+        t, _ = t.append(_b1(spark), "updated", T0)
+        t, _ = t.append(_b2(spark), "updated", T1)
+        diff = [(r.change_type, r.id, r.name)
+                for r in t.snapshot_diff(T0, T1).collect()]
+        # id=2 bob -> bobby (changed), id=3 new (added); id=1 untouched
+        assert diff == [("changed", 2, "bobby"), ("added", 3, "carol")]
+        # reversed direction swaps roles and reports FROM-side values
+        # for removed rows
+        rev = [(r.change_type, r.id, r.name)
+               for r in t.snapshot_diff(T1, T0).collect()]
+        assert rev == [("changed", 2, "bob"), ("removed", 3, "carol")]
+
+    def test_identical_snapshots_diff_empty(self, ops, spark):
+        t = create_table(ops, INFO)
+        t, _ = t.append(_b1(spark), "updated", T0)
+        assert t.snapshot_diff(T0, T0).count() == 0
+
+    def test_null_transition_counts_as_change(self, ops, spark):
+        t = create_table(ops, INFO)
+        t, _ = t.append(_b1(spark), "updated", T0)
+        t, _ = t.append(_batch(spark, [(1, None, T1)]), "updated", T1)
+        diff = [(r.change_type, r.id, r.name)
+                for r in t.snapshot_diff(T0, T1).collect()]
+        assert diff == [("changed", 1, None)]

@@ -234,6 +234,44 @@ class AuditTableFile:
             return None
         return self.deduplicate(df).drop(DE_LAST_UPDATED_COLUMN)
 
+    def snapshot_diff(self, from_ts: Optional[Any],
+                      to_ts: Optional[Any]) -> Optional[DataFrame]:
+        """Change-data view between two snapshot timestamps (beyond the
+        reference's surface — the audit-table design records exactly
+        the history this needs): one row per primary key whose state
+        differs between ``snapshot(from_ts)`` and ``snapshot(to_ts)``,
+        tagged ``change_type`` in {'added', 'removed', 'changed'}, with
+        the TO-side values for added/changed rows and the FROM-side
+        values for removed ones.  One full-outer join on the primary
+        key; value comparison is a null-safe struct equality, so NULL
+        transitions count as changes.  At 100 TB both sides prune to
+        their ``<= ts`` regions at the scan (the all_between partition
+        filters), and the join shuffles on the PK only."""
+        a = self.snapshot(from_ts)
+        b = self.snapshot(to_ts)
+        if a is None or b is None:
+            return None
+        pks = list(self.table_info.primary_keys)
+        non_pk = [c for c in b.columns if c not in pks]
+        val = (lambda df: F.struct(*[F.col(c) for c in non_pk])
+               if non_pk else F.lit(0))
+        a2 = a.select(*pks, val(a).alias("_va"),
+                      F.lit(True).alias("_in_a"))
+        b2 = b.select(*pks, val(b).alias("_vb"),
+                      F.lit(True).alias("_in_b"))
+        j = a2.join(b2, pks, "full_outer")
+        change = (F.when(F.col("_in_a").isNull(), F.lit("added"))
+                  .when(F.col("_in_b").isNull(), F.lit("removed"))
+                  .when(~F.col("_va").eqNullSafe(F.col("_vb")),
+                        F.lit("changed")))
+        picked = F.when(F.col("_in_b").isNotNull(), F.col("_vb")) \
+                  .otherwise(F.col("_va"))
+        return (j.withColumn("_ct", change)
+                .where(F.col("_ct").isNotNull())
+                .select(F.col("_ct").alias("change_type"), *pks,
+                        *[picked.getField(c).alias(c) for c in non_pk])
+                .orderBy(*pks))
+
     # -- compaction (AuditTableFile.scala:99-210) -------------------------------
     def compact(self, compact_ts: Optional[datetime] = None,
                 trash_max_age_ms: int = 86_400_000,
