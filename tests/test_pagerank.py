@@ -151,3 +151,22 @@ class TestPagerankSemantics:
         # sanity vs the reference for exactly this claim
         want = _py_pagerank(self.EDGES)
         assert want[2] > want[1]
+
+
+class TestPagerankRobustness:
+    def test_nonpositive_weights_are_dropped_not_leaked(self, spark):
+        """A zero-weight edge IS no edge: without the guard it divides
+        into the out-weight sum and leaks rank mass through null
+        transition probabilities.  The result must equal the same graph
+        with the degenerate edges absent."""
+        from pyspark.sql import Row
+
+        clean = [(1, 10, 1.0), (10, 1, 1.0), (2, 10, 1.0), (10, 2, 1.0)]
+        dirty = clean + [(1, 2, 0.0), (2, 1, 0.0), (1, 10, -5.0)]
+        a = {r.node: r.rank for r in pagerank(spark.createDataFrame(
+            [Row(src=s, dst=t, w=w) for s, t, w in clean])).collect()}
+        b = {r.node: r.rank for r in pagerank(spark.createDataFrame(
+            [Row(src=s, dst=t, w=w) for s, t, w in dirty])).collect()}
+        assert a == b
+        # mass conserved (3 nodes, 5 iterations of 6dp rounding drift)
+        assert sum(a.values()) == pytest.approx(1.0, abs=1e-4)

@@ -63,6 +63,10 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     from .cache_registry import tracked_persist
 
     mat = materialize or tracked_persist
+    # non-positive weights would divide into zero/negative out-weights
+    # and silently leak rank mass through null/negative transition
+    # probabilities — drop them up front (a zero-weight edge IS no edge)
+    edges = edges.where(F.col("w") > 0)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
     trans = mat(edges.join(out_w, "src")
                 .select("src", "dst",
