@@ -98,7 +98,8 @@ def short_name(name: str) -> str:
 
     # initials-rule collisions get explicit overrides (uniqueness over the
     # whole catalog is asserted by test_bench_short_names_unique_and_fit)
-    overrides = {"dsir_select": "dsir"}  # "ds" is dedup_simhash
+    overrides = {"dsir_select": "dsir",        # "ds" is dedup_simhash
+                 "copurchase_pagerank": "cpr"}  # "cp" is curation_pipeline
     if name in overrides:
         return overrides[name]
     head = name.split("_", 1)[0]

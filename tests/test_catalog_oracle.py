@@ -263,26 +263,46 @@ def test_readme_test_count_matches_collection(request):
 
 
 def test_admission_runway_bookkeeping():
-    """VERDICT r9 #6: every staged admission candidate with a DECIDED
-    retirement is locked here so admission day stays a one-line move —
-    the candidate must still be measurable through EXTRA_ENTRIES, its
+    """VERDICT r10 #2: the backlog-fix ledger (PARITY round-11 section)
+    lands every remaining verified family by round 15 — each future
+    admission is locked here so admission day stays a one-line move: the
+    candidate must still be measurable through EXTRA_ENTRIES, its decided
     retirement target must still hold a catalog slot (it retires in the
     admission round, not before), and the machinery witness that keeps
     the retired operator's family officially covered must stay in the
-    catalog.  Candidates without a named retirement yet (r13/r15-r20)
-    are only checked for EXTRA_ENTRIES presence + an admission-shape
-    lockstep test (each family's test_catalog_fn_matches_duckdb runs
-    every pytest)."""
+    catalog.  The four permanent extras are family-covered siblings whose
+    output/bit-identity to an admitted catalog entry is asserted every
+    pytest run (test_kmv/test_cms/test_hll streaming==batch,
+    test_prefix_join raw==collapsed) — they never need their own row."""
     from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
 
     decided = [
         # (candidate in extras, retirement target, machinery witness)
-        ("bloom_dedup_against_corpus", "dedup_simhash_near_dups",
-         "dedup_simhash_resolve"),                              # r11
-        ("sample_kcenter_diverse", "dedup_embedding_cosine",
-         "dedup_embedding_cosine_fixpoint"),                    # r12
-        ("corpus_heavy_hitters", "corpus_vocabulary",
-         "tfidf_top_terms"),                                    # r14
+        # -- front r13, staged + retired during r12:
+        ("ivf_probe_appended", "q15_top_supplier",
+         "q2_min_cost_supplier"),
+        ("embedding_kmeanspar_init", "q4_priority_exists",
+         "q21_waiting_suppliers"),
+        ("dedup_repeated_segments", "sample_lang_balanced",
+         "sample_stratified"),
+        ("corpus_distinct_hll", "embedding_centroids",
+         "embedding_kmeans"),
+        ("streaming_running_totals_stateful", "running_value_per_user",
+         "order_window_stats"),
+        # -- front r14, staged + retired during r13:
+        ("bm25_search", "corpus_vocabulary", "tfidf_top_terms"),
+        ("dedup_lsh_probe_stored", "ann_brute_force_topk",
+         "ann_ivf_recall"),
+        ("sample_priority_topk", "sample_weighted", "dsir_select"),
+        ("dedup_jaccard_prefix_collapsed", "doc_fingerprint",
+         "doc_winnow_fingerprints"),
+        ("streaming_sliding_counts", "sample_quota_per_stratum",
+         "sample_stratified"),
+        # -- front r15, staged + retired during r14:
+        ("events_value_winsorized", "q6_revenue_delta",
+         "q19_disjunctive_revenue"),
+        ("ann_ivf_pq_refined", "q8_market_share", "q9_profit_by_nation"),
+        ("vocab_jaccard_kmv", "unigram_logprob", "bigram_logprob"),
     ]
     for cand, retires, witness in decided:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
@@ -290,30 +310,25 @@ def test_admission_runway_bookkeeping():
             f"{retires} retired before its admission round")
         assert witness in ALL_ENTRIES, (
             f"{witness} (coverage witness for {retires}) missing")
-    undecided = ["ivf_probe_appended", "corpus_distinct_hll",
-                 "bm25_search", "dedup_lsh_probe_stored",
-                 "streaming_distinct_hll", "dedup_jaccard_prefix",
-                 "sample_priority_topk",
-                 # post-runway round-10 families (no retirement named)
-                 "events_value_quantiles_kmv",
-                 "streaming_value_quantiles_kmv",
-                 "dedup_jaccard_prefix_collapsed",
-                 "streaming_heavy_hitters_cms", "dedup_repeated_segments",
-                 "sample_mmr_diverse", "streaming_running_totals_stateful",
-                 "embedding_kmeanspar_init"]
-    for cand in undecided:
+    permanent = ["streaming_value_quantiles_kmv",
+                 "streaming_heavy_hitters_cms", "streaming_distinct_hll",
+                 "dedup_jaccard_prefix"]
+    for cand in permanent:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
+    assert len(decided) + len(permanent) == len(EXTRA_ENTRIES), (
+        "an extras entry is neither scheduled nor family-covered — "
+        "extend the ledger")
 
 
-def test_parity_round11_front_draft_stays_valid():
-    """PARITY.md precomputes round 11's _FRONT (the 49 r9-latest
-    survivors + the staged `ann_ivf_pq_probe_stored` admission — the
-    set-A/set-B alternation at the 100-entry cap, minus the round-10
-    `ann_int8_recall` retirement).  Lock the draft against drift: every
-    name must exist in the catalog, no duplicates, it must fill exactly
-    one window, and together with the CURRENT window it must cover the
-    whole catalog — the every-other-round guarantee the rotation exists
-    to provide."""
+def test_parity_round12_front_draft_stays_valid():
+    """PARITY.md precomputes round 12's _FRONT (the five staged round-11
+    admissions fronting first + the 45 r10-latest survivors — the
+    set-A/set-B alternation at the 100-entry cap, minus the five
+    r12-obligation retirements the round-11 backlog fix executed).  Lock
+    the draft against drift: every name must exist in the catalog, no
+    duplicates, it must fill exactly one window, and together with the
+    CURRENT window it must cover the whole catalog — the
+    every-other-round guarantee the rotation exists to provide."""
     import os
     import re
 
@@ -321,20 +336,20 @@ def test_parity_round11_front_draft_stays_valid():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     text = open(os.path.join(repo, "PARITY.md")).read()
-    m = re.search(r"49\s+surviving r9-latest entries `([^`]+)`", text,
+    m = re.search(r"45\s+surviving r10-latest entries `([^`]+)`", text,
                   re.S)
-    assert m, "PARITY.md round-11 _FRONT draft went missing"
+    assert m, "PARITY.md round-12 _FRONT draft went missing"
     draft = [n.strip() for n in m.group(1).replace("\n", " ").split(",")
              if n.strip()]
-    front = draft + list(STAGED_NEXT_ROUND)
+    front = list(STAGED_NEXT_ROUND) + draft
     assert len(front) == len(set(front)), "duplicate names in the draft"
     missing = [n for n in front if n not in ALL_ENTRIES]
     assert not missing, f"draft names not in catalog: {missing}"
     assert len(front) == 50, (
-        f"draft + staged = {len(front)}, window holds exactly 50")
+        f"staged + draft = {len(front)}, window holds exactly 50")
     window_now = set(list(ALL_ENTRIES)[:50])
     uncovered = [n for n in ALL_ENTRIES
                  if n not in window_now and n not in set(front)]
     assert not uncovered, (
-        f"entries in neither the current window nor the round-8 draft "
+        f"entries in neither the current window nor the round-12 draft "
         f"(would go >2 rounds unchecked): {uncovered}")

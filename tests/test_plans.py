@@ -22,8 +22,6 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # every catalog entry must avoid the two scale-killer join strategies,
 # except deliberate broadcasts of provably-tiny sides:
 # - ann_brute_force_topk crosses the corpus with a ≤10-row query set
-# - dedup_ngram_jaccard crosses with a ONE-row count aggregate (the
-#   in-plan stop-shingle threshold that replaced the driver-side .count())
 # - tfidf_top_terms crosses with the ONE-row corpus-count aggregate (the
 #   idf denominator), same in-plan pattern
 # - q22_wealthy_inactive crosses with the ONE-row global-average aggregate
@@ -40,8 +38,11 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   (the HAVING-vs-global threshold; the > residual can't hash-join)
 # - sample_lang_balanced composes lang_mixture_weights, inheriting its
 #   1-row totals broadcast cross
-# (ann_int8_recall's waiver left with its round-10 catalog retirement)
-CROSS_OK = {"ann_brute_force_topk", "dedup_ngram_jaccard",
+# (ann_int8_recall's waiver left with its round-10 catalog retirement;
+# dedup_ngram_jaccard's 1-row-count waiver left with its round-11
+# retirement — the entry stays locked via tests/test_retired_entries.py
+# but no longer runs in this sweep)
+CROSS_OK = {"ann_brute_force_topk",
             "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall",
             "unigram_logprob", "bigram_logprob", "lang_mixture_weights",
             "q11_important_parts", "sample_lang_balanced"}
@@ -154,7 +155,13 @@ class TestCurationPlans:
         assert "Exchange" not in plan, f"{name}: unexpected shuffle"
 
     def test_corpus_dedup_is_hash_anti_join(self, spark, sf_dir):
-        plan = plan_of("dedup_against_corpus", spark, sf_dir)
+        # retired from the driver rotation in r11 (witnesses: the Bloom
+        # admission + dedup_near_against_corpus) but the anti-join shape
+        # lock stays — the kernel is still the exact 100 TB product path
+        from waimak_spark.catalog import RETIRED_ENTRIES
+
+        df = RETIRED_ENTRIES["dedup_against_corpus"]["fn"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan
         assert "BroadcastNestedLoopJoin" not in plan
 

@@ -316,52 +316,93 @@ def test_catalog_wrapper_matches_its_admission_oracle(spark, sf_dir):
             assert gv == pytest.approx(wv, abs=1e-9)
 
 
-def test_round10_admission_ledger_arithmetic():
-    """Test-lock the round-10 rotation as EXECUTED (VERDICT r9 #1) plus
-    the round-11 front arithmetic: `ann_int8_recall` retired (gone from
-    the catalog, operators keep their unit tests), the PQ probe admitted
-    and OUT of the extras (an admitted entry leaves EXTRA_ENTRIES the
-    round it is admitted), its machinery-subsumption witness
-    `embedding_quantize_int8` still covered, and the staged-then-front
-    arithmetic holding: 49 surviving r9-latest entries + the staged
-    admission = one full round-11 window."""
+def test_round11_rotation_executed():
+    """Test-lock the round-11 rotation as EXECUTED (VERDICT r10 #1 + #2):
+    the staged PQ probe fronts FIRST (its first official row), the three
+    same-round admissions (`dedup_bloom_against_corpus` per the original
+    runway, `events_value_quantiles_kmv` and `sample_kcenter_diverse`
+    pulled forward by the backlog fix) sit in the window in the slots
+    freed by the three r11-forced retirements, all admitted entries left
+    EXTRA_ENTRIES, the `ann_int8_recall` retirement holds, and the window
+    arithmetic holds: 1 fronted stage + 3 admissions + 46 survivors = 50,
+    with five fresh admissions staged for round 12."""
     from waimak_spark.catalog import (
         ALL_ENTRIES,
         EXTRA_ENTRIES,
+        RETIRED_ENTRIES,
         STAGED_NEXT_ROUND,
     )
 
-    assert "ann_int8_recall" not in ALL_ENTRIES
-    assert "embedding_quantize_int8" in ALL_ENTRIES
-    assert "ivf_pq_probe_stored" not in EXTRA_ENTRIES
-    assert "ann_ivf_pq_probe_stored" in ALL_ENTRIES
-    assert STAGED_NEXT_ROUND == ("ann_ivf_pq_probe_stored",)
     names = list(ALL_ENTRIES)
     assert len(names) == 100
-    # the staged admission sits OUTSIDE the round-10 window (it fronts
-    # round 11); the retired entry freed exactly its slot
-    assert "ann_ivf_pq_probe_stored" not in names[:50]
-    assert names[0] == "dsir_select", \
-        "the round-9 staged admission fronts first in round 10"
+    assert names[0] == "ann_ivf_pq_probe_stored", \
+        "the round-10 staged admission fronts first in round 11"
+    window = set(names[:50])
+    for adm in ("dedup_bloom_against_corpus", "events_value_quantiles_kmv",
+                "sample_kcenter_diverse"):
+        assert adm in window, f"{adm} admitted this round but not fronted"
+    assert STAGED_NEXT_ROUND == (
+        "copurchase_pagerank", "corpus_heavy_hitters", "bpe_merges",
+        "sample_mmr_diverse", "doc_winnow_fingerprints")
+    for s in STAGED_NEXT_ROUND:
+        assert s in ALL_ENTRIES and s not in window, s
+    # an admitted entry leaves EXTRA_ENTRIES the round it is admitted
+    for gone in ("bloom_dedup_against_corpus", "events_value_quantiles_kmv",
+                 "sample_kcenter_diverse", "copurchase_pagerank",
+                 "corpus_heavy_hitters", "bpe_merges", "sample_mmr_diverse",
+                 "doc_winnow_fingerprints", "ivf_pq_probe_stored"):
+        assert gone not in EXTRA_ENTRIES, gone
+    assert "ann_int8_recall" not in ALL_ENTRIES
+    assert "embedding_quantize_int8" in ALL_ENTRIES
+    # the r11-forced retirements freed exactly the three fronted slots;
+    # the r12-forced retirements freed the five staged slots
+    r11_freed = {"q12_late_priority", "q17_small_quantity",
+                 "tumbling_window_counts"}
+    r12_freed = {"dedup_simhash_near_dups", "dedup_minhash_verified",
+                 "dedup_ngram_jaccard", "dedup_against_corpus",
+                 "dedup_embedding_cosine"}
+    assert r11_freed | r12_freed == set(RETIRED_ENTRIES)
+    assert not (r11_freed | r12_freed) & set(ALL_ENTRIES)
 
 
 def test_round11_bloom_retirement_bookkeeping():
-    """Round-11 admission prep in the DSIR pattern (VERDICT r9 #5): the
-    Bloom candidate must still be measurable through EXTRA_ENTRIES, its
-    admission-shape lockstep runs every pytest
-    (tests/test_bloom_dedup.py::test_catalog_fn_matches_duckdb), and the
-    decided retirement target `dedup_simhash_near_dups` must sit in the
-    ROUND-10 window (newest row r10 — retiring it in round 11 then
-    removes a round-12 obligation, keeping the catalog at the 100 cap).
-    The simhash machinery keeps official coverage through
-    `dedup_simhash` and `dedup_simhash_resolve`."""
-    from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
+    """Round-11 Bloom admission EXECUTED (VERDICT r9 #5 prep → r10 #1):
+    the entry is in the catalog window under its catalog name, out of the
+    extras, its admission-shape lockstep still runs every pytest
+    (tests/test_bloom_dedup.py::test_catalog_fn_matches_duckdb), the
+    decided retirement target `dedup_simhash_near_dups` left the catalog
+    WITH official green history, and the simhash machinery keeps official
+    coverage through `dedup_simhash` and `dedup_simhash_resolve`."""
+    import glob
+    import json
+    import os
 
-    assert "bloom_dedup_against_corpus" in EXTRA_ENTRIES
+    from waimak_spark.catalog import (
+        ALL_ENTRIES,
+        EXTRA_ENTRIES,
+        RETIRED_ENTRIES,
+    )
+
+    assert "bloom_dedup_against_corpus" not in EXTRA_ENTRIES
     names = list(ALL_ENTRIES)
-    assert "dedup_simhash_near_dups" in names[:50]
-    assert "dedup_simhash" in ALL_ENTRIES
-    assert "dedup_simhash_resolve" in ALL_ENTRIES
+    assert "dedup_bloom_against_corpus" in names[:50]
+    retired = RETIRED_ENTRIES["dedup_simhash_near_dups"]
+    assert retired["retired"] == "r11"
+    for w in retired["witnesses"]:
+        assert w in ALL_ENTRIES, w
+    # every retired entry left with official green history — retirement
+    # is a coverage decision, never a way to park a failing entry
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            rows = json.load(fh)
+        green |= {k for k, v in rows.items()
+                  if isinstance(v, dict) and v.get("hash_match")}
+    if green:  # driver files present
+        never_green = [n for n in RETIRED_ENTRIES if n not in green]
+        assert not never_green, (
+            f"retired without any official green row: {never_green}")
 
 
 class TestIvfPqStoredTable:

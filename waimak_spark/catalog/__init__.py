@@ -37,6 +37,39 @@ for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES,
         raise ValueError(f"duplicate catalog entries: {overlap}")
     _MERGED.update(part)
 
+# Retired catalog entries (PARITY rotation ledger; VERDICT r10 #2: at one
+# admission per round the backlog of verified-but-unofficial families
+# compounds, so round 11 executes a multi-slot retirement).  Retirement is
+# NOT deletion: each (fn, oracle) pair stays lockstep-verified against
+# DuckDB every pytest run (tests/test_retired_entries.py) and the named
+# witnesses keep the operator family officially covered in the driver
+# rotation.  Every retired entry left WITH official green history (its
+# last driver row is the round before retirement).
+_RETIREMENTS: tuple[tuple[str, str, tuple[str, ...]], ...] = (
+    # (name, retired-in round, machinery witnesses still in the catalog)
+    # -- retired from the r11-forced set (newest row r9), freeing three
+    #    round-11 window slots for same-round admissions:
+    ("q12_late_priority", "r11", ("q14_promo_share",)),          # single-join conditional-agg class
+    ("q17_small_quantity", "r11", ("q14_promo_share", "q20_heavy_suppliers")),  # correlated-threshold class
+    ("tumbling_window_counts", "r11", ("streaming_tumbling_counts",)),
+    # -- retired from the r12-forced set (newest row r10), freeing five
+    #    round-12 window slots for the staged admissions:
+    ("dedup_simhash_near_dups", "r11", ("dedup_simhash", "dedup_simhash_resolve")),
+    ("dedup_minhash_verified", "r11", ("dedup_minhash_verified_resolve",)),
+    ("dedup_ngram_jaccard", "r11", ("dedup_substring_ngram",
+                                    "dedup_minhash_verified_resolve")),
+    ("dedup_against_corpus", "r11", ("dedup_bloom_against_corpus",
+                                     "dedup_near_against_corpus")),
+    ("dedup_embedding_cosine", "r11", ("dedup_embedding_cosine_fixpoint",)),
+)
+RETIRED_ENTRIES: dict[str, dict] = {}
+for _name, _round, _wits in _RETIREMENTS:
+    _e = _MERGED.pop(_name)
+    RETIRED_ENTRIES[_name] = {**_e, "retired": _round, "witnesses": _wits}
+_bad_wits = [w for _, _, ws in _RETIREMENTS for w in ws if w not in _MERGED]
+if _bad_wits:
+    raise ValueError(f"retirement witnesses not in catalog: {_bad_wits}")
+
 # Insertion order matters: the external correctness gate records only the
 # FIRST 50 entries per round (observed: CORRECTNESS_r03 == names[:50], r04
 # likewise).  The catalog is larger than the gate's window, so we openly
@@ -49,43 +82,40 @@ for part in (RELATIONAL_ENTRIES, RELATIONAL_EXT_ENTRIES,
 # (test_driver_window_covers_all_unchecked_entries) fails the suite if any
 # entry would go two rounds without an official row.
 #
-# _FRONT for round 10 — the rotation precomputed in PARITY.md's round-9
-# ledger, executed verbatim (CORRECTNESS_r09 matched the committed round-9
-# window exactly, key-for-key in order, so no re-derivation was needed):
-# the staged `dsir_select` admission fronting first (its first official
-# row) plus the 49 surviving r8-latest entries — the set-B half of the
-# alternation at the 100-entry cap, minus the round-9 `ann_lsh_pairs`
-# retirement.  Zero free slots.  The decided catalog-slot swap is ALSO
-# executed this round (PARITY round-9 ledger / VERDICT r9 #1):
-# `ann_int8_recall` RETIRES (the int8 quantize/recall operators keep
-# their unit tests in tests/test_similarity_resolution.py, and
-# `embedding_quantize_int8` keeps the int8 machinery officially covered
-# — its newest row is r9, so retirement removes a round-11 obligation)
-# and `ann_ivf_pq_probe_stored` is admitted through the sanctioned
-# staging path below (the window is fully forced, so it fronts in
-# round 11).
+# _FRONT for round 11 — the rotation precomputed in PARITY.md's round-10
+# ledger (CORRECTNESS_r10 matched the committed round-10 window exactly,
+# key-for-key), WIDENED by the round-11 backlog fix (VERDICT r10 #2: the
+# one-admission-per-round cadence left ~18 verified families never meeting
+# the driver's oracle, so this round retires eight entries and admits
+# eight).  The window: the staged `ann_ivf_pq_probe_stored` fronting first
+# (its first official row), then the three same-round admissions in the
+# slots freed by the three r11-forced retirements above
+# (`dedup_bloom_against_corpus` per the original runway,
+# `events_value_quantiles_kmv` and `sample_kcenter_diverse` pulled forward
+# from it), then the 46 surviving r9-latest entries.  Zero free slots.
 _FRONT: tuple[str, ...] = (
-    "dsir_select",
-    "dedup_substring_ngram", "ann_ivf_probe_stored", "bigram_logprob",
-    "q11_important_parts", "dq_window_anomaly", "dedup_simhash_resolve",
-    "asof_quote_per_trade", "range_join_shipments",
-    "grouping_sets_quantity", "streaming_tumbling_counts",
-    "streaming_session_counts", "streaming_dedup_pairs",
-    "streaming_trade_quote_join", "sample_stratified",
-    "split_leakage_safe", "pii_redaction", "repetition_metrics",
-    "dedup_against_corpus", "dedup_near_against_corpus", "source_rollup",
-    "sample_quota_per_stratum", "curation_pipeline",
-    "decontaminate_against_benchmark", "corpus_vocabulary",
-    "tfidf_top_terms", "pack_sequences", "sample_weighted",
-    "decontaminate_near", "dq_metrics_trend", "text_quality", "lang_id",
-    "token_counts", "doc_fingerprint", "dedup_exact",
-    "dedup_lsh_candidates", "dedup_simhash_near_dups",
-    "dedup_ngram_jaccard", "dedup_minhash_verified",
-    "dedup_minhash_verified_resolve", "ann_brute_force_topk",
-    "ann_ivf_topk", "ann_ivf_recall", "dedup_embedding_cosine",
-    "storage_snapshot_dedup", "storage_all_between",
-    "rdbm_temporal_snapshot", "rdbm_lowercase_all",
-    "multimodal_byte_features", "multimodal_image_decode",
+    "ann_ivf_pq_probe_stored",
+    "dedup_bloom_against_corpus",
+    "events_value_quantiles_kmv",
+    "sample_kcenter_diverse",
+    "contamination_overlap", "chunk_overlapping_windows",
+    "dedup_semantic_kmeans", "embedding_centroids", "dedup_simhash",
+    "dedup_minhash_resolve", "dedup_embedding_cosine_fixpoint",
+    "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
+    "q2_min_cost_supplier", "q8_market_share", "q15_top_supplier",
+    "q16_supplier_count", "q19_disjunctive_revenue", "q20_heavy_suppliers",
+    "q21_waiting_suppliers", "embedding_quantize_int8",
+    "embedding_cluster_exemplars", "sample_lang_balanced",
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
+    "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",
+    "pivot_status_quantity", "customers_without_orders",
+    "part_feature_projection", "q4_priority_exists", "q7_nation_volume",
+    "q9_profit_by_nation", "q10_returned_revenue", "q13_order_distribution",
+    "q14_promo_share", "q18_large_volume", "q22_wealthy_inactive",
+    "status_custkey_setops", "order_window_stats",
+    "latest_event_per_user_type", "sessions_per_user",
+    "running_value_per_user", "approx_event_stats", "skew_count_distinct",
+    "skew_salted_join", "event_funnel",
 )
 
 # Entries NEW this round that the window cannot hold.  The sanctioned
@@ -93,13 +123,18 @@ _FRONT: tuple[str, ...] = (
 # verify_drive) and MUST be fronted next round — the rotation invariant
 # test treats a staged entry as legal outside the window ONLY while it
 # has never appeared in any official CORRECTNESS file (i.e. it is
-# genuinely new, not an old entry being parked).  Round 10:
-# `ann_ivf_pq_probe_stored` is admitted into the catalog in
-# `ann_int8_recall`'s retired slot (PARITY round-9 ledger) — the
-# round-10 window is fully forced (1 staged + 49 survivors), so the
-# admission stages here and fronts in round 11 (round-11 forced = the
-# 49 surviving r9-latest entries + this admission = 50).
-STAGED_NEXT_ROUND: tuple[str, ...] = ("ann_ivf_pq_probe_stored",)
+# genuinely new, not an old entry being parked).  Round 11: five
+# admissions into the slots freed by the five r12-forced retirements
+# above (the round-11 window is fully forced, so they stage here and
+# front in round 12: round-12 forced = the 45 surviving r10-latest
+# entries + these five = 50).
+STAGED_NEXT_ROUND: tuple[str, ...] = (
+    "copurchase_pagerank",
+    "corpus_heavy_hitters",
+    "bpe_merges",
+    "sample_mmr_diverse",
+    "doc_winnow_fingerprints",
+)
 
 _missing = [n for n in _FRONT if n not in _MERGED]
 if _missing:
@@ -121,23 +156,16 @@ ALL_ENTRIES.update((n, e) for n, e in _MERGED.items() if n not in ALL_ENTRIES)
 # test_scale_check_extras_stay_consistent locks it against ALL_ENTRIES
 # overlap, so an admitted entry must leave the extras the same round.
 from .curation import (  # noqa: E402
-    dedup_bloom_against_corpus as _x_bloom,
     dedup_lsh_probe_stored as _x_lshdx,
     sample_priority_topk as _x_prio,
 )
 from .events import (  # noqa: E402
-    events_value_quantiles_kmv as _x_kmv,
     events_value_winsorized as _x_wins,
-)
-from .joins import (  # noqa: E402
-    copurchase_pagerank as _x_pr,
 )
 from .similarity import (  # noqa: E402
     ann_ivf_pq_refined as _x_pqref,
     ann_ivf_probe_appended as _x_ivf_apd,
     embedding_kmeanspar_init as _x_kmpar,
-    sample_kcenter_diverse as _x_kcenter,
-    sample_mmr_diverse as _x_mmr,
 )
 from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
@@ -148,23 +176,20 @@ from .streaming import (  # noqa: E402
 )
 from .text import (  # noqa: E402
     bm25_search as _x_bm25,
-    bpe_merges as _x_bpe,
     corpus_distinct_hll as _x_hll,
-    corpus_heavy_hitters as _x_cms,
     dedup_jaccard_prefix as _x_ppj,
     dedup_jaccard_prefix_collapsed as _x_ppjc,
     dedup_repeated_segments as _x_segs,
-    doc_winnow_fingerprints as _x_winnow,
     vocab_jaccard_kmv as _x_kmvj,
 )
 
 EXTRA_ENTRIES = {
     # dsir_select left the extras at its round-9 catalog admission;
-    # ivf_pq_probe_stored left at its round-10 admission
+    # ivf_pq_probe_stored left at its round-10 admission; the round-11
+    # backlog fix moved bloom, events-KMV, k-center, pagerank, CMS
+    # heavy hitters, BPE, MMR, and winnowing into the catalog (three
+    # fronting r11, five staged for r12 — see PARITY.md's ledger).
     "ivf_probe_appended": _x_ivf_apd,
-    "bloom_dedup_against_corpus": _x_bloom,
-    "sample_kcenter_diverse": _x_kcenter,
-    "corpus_heavy_hitters": _x_cms,
     "corpus_distinct_hll": _x_hll,
     "bm25_search": _x_bm25,
     "dedup_lsh_probe_stored": _x_lshdx,
@@ -172,19 +197,14 @@ EXTRA_ENTRIES = {
     "dedup_jaccard_prefix": _x_ppj,
     "dedup_jaccard_prefix_collapsed": _x_ppjc,
     "sample_priority_topk": _x_prio,
-    "events_value_quantiles_kmv": _x_kmv,
     "streaming_value_quantiles_kmv": _x_skmv,
     "streaming_heavy_hitters_cms": _x_scms,
     "dedup_repeated_segments": _x_segs,
-    "sample_mmr_diverse": _x_mmr,
     "streaming_running_totals_stateful": _x_ssrt,
     "embedding_kmeanspar_init": _x_kmpar,
-    "doc_winnow_fingerprints": _x_winnow,
     "events_value_winsorized": _x_wins,
-    "copurchase_pagerank": _x_pr,
     "vocab_jaccard_kmv": _x_kmvj,
     "ann_ivf_pq_refined": _x_pqref,
-    "bpe_merges": _x_bpe,
     "streaming_sliding_counts": _x_sslc,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)

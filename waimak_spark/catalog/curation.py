@@ -967,4 +967,10 @@ ENTRIES = {
     # round-9 admission (PARITY rotation ledger): staged this round,
     # fronts round 10 — see catalog.STAGED_NEXT_ROUND
     "dsir_select": {"fn": dsir_select, "oracle": _dsir_select_oracle()},
+    # round-11 admission (PARITY rotation ledger): fronts round 11 in the
+    # slot freed by the same-round `dedup_against_corpus` retirement (the
+    # exact anti-join sibling it approximates; `dedup_near_against_corpus`
+    # keeps the corpus-membership machinery's exact path covered)
+    "dedup_bloom_against_corpus": {"fn": dedup_bloom_against_corpus,
+                                   "oracle": _bloom_corpus_oracle()},
 }

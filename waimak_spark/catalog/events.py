@@ -327,6 +327,12 @@ ENTRIES = {
                                "oracle": RUNNING_ORACLE},
     "approx_event_stats": {"fn": approx_event_stats,
                            "oracle": APPROX_STATS_ORACLE},
+    # round-11 admission (PARITY rotation ledger): fronts round 11 in the
+    # slot freed by the same-round `tumbling_window_counts` retirement
+    # (`streaming_tumbling_counts` keeps the tumbling semantics officially
+    # covered through the Structured-Streaming machinery)
+    "events_value_quantiles_kmv": {"fn": events_value_quantiles_kmv,
+                                   "oracle": _kmv_quantiles_oracle()},
 }
 
 

@@ -131,6 +131,9 @@ def _pagerank_oracle() -> str:
 ENTRIES = {
     "asof_quote_per_trade": {"fn": asof_quote_per_trade,
                              "oracle": ASOF_ORACLE},
+    # round-11 STAGED admission (fronts round 12 per the rotation ledger)
+    "copurchase_pagerank": {"fn": copurchase_pagerank,
+                            "oracle": _pagerank_oracle()},
     "range_join_shipments": {"fn": range_join_shipments,
                              "oracle": RANGE_JOIN_ORACLE},
     "grouping_sets_quantity": {"fn": grouping_sets_quantity,

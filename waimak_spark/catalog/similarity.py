@@ -728,4 +728,17 @@ ENTRIES = {
         "fn": dedup_semantic_kmeans,
         "oracle": S.semantic_dedup_sql(),
     },
+    # round-11 admission (PARITY rotation ledger): fronts round 11 in the
+    # slot freed by the same-round `dedup_embedding_cosine` retirement
+    # (`dedup_embedding_cosine_fixpoint` keeps the cosine-dedup machinery
+    # officially covered — it composes the retired entry's kernel)
+    "sample_kcenter_diverse": {
+        "fn": sample_kcenter_diverse,
+        "oracle": S.kcenter_select_sql(),
+    },
+    # round-11 STAGED admission (fronts round 12 per the rotation ledger)
+    "sample_mmr_diverse": {
+        "fn": sample_mmr_diverse,
+        "oracle": _mmr_oracle(),
+    },
 }

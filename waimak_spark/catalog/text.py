@@ -340,4 +340,13 @@ ENTRIES = {
     "dedup_minhash_verified_resolve": {
         "fn": dedup_minhash_verified_resolve,
         "oracle": D.minhash_verified_resolve_sql()},
+    # round-11 STAGED admissions (front round 12 per the rotation ledger)
+    "corpus_heavy_hitters": {"fn": corpus_heavy_hitters,
+                             "oracle": _heavy_hitters_oracle()},
+    # rows-only by design: the greedy merge loop is iterative (the
+    # brief's non-SQL-expressible class); pure-Python reference lockstep
+    # in tests/test_bpe_learn.py every pytest run
+    "bpe_merges": {"fn": bpe_merges, "oracle": None},
+    "doc_winnow_fingerprints": {"fn": doc_winnow_fingerprints,
+                                "oracle": _winnow_oracle()},
 }
