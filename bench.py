@@ -223,6 +223,43 @@ def main() -> None:
           f"ref={SENTINEL_REF_S} load_factor={load_factor} "
           f"contaminated={contaminated}", file=sys.stderr)
 
+    # ----------------------------------------------------------------
+    # Isolated cross-rotation instrument (VERDICT r10 #4): per-query lap
+    # rows integrate lap-POSITION / session-aging state (the round-10
+    # bisect: a 1.45x row move across a catalog rotation reproduced in
+    # quiet laps but NOT fresh-JVM isolated), so cross-round per-query
+    # comparisons are protocol-grade only at unchanged catalog order.
+    # After the lap, the N most expensive entries are re-measured in
+    # FRESH JVMs (tools/measure_entry.py: untimed warmup + min of
+    # ISO_LAPS warmed laps, caches released between laps).  These rows
+    # are position-independent and comparable across rotations — the
+    # per-query adjudication instrument; the lap rows remain the
+    # coverage instrument.  Set SPARK_GRAFT_ISO_TOP=0 to skip.
+    # ----------------------------------------------------------------
+    ISO_TOP_N = int(os.environ.get("SPARK_GRAFT_ISO_TOP", "10"))
+    ISO_LAPS = int(os.environ.get("SPARK_GRAFT_ISO_LAPS", "3"))
+    isolated: dict[str, dict] = {}
+    if ISO_TOP_N > 0 and not os.environ.get("SPARK_GRAFT_QUERIES"):
+        # free the lap JVM's cores/memory before starting the fresh JVMs
+        spark.stop()
+        import subprocess
+
+        top = sorted(timings, key=lambda n: timings[n],
+                     reverse=True)[:ISO_TOP_N]
+        for name in top:
+            cmd = [sys.executable,
+                   os.path.join(_REPO, "tools", "measure_entry.py"),
+                   name, SF_DIR, str(ISO_LAPS)]
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=900, check=True)
+                isolated[name] = json.loads(
+                    proc.stdout.strip().splitlines()[-1])
+            except Exception as exc:  # a failed isolation row must not
+                isolated[name] = {     # lose the whole lap artifact
+                    "entry": name, "error": str(exc)[:200]}
+            print(f"# isolated {name}: {isolated[name]}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The one-line stdout JSON must fit the driver's 2000-char tail capture
     # (r3's 8 KB line lost its head and recorded "parsed": null; the capture
@@ -291,6 +328,20 @@ def main() -> None:
                                 "protocol-grade only at unchanged catalog "
                                 "order or via measure_entry; the lap total "
                                 "and same-order deltas remain comparable"),
+                   # fresh-JVM isolated min-of-N for the top-cost rows —
+                   # the cross-rotation per-query instrument (see the
+                   # comment above); "iso" in the stdout line carries
+                   # the mins, full lap arrays live here
+                   "isolated": {
+                       "rule": (f"after the lap, the {ISO_TOP_N} most "
+                                f"expensive entries re-run in fresh JVMs "
+                                f"via tools/measure_entry.py (untimed "
+                                f"warmup + min of {ISO_LAPS} warmed "
+                                f"laps); position-independent, so these "
+                                f"rows ARE comparable across catalog "
+                                f"rotations"),
+                       "entries": isolated,
+                   },
                    "spread_max_over_min_minus_1": spread,
                    "stdout_name_rule": ("qN_* emitted as qN; others as "
                                         "initials of underscore parts"),
@@ -311,6 +362,10 @@ def main() -> None:
             # sentinel time / pinned quiet ref; > 1.15 on local[32] means
             # the lap is host-load contaminated (full data in BENCH_RUNS)
             "load": load_factor,
+            # fresh-JVM isolated mins for the top-cost rows — the only
+            # per-query numbers comparable ACROSS catalog rotations
+            "iso": {short(k): v["min"] for k, v in isolated.items()
+                    if "min" in v},
         }, separators=(",", ":"))
 
     line = emit(2)

@@ -27,10 +27,13 @@ def _dot(a, b):
     return s
 
 
-def _py_mmr(vecs: dict, k: int, lam: float = MMR_LAMBDA) -> list[tuple]:
+def _py_mmr(vecs: dict, k: int, lam: float = MMR_LAMBDA,
+            pool: int | None = None) -> list[tuple]:
     """Independent pure-Python reference: unit-normalize, query = the
     smallest valid id's vector (excluded from candidates), then greedily
-    take the (rounded score desc, id asc) head."""
+    take the (rounded score desc, id asc) head.  ``pool`` keeps only the
+    top-``pool`` candidates by (rel desc, id asc) before the loop — the
+    same deterministic cut the Spark kernel and SQL oracle apply."""
     unit = {}
     for i, v in vecs.items():
         if v is None or any(x is None or not math.isfinite(x) for x in v):
@@ -45,6 +48,9 @@ def _py_mmr(vecs: dict, k: int, lam: float = MMR_LAMBDA) -> list[tuple]:
     qid = min(unit)
     q = unit[qid]
     rel = {i: round(_dot(v, q), 4) for i, v in unit.items() if i != qid}
+    if pool is not None:
+        keep = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
+        rel = {i: rel[i] for i in keep}
     if not rel:
         return []
     first = min(rel, key=lambda i: (-rel[i], i))
@@ -207,3 +213,113 @@ class TestMmrSemantics:
         assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
         for g, w in zip(got, want):
             assert g[2] == pytest.approx(w[2], abs=1e-9)
+
+
+class TestMmrCandidatePool:
+    """The top-M candidate-pool pre-filter (VERDICT r10 #5): the greedy
+    loop runs over the top-``pool`` candidates by relevance, so each of
+    the k argmax iterations scans a bounded frame — the standard
+    MMR-at-scale move.  The cut is deterministic (4dp-rounded rel, id
+    tie-break → total order), so the pooled trace is engine-reproducible
+    and the SQL oracle embeds the identical cut."""
+
+    def test_pool_matches_pure_python(self, spark):
+        vecs = TestMmrSemantics.VECS
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in vecs.items()])
+        for pool in (2, 3, 4):
+            got = [(r.rank, r.vec_id, r.score)
+                   for r in mmr_select(df, k=4, dims=4, pool=pool)
+                   .orderBy("rank").collect()]
+            want = _py_mmr(vecs, 4, pool=pool)
+            assert [(g[0], g[1]) for g in got] == \
+                [(w[0], w[1]) for w in want], pool
+            for g, w in zip(got, want):
+                assert g[2] == pytest.approx(w[2], abs=1e-9)
+
+    def test_identity_when_selection_inside_pool(self, spark):
+        """The approximation contract's exact case: when every unpooled
+        pick's relevance sits inside the top-pool band, the pooled trace
+        IS the unpooled trace.  Crafted corpus: four high-relevance
+        mutually-diverse candidates + six anti-relevant distractors the
+        diversity term can never promote (their lam*rel term is ~-0.7
+        while any survivor scores > 0.3)."""
+        vecs = {0: [1.0, 0.0, 0.0, 0.0],
+                1: [0.95, 0.30, 0.0, 0.0],
+                2: [0.95, 0.0, 0.30, 0.0],
+                3: [0.95, 0.0, 0.0, 0.30],
+                4: [0.90, 0.25, 0.25, 0.25]}
+        for i in range(5, 11):
+            vecs[i] = [-1.0, 0.01 * i, 0.0, 0.0]
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in vecs.items()])
+        unpooled = [(r.rank, r.vec_id, r.score) for r in
+                    mmr_select(df, k=4, dims=4, pool=None)
+                    .orderBy("rank").collect()]
+        assert {u[1] for u in unpooled} == {1, 2, 3, 4}  # inside top-4
+        pooled = [(r.rank, r.vec_id, r.score) for r in
+                  mmr_select(df, k=4, dims=4, pool=4)
+                  .orderBy("rank").collect()]
+        assert pooled == unpooled
+
+    def test_approximation_where_pool_cuts_a_diverse_pick(self, spark):
+        """The documented non-exact case: with diversity weighted
+        heavily, unpooled MMR promotes the novel-but-less-relevant
+        candidate 9 to rank 2; a pool of 2 cuts 9 before the loop, so
+        the pooled trace falls back to the near-duplicate — the
+        approximation trades exactly this."""
+        vecs = {1: [1.0, 0.0, 0.0, 0.0],
+                2: [0.9, 0.1, 0.0, 0.0],
+                3: [0.9, 0.1001, 0.0, 0.0],
+                9: [0.7, 0.7, 0.0, 0.0]}
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in vecs.items()])
+        unpooled = [r.vec_id for r in
+                    mmr_select(df, k=2, dims=4, lam=0.3, pool=None)
+                    .orderBy("rank").collect()]
+        assert unpooled == [2, 9]
+        pooled = [r.vec_id for r in
+                  mmr_select(df, k=2, dims=4, lam=0.3, pool=2)
+                  .orderBy("rank").collect()]
+        assert pooled == [2, 3]
+        assert pooled == [w[1] for w in _py_mmr(vecs, 2, lam=0.3, pool=2)]
+
+    def test_pooled_trace_matches_sql_oracle(self, spark, sf_dir):
+        """Both engines cut the identical top-M row set (total order),
+        so the pooled trace stays exactly oracle-checkable."""
+        got = [(r.rank, r.vec_id, r.score) for r in
+               mmr_select(spark.read.parquet(
+                   f"{sf_dir}/embeddings.parquet"), k=6, pool=32)
+               .orderBy("rank").collect()]
+        con = duckdb.connect()
+        con.execute(f"create view embeddings as "
+                    f"select * from '{sf_dir}/embeddings.parquet'")
+        want = [tuple(r) for r in
+                con.execute(mmr_select_sql(k=6, pool=32)).fetchall()]
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], abs=1e-9)
+
+    def test_pool_is_distributed_top_m_not_global_sort(self, spark,
+                                                       sf_dir):
+        """Plan lock for the 100 TB claim: the pool cut compiles to
+        TakeOrderedAndProject (per-partition partial top-M + merge) —
+        never a global Sort+Limit — and the greedy loop's persisted
+        frame IS the pooled frame."""
+        captured = []
+
+        def mat(df):
+            captured.append(df)
+            return df
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        mmr_select(emb, k=3, pool=64, materialize=mat,
+                   checkpoint_every=1000)
+        plan = (captured[0]._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "TakeOrderedAndProject" in plan
+
+    def test_pool_param_bounds(self, spark):
+        df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+        with pytest.raises(ValueError, match="pool"):
+            mmr_select(df, k=4, dims=2, pool=0)

@@ -49,6 +49,10 @@ def main() -> None:
         # rotation-ledger admission candidates measured before a catalog
         # slot opens (single registry shared with tools/scale_check.py)
         fn = catalog.EXTRA_ENTRIES[name]
+    elif name in catalog.RETIRED_ENTRIES:
+        # retired rotation entries stay measurable (retirement is a
+        # driver-window coverage decision, not a deletion)
+        fn = catalog.RETIRED_ENTRIES[name]["fn"]
     else:
         raise SystemExit(f"unknown entry: {name}")
     times = []

@@ -200,12 +200,15 @@ def main() -> None:
 
     # validate the subset BEFORE the expensive replica build + JVM start
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
-    from waimak_spark.catalog import EXTRA_ENTRIES
+    from waimak_spark.catalog import EXTRA_ENTRIES, RETIRED_ENTRIES
 
     names = ([n.strip() for n in subset.split(",") if n.strip()] if subset
              else (DOC_QUERIES + EVENT_QUERIES + STREAMING_QUERIES
                    + RELATIONAL_QUERIES + list(EXTRA_ENTRIES)))
-    unknown = set(names) - set(ALL_ENTRIES) - set(EXTRA_ENTRIES)
+    # retired rotation entries stay measurable (retirement is a driver-
+    # window coverage decision, not a deletion — catalog.RETIRED_ENTRIES)
+    unknown = (set(names) - set(ALL_ENTRIES) - set(EXTRA_ENTRIES)
+               - set(RETIRED_ENTRIES))
     if unknown:
         raise SystemExit(f"unknown queries: {sorted(unknown)}")
 
@@ -225,8 +228,12 @@ def main() -> None:
         # same GC hygiene as bench.py: collect OUTSIDE the timed window so
         # pauses from the replicated corpus's churn don't land in a timing
         spark._jvm.System.gc()
-        fn = (ALL_ENTRIES[name]["fn"] if name in ALL_ENTRIES
-              else EXTRA_ENTRIES[name])
+        if name in ALL_ENTRIES:
+            fn = ALL_ENTRIES[name]["fn"]
+        elif name in EXTRA_ENTRIES:
+            fn = EXTRA_ENTRIES[name]
+        else:
+            fn = RETIRED_ENTRIES[name]["fn"]
         t0 = time.time()
         df = fn(spark, sf_dir)
         # noop-force like bench.py, NOT count(): count() lets Catalyst

@@ -156,29 +156,76 @@ def outlier_rate_check(column: str,
                        warning_threshold: float = 0.05,
                        critical_threshold: Optional[float] = None,
                        k: float = 3.0,
-                       group_col: Optional[str] = None) -> DatasetChecks:
+                       group_col: Optional[str] = None,
+                       method: str = "exact",
+                       id_col: Optional[str] = None,
+                       sketch_k: int = 256) -> DatasetChecks:
     """Robust outlier-rate check (beyond the reference's four prefabs):
     alert when the fraction of values outside ``median ± k * 1.4826 *
     MAD`` exceeds the thresholds — the classic robust z-score rule
     (Hampel; 1.4826 scales MAD to sigma under normality), immune to the
-    outliers it measures, unlike a mean/stddev rule.  One exact-median
-    pass + one MAD pass + one rate pass over the (cached) label; with
-    ``group_col`` the rule evaluates per group and the alert names the
-    worst group.  At 100 TB swap the exact percentile for the KMV
-    sketch estimates, same shape."""
+    outliers it measures, unlike a mean/stddev rule.  With ``group_col``
+    the rule evaluates per group and the alert names the worst group.
+
+    ``method="exact"`` (default): one exact-median pass + one MAD pass +
+    one rate pass over the (cached) label — each percentile is a full
+    per-group sort.  Right for an already-cached DQ label at test scale.
+
+    ``method="kmv"`` — **the 100 TB path**: median and MAD are estimated
+    from the seeded KMV bottom-``sketch_k`` uniform row sample
+    (:func:`waimak_spark.functions.sketch.kmv_bottomk` — bounded
+    ``sketch_k``-row state per group, one map pass + salted bounded
+    top-k, NO full sort), then one rate pass over the full data with the
+    estimated bounds.  Requires ``id_col`` (a numeric row id whose
+    seeded hash drives the sample).  Estimated quantiles carry the
+    sketch's ``~2/sqrt(sketch_k)`` rank-error bound (DKW), so the
+    resulting rate differs from the exact rule only by the mass within
+    that rank band around the clip bounds — lockstep-bounded in
+    tests/test_dataquality.py::TestOutlierRateCheck::
+    test_kmv_method_tracks_exact."""
+    if method not in ("exact", "kmv"):
+        raise ValueError(f"method must be 'exact' or 'kmv', got {method!r}")
+    if method == "kmv" and not id_col:
+        raise ValueError("method='kmv' needs id_col — the KMV sample "
+                         "selects rows by seeded hash of a numeric id")
     keys = [group_col] if group_col else []
 
-    def metric(df: DataFrame) -> DataFrame:
+    def _exact_bounds(df: DataFrame) -> DataFrame:
+        """(keys..., _med2, _mad) via two exact full-sort percentiles."""
         med = (df.groupBy(*keys)
                .agg(F.expr(f"percentile({column}, 0.5)").alias("_med")))
         with_med = df.join(F.broadcast(med), keys) if keys \
             else df.crossJoin(F.broadcast(med))
-        mad = (with_med.groupBy(*keys)
-               .agg(F.expr(f"percentile(abs({column} - _med), 0.5)")
-                    .alias("_mad"),
-                    F.first("_med").alias("_med2")))
-        with_mad = df.join(F.broadcast(mad), keys) if keys \
-            else df.crossJoin(F.broadcast(mad))
+        return (with_med.groupBy(*keys)
+                .agg(F.expr(f"percentile(abs({column} - _med), 0.5)")
+                     .alias("_mad"),
+                     F.first("_med").alias("_med2")))
+
+    def _kmv_bounds(df: DataFrame) -> DataFrame:
+        """Same (keys..., _med2, _mad) shape, but both percentiles run
+        over the bounded bottom-k sample — the only full-data work is
+        the sample selection's map pass + salted bounded top-k."""
+        from ..functions.sketch import kmv_bottomk
+
+        gcol = group_col if group_col else "_g_all"
+        base = df if group_col else df.withColumn("_g_all", F.lit(0))
+        samp = kmv_bottomk(base, value_col=column, group_col=gcol,
+                           id_col=id_col, k=sketch_k)
+        med = (samp.groupBy("g")
+               .agg(F.expr("percentile(v, 0.5)").alias("_med")))
+        bounds = (samp.join(F.broadcast(med), "g")
+                  .groupBy("g")
+                  .agg(F.expr("percentile(abs(v - _med), 0.5)")
+                       .alias("_mad"),
+                       F.first("_med").alias("_med2")))
+        if group_col:
+            return bounds.withColumnRenamed("g", group_col)
+        return bounds.drop("g")
+
+    def metric(df: DataFrame) -> DataFrame:
+        bounds = _exact_bounds(df) if method == "exact" else _kmv_bounds(df)
+        with_mad = df.join(F.broadcast(bounds), keys) if keys \
+            else df.crossJoin(F.broadcast(bounds))
         lo = F.col("_med2") - k * 1.4826 * F.col("_mad")
         hi = F.col("_med2") + k * 1.4826 * F.col("_mad")
         return (with_mad.groupBy(*keys)

@@ -2396,14 +2396,28 @@ MMR_K = 8
 #: relevance/diversity trade-off (1.0 = pure relevance ranking)
 MMR_LAMBDA = 0.7
 MMR_ROUND = 4
+#: candidate-pool cap (VERDICT r10 #5): the standard MMR-at-scale move —
+#: the greedy loop runs over the top-``MMR_POOL`` candidates by relevance
+#: (one distributed TakeOrderedAndProject over the corpus), so each of
+#: the k argmax iterations scans a BOUNDED frame instead of the corpus.
+#: Deterministic (rel is 4dp-rounded, id tie-break → a total order), so
+#: the pooled trace is engine-reproducible and the DuckDB oracle embeds
+#: the same cut.  Approximation contract: identical to unpooled MMR
+#: whenever every unpooled pick's relevance sits inside the top-pool
+#: band (diversity can only DEMOTE a candidate, never promote one past
+#: stronger-relevance survivors... it CAN promote within the band, so
+#: the guarantee is exact only when the unpooled selection ⊆ pool —
+#: locked by tests/test_mmr.py's identity property); size it to the
+#: shortlist you would re-rank (None disables the cap).
+MMR_POOL = 4096
 
 
 def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
                dims: int = 64, id_col: str = "vec_id",
                vec_col: str = "embedding", query_vec=None,
                materialize=None,
-               checkpoint_every: int = KCENTER_CHECKPOINT_EVERY
-               ) -> DataFrame:
+               checkpoint_every: int = KCENTER_CHECKPOINT_EVERY,
+               pool: int | None = MMR_POOL) -> DataFrame:
     """Greedy MMR selection trace: ``(rank, vec_id, score)`` — rank-1 is
     the most query-relevant item, each later rank-r row maximizes
     ``lam*rel - (1-lam)*max_sim_to_selected`` (cosine both ways, 4dp
@@ -2415,9 +2429,20 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
     query and that row is EXCLUDED from the candidates (a retrieval
     query is not a candidate).  Rank-1's ``score`` is ``lam*rel`` (the
     max-sim term over the empty selected set is 0 by convention).
-    Plan-cut / cap semantics are shared with :func:`kcenter_select`."""
+    Plan-cut / cap semantics are shared with :func:`kcenter_select`.
+
+    ``pool`` caps the candidate set to the top-``pool`` rows by
+    ``(rel desc, id asc)`` BEFORE the greedy loop (one distributed
+    TakeOrderedAndProject pass; see :data:`MMR_POOL` for the
+    approximation contract) — the k sequential argmax iterations then
+    scan a bounded persisted frame instead of the corpus, which is what
+    makes the operator usable at 100 TB.  ``pool=None`` disables the
+    cap (the exact-audit form)."""
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
+    if pool is not None and pool < 1:
+        raise ValueError(f"pool={pool} must be >= 1 (or None); a pool "
+                         f"smaller than k yields pool picks (early stop)")
     if k > _KCENTER_MAX_K:
         raise ValueError(
             f"k={k} > {_KCENTER_MAX_K}: k sequential one-row argmax "
@@ -2438,9 +2463,15 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
     else:
         qv = [float(x) for x in query_vec]
     qlit = F.array(*[F.lit(float(x)) for x in qv])
-    cand = mat(base.select(
+    scored = base.select(
         id_col, "v", F.round(dot(F.col("v"), qlit), MMR_ROUND)
-        .alias("rel")))
+        .alias("rel"))
+    if pool is not None:
+        # distributed top-M (TakeOrderedAndProject: per-partition
+        # partial top-M, then merge) — never a global sort
+        scored = scored.orderBy(F.desc("rel"), F.asc(id_col)) \
+                       .limit(int(pool))
+    cand = mat(scored)
     first = (cand.select(id_col, "v", "rel",
                          F.round(F.lit(lam) * F.col("rel"), MMR_ROUND)
                          .alias("_sc"))
@@ -2488,14 +2519,16 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
 
 
 def mmr_select_sql(k: int = MMR_K, lam: float = MMR_LAMBDA,
-                   dims: int = 64) -> str:
+                   dims: int = 64, pool: int | None = MMR_POOL) -> str:
     """Unrolled DuckDB oracle for :func:`mmr_select` at the default
     min-id-row query: round r's CTE carries every survivor's running
     max-similarity; the next pick is its (score desc, vec_id asc) head.
     Every chained CTE is MATERIALIZED (the k-center oracle's measured
     re-expansion finding).  ``lam`` coefficients are embedded via
     ``repr`` so the SQL doubles are bit-identical to the Spark
-    literals."""
+    literals.  ``pool`` embeds the same deterministic top-M
+    candidate-pool cut the Spark kernel applies (total order, so both
+    engines cut the identical row set)."""
     l1, l2 = repr(float(lam)), repr(1.0 - float(lam))
     base = f"""base as (
             select vec_id,
@@ -2517,10 +2550,12 @@ def mmr_select_sql(k: int = MMR_K, lam: float = MMR_LAMBDA,
     ctes = [base,
             "q as materialized (select vec_id, v from base "
             "order by vec_id limit 1)",
-            """cand as materialized (
+            f"""cand as materialized (
             select b.vec_id, b.v,
                    round(list_dot_product(b.v, (select v from q)), 4) as rel
             from base b where b.vec_id <> (select vec_id from q)
+            {f'order by rel desc, vec_id limit {int(pool)}'
+             if pool is not None else ''}
         )""",
             f"""c1 as materialized (
             select vec_id, v, rel, round({l1} * rel, 4) as sc
