@@ -303,6 +303,13 @@ def test_admission_runway_bookkeeping():
          "q19_disjunctive_revenue"),
         ("ann_ivf_pq_refined", "q8_market_share", "q9_profit_by_nation"),
         ("vocab_jaccard_kmv", "unigram_logprob", "bigram_logprob"),
+        # -- front r16, staged + retired during r15 (the round-11
+        #    snapshot_diff CDC surface, added after the r15 ledger; the
+        #    retirement comes from the set fronting r16, and exact-match
+        #    decontamination machinery stays covered by decontaminate_near
+        #    + contamination_overlap + the Bloom membership entry):
+        ("storage_snapshot_diff", "decontaminate_against_benchmark",
+         "decontaminate_near"),
     ]
     for cand, retires, witness in decided:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"

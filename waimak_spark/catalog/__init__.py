@@ -167,6 +167,9 @@ from .similarity import (  # noqa: E402
     ann_ivf_probe_appended as _x_ivf_apd,
     embedding_kmeanspar_init as _x_kmpar,
 )
+from .storage import (  # noqa: E402
+    storage_snapshot_diff as _x_snapdiff,
+)
 from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
     streaming_heavy_hitters_cms as _x_scms,
@@ -206,6 +209,9 @@ EXTRA_ENTRIES = {
     "vocab_jaccard_kmv": _x_kmvj,
     "ann_ivf_pq_refined": _x_pqref,
     "streaming_sliding_counts": _x_sslc,
+    # round-11 addition (VERDICT r10 #7): the snapshot_diff CDC kernel's
+    # oracle-checked surface; scheduled to front r16 per the ledger
+    "storage_snapshot_diff": _x_snapdiff,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:
