@@ -310,6 +310,11 @@ def test_admission_runway_bookkeeping():
         #    + contamination_overlap + the Bloom membership entry):
         ("storage_snapshot_diff", "decontaminate_against_benchmark",
          "decontaminate_near"),
+        # -- front r17, staged + retired during r16 (the round-11 BPE
+        #    encode surface; q16's count-distribution machinery stays
+        #    covered by q13 + skew_count_distinct):
+        ("bpe_encode_stats", "q16_supplier_count",
+         "q13_order_distribution"),
     ]
     for cand, retires, witness in decided:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"

@@ -179,6 +179,7 @@ from .streaming import (  # noqa: E402
 )
 from .text import (  # noqa: E402
     bm25_search as _x_bm25,
+    bpe_encode_stats as _x_bpenc,
     corpus_distinct_hll as _x_hll,
     dedup_jaccard_prefix as _x_ppj,
     dedup_jaccard_prefix_collapsed as _x_ppjc,
@@ -212,6 +213,9 @@ EXTRA_ENTRIES = {
     # round-11 addition (VERDICT r10 #7): the snapshot_diff CDC kernel's
     # oracle-checked surface; scheduled to front r16 per the ledger
     "storage_snapshot_diff": _x_snapdiff,
+    # round-11 addition: the apply side of the BPE tokenizer (encode the
+    # corpus under its trained merges); scheduled to front r17
+    "bpe_encode_stats": _x_bpenc,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -192,11 +192,11 @@ def dedup_bloom_against_corpus(spark: SparkSession,
     """Bloom-filter membership dedup vs the corpus — the BOUNDED-MEMORY
     approximate sibling of ``dedup_against_corpus`` (no false negatives;
     deterministic seeded hashing makes even the false positives
-    engine-reproducible, so the DuckDB oracle is exact).  Round-11
-    catalog admission candidate per the PARITY rotation ledger (the
-    catalog is saturated at the 2×50 cap); until then it is verified by
-    tests/test_bloom_dedup.py's lockstep + property suite every pytest
-    run and measured in scale_check's EXTRA_QUERIES."""
+    engine-reproducible, so the DuckDB oracle is exact).  ADMITTED round
+    11 per the PARITY rotation ledger (fronting the round-11 window in
+    the slot freed by the `dedup_against_corpus` retirement); verified
+    by tests/test_bloom_dedup.py's lockstep + property suite every
+    pytest run."""
     from ..functions import dedup as D
 
     docs = _docs(spark, sf_dir)

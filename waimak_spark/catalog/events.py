@@ -249,8 +249,9 @@ def events_value_quantiles_kmv(spark: SparkSession,
     estimate from a 256-row seeded bottom-k sample (bounded state
     regardless of corpus size, exactly mergeable across batches), and
     the exactly-computed rank error with a 2/sqrt(k) tolerance bit.
-    Post-runway extension measured through the catalog EXTRA_ENTRIES
-    registry; verified by tests/test_kmv.py every pytest run."""
+    ADMITTED round 11 per the PARITY rotation ledger (fronting the
+    round-11 window in the slot freed by the `tumbling_window_counts`
+    retirement); verified by tests/test_kmv.py every pytest run."""
     from ..functions import sketch as SK
 
     return SK.kmv_quantiles(_events_raw(spark, sf_dir))

@@ -113,8 +113,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one join + one keyed aggregation (sparse matvec), rank
     frame plan-cut every j iterations, per-iteration rounding keeps the
     trajectory bit-identical to the unrolled-CTE DuckDB oracle.
-    Post-runway extension measured through the catalog EXTRA_ENTRIES
-    registry; verified by tests/test_pagerank.py every pytest run."""
+    Staged round 11 → fronts round 12 per the rotation ledger;
+    verified by tests/test_pagerank.py every pytest run."""
     from ..functions.graph import copurchase_edges, pagerank
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

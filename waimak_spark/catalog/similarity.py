@@ -602,10 +602,15 @@ def _pq_probe_stored_oracle() -> str:
 def sample_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy maximal-marginal-relevance selection trace (Carbonell &
     Goldstein 1998) — the relevance-aware member of the diverse-selection
-    family (k-center is the pure-coverage member; same k-sequential-
-    argmax execution shape, corpus never shuffles).  Post-runway
-    extension measured through the catalog EXTRA_ENTRIES registry;
-    verified by tests/test_mmr.py every pytest run."""
+    family (k-center is the pure-coverage member).  Since round 11 the
+    greedy loop runs over the top-``MMR_POOL`` (4096) candidates by
+    relevance (one distributed TakeOrderedAndProject pass — VERDICT r10
+    #5), so each of the k argmax iterations scans a BOUNDED frame: 10×
+    ratio 6.7 → 3.8, 1× unchanged.  The pool cut is deterministic and
+    embedded in the SQL oracle, so the trace stays exactly
+    oracle-checkable at any scale.  Staged round-11 → fronts round 12
+    per the rotation ledger; verified by tests/test_mmr.py every pytest
+    run."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.mmr_select(emb)
 
@@ -652,10 +657,11 @@ def _kmeanspar_oracle() -> str:
 
 def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diverse sampling trace (Sener & Savarese 2018) —
-    round-12 catalog admission candidate per the PARITY rotation ledger
-    (the catalog is saturated; until a slot opens this is verified by
-    tests/test_kcenter.py's lockstep + reference suite every pytest run
-    and measured through the scale_check/measure_entry extras)."""
+    ADMITTED round 11 per the PARITY rotation ledger (pulled forward
+    from its round-12 runway slot by the backlog fix, fronting in the
+    slot freed by the `dedup_embedding_cosine` retirement); verified by
+    tests/test_kcenter.py's lockstep + reference suite every pytest
+    run."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return S.kcenter_select(emb)
 

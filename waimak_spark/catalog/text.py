@@ -152,10 +152,10 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters: the k most frequent word trigrams
     with their exact counts, sketch estimates, and the per-row
-    no-undercount bit — round-14 catalog admission candidate per the
-    PARITY rotation ledger; until then verified by tests/test_cms.py
-    every pytest run and measured through the catalog EXTRA_ENTRIES
-    registry."""
+    no-undercount bit — staged round 11 → fronts round 12 per the
+    PARITY rotation ledger (pulled forward from its round-14 runway
+    slot by the backlog fix); verified by tests/test_cms.py every
+    pytest run."""
     from ..functions import sketch as SK
 
     return SK.cms_heavy_hitters(_docs(spark, sf_dir))
@@ -191,11 +191,30 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the bounded driver-side greedy merge loop — the HF-tokenizers
     shape.  No SQL oracle (the merge loop is an iterative algorithm,
     the brief's rows-only class); cross-checked against a pure-Python
-    reference in tests/test_bpe_learn.py every pytest run.
-    Post-runway extension measured through EXTRA_ENTRIES."""
+    reference in tests/test_bpe_learn.py every pytest run.  Staged
+    round 11 → fronts round 12 per the rotation ledger; the APPLY side
+    is `bpe_encode_stats` (r17 slot)."""
     from ..functions import text as TT
 
     return TT.bpe_learn(_docs(spark, sf_dir))
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING of the corpus under its own trained merge table
+    (the apply side of Sennrich et al. 2016 — turns token counting
+    into real subword counts): train = one bounded word-frequency
+    shuffle + the driver merge loop; encode = one Arrow-batched
+    map-only pass with the bounded merge table as a closure constant.
+    No SQL oracle (the encode loop is iterative, the brief's rows-only
+    class); the subwords_md5 column is a per-doc determinism witness a
+    pure-Python reference reproduces bit-for-bit every pytest run
+    (tests/test_bpe_encode.py).  Round-17 admission candidate per the
+    rotation ledger; measured through EXTRA_ENTRIES."""
+    from ..functions import text as TT
+
+    docs = _docs(spark, sf_dir)
+    merges = TT.learn_bpe_merges(TT.word_frequencies(docs))
+    return TT.bpe_encode(docs, merges)
 
 
 def vocab_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,9 +240,9 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     2003 — MOSS): per-window rightmost-minimum gram hashes with the
     shared-run detection guarantee the single-global-min
     ``doc_fingerprint`` cannot give.  One map pass, shuffle only for
-    the final distinct.  Post-runway extension measured through the
-    catalog EXTRA_ENTRIES registry; verified by
-    tests/test_winnowing.py every pytest run."""
+    the final distinct.  Staged round 11 → fronts round 12 per the
+    rotation ledger; verified by tests/test_winnowing.py every pytest
+    run."""
     return T.winnow_fingerprints(D.spread_for_compute(_docs(spark, sf_dir)))
 
 

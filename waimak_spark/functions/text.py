@@ -601,3 +601,86 @@ def bpe_learn(df: DataFrame, text_col: str = "text",
                               n_merges)
     return df.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, freq bigint")
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODING (the apply side of Sennrich et al. 2016): tokenize the
+# corpus with a trained merge table — the step that turns "token counts"
+# from a whitespace proxy into the real subword count an LLM pipeline
+# budgets by.  Scalable shape (what HF tokenizers' Rust core does):
+# the merge table is BOUNDED (n_merges rows) and ships to every worker
+# inside the Arrow-batched kernel's closure; encoding is one map-only
+# pass, no shuffle; a per-batch word→subwords cache collapses the
+# Zipf-heavy repeated words to dict hits.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_tokenize_py(text: str) -> list[str]:
+    """Pure-Python mirror of :func:`tokens` (lowercased ASCII-\\s+ split,
+    empties removed) — re.ASCII matches the JVM regex's default \\s
+    class, so both engines see the identical word stream."""
+    import re
+
+    return [w for w in re.split(r"\s+", text.lower(), flags=re.ASCII) if w]
+
+
+def bpe_encode_word(word: str, ranks: dict) -> tuple:
+    """Subword sequence for one word under HF-style rank priority:
+    start from characters + the end-of-word marker, repeatedly merge
+    the adjacent pair with the LOWEST merge rank, stop when no pair is
+    mergeable.  Equivalent to applying the merges sequentially in rank
+    order (tests/test_bpe_encode.py proves the two against each other)."""
+    sym = list(word) + [BPE_EOW]
+    while len(sym) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return tuple(sym)
+
+
+def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """``(id, n_words, n_subwords, subwords_md5)`` per document —
+    ``merges`` is the trained table as ``[(rank, left, right), ...]``
+    (extra trailing fields like freq are ignored).  ``subwords_md5`` is
+    the md5 of the space-joined subword stream: a deterministic witness
+    the pure-Python reference reproduces bit-for-bit.  One Arrow-batched
+    map pass; the merge table is a bounded closure constant."""
+    import hashlib
+
+    import pandas as pd
+
+    ranks = {(m[1], m[2]): int(m[0]) for m in merges}
+    id_field = df.select(id_col).schema.fields[0]
+    out_schema = (f"{id_col} {id_field.dataType.simpleString()}, "
+                  f"n_words bigint, n_subwords bigint, "
+                  f"subwords_md5 string")
+
+    def encode(batches):
+        cache: dict = {}
+        for pdf in batches:
+            ids, nw, ns, digests = [], [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = _bpe_tokenize_py(text) if text is not None else []
+                subs = []
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = bpe_encode_word(w, ranks)
+                        cache[w] = enc
+                    subs.extend(enc)
+                ids.append(i)
+                nw.append(len(words))
+                ns.append(len(subs))
+                digests.append(hashlib.md5(
+                    " ".join(subs).encode()).hexdigest())
+            yield pd.DataFrame({id_col: ids, "n_words": nw,
+                                "n_subwords": ns, "subwords_md5": digests})
+
+    return (df.select(id_col, text_col)
+            .mapInPandas(encode, out_schema))

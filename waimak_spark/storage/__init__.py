@@ -14,6 +14,7 @@ from .audit import (
     AuditTableInfo,
     AuditTableRegionInfo,
     StorageException,
+    apply_changes,
 )
 from .file_ops import FileStorageOps
 from .actions import (
@@ -23,6 +24,7 @@ from .actions import (
 )
 
 __all__ = [
+    "apply_changes",
     "AuditTableFile",
     "AuditTableInfo",
     "AuditTableRegionInfo",

@@ -392,6 +392,35 @@ class AuditTableFile:
 # ---------------------------------------------------------------------------
 
 
+def apply_changes(base: DataFrame, diff: DataFrame,
+                  primary_keys: Sequence[str]) -> DataFrame:
+    """Apply a :meth:`AuditTableFile.snapshot_diff` view to a
+    materialized snapshot — the CONSUMER half of the change-data
+    contract a downstream system (search index, feature store, cache)
+    runs instead of re-reading the whole table:
+
+    * ``removed`` keys leave the base;
+    * ``added`` / ``changed`` rows upsert their TO-side values.
+
+    Round-trip law (test-locked in tests/test_storage.py):
+    ``apply_changes(snapshot(a), snapshot_diff(a, b), pks)`` equals
+    ``snapshot(b)`` as a row set, in BOTH time directions (the reverse
+    diff's 'removed' rows undo the forward 'added' ones).
+
+    100 TB shape: one PK-keyed left-anti join of the base against the
+    diff's key set (every diffed key leaves the base, whatever its
+    change type) + one union with the upsert rows — the diff side is
+    CDC-sized, so AQE broadcasts it when small; the base never sorts."""
+    pks = list(primary_keys)
+    missing = [c for c in ["change_type", *pks] if c not in diff.columns]
+    if missing:
+        raise ValueError(f"diff frame lacks columns: {missing}")
+    upserts = (diff.where(F.col("change_type").isin("added", "changed"))
+               .drop("change_type"))
+    kept = base.join(diff.select(*pks), pks, "left_anti")
+    return kept.unionByName(upserts.select(*base.columns))
+
+
 def create_table(ops: FileStorageOps, info: AuditTableInfo) -> AuditTableFile:
     return AuditTableFile(info, [], ops).init_new_table()
 
