@@ -270,10 +270,11 @@ def test_admission_runway_bookkeeping():
     retirement target must still hold a catalog slot (it retires in the
     admission round, not before), and the machinery witness that keeps
     the retired operator's family officially covered must stay in the
-    catalog.  The four permanent extras are family-covered siblings whose
+    catalog.  The permanent extras are family-covered siblings whose
     output/bit-identity to an admitted catalog entry is asserted every
     pytest run (test_kmv/test_cms/test_hll streaming==batch,
-    test_prefix_join raw==collapsed) — they never need their own row."""
+    test_prefix_join raw==collapsed, test_bm25_stored stored==inline)
+    — they never need their own row."""
     from waimak_spark.catalog import ALL_ENTRIES, EXTRA_ENTRIES
 
     decided = [
@@ -315,6 +316,17 @@ def test_admission_runway_bookkeeping():
         #    covered by q13 + skew_count_distinct):
         ("bpe_encode_stats", "q16_supplier_count",
          "q13_order_distribution"),
+        # -- front r18, staged + retired during r17 (the round-11 hybrid
+        #    RRF surface; the fused entry itself exercises the BM25 and
+        #    brute-cosine machinery, and IVF coverage stays official via
+        #    the recall gate + the stored PQ probe):
+        ("hybrid_search_rrf", "ann_ivf_topk", "ann_ivf_recall"),
+        # -- front r19, staged + retired during r18 (the round-11 NB
+        #    quality classifier; the heuristic it distills keeps running
+        #    INSIDE the entry's label derivation, and the quality-metrics
+        #    family stays officially covered by repetition_metrics):
+        ("quality_classifier_scores", "text_quality",
+         "repetition_metrics"),
     ]
     for cand, retires, witness in decided:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
@@ -324,7 +336,10 @@ def test_admission_runway_bookkeeping():
             f"{witness} (coverage witness for {retires}) missing")
     permanent = ["streaming_value_quantiles_kmv",
                  "streaming_heavy_hitters_cms", "streaming_distinct_hll",
-                 "dedup_jaccard_prefix"]
+                 "dedup_jaccard_prefix",
+                 # round 11: stored BM25 postings probe — bit-identical
+                 # to bm25_search (tests/test_bm25_stored.py)
+                 "bm25_probe_stored"]
     for cand in permanent:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
     assert len(decided) + len(permanent) == len(EXTRA_ENTRIES), (

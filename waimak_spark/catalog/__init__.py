@@ -157,6 +157,7 @@ ALL_ENTRIES.update((n, e) for n, e in _MERGED.items() if n not in ALL_ENTRIES)
 # overlap, so an admitted entry must leave the extras the same round.
 from .curation import (  # noqa: E402
     dedup_lsh_probe_stored as _x_lshdx,
+    quality_classifier_scores as _x_qc,
     sample_priority_topk as _x_prio,
 )
 from .events import (  # noqa: E402
@@ -178,8 +179,10 @@ from .streaming import (  # noqa: E402
     streaming_value_quantiles_kmv as _x_skmv,
 )
 from .text import (  # noqa: E402
+    bm25_probe_stored as _x_bm25x,
     bm25_search as _x_bm25,
     bpe_encode_stats as _x_bpenc,
+    hybrid_search_rrf as _x_hyb,
     corpus_distinct_hll as _x_hll,
     dedup_jaccard_prefix as _x_ppj,
     dedup_jaccard_prefix_collapsed as _x_ppjc,
@@ -216,6 +219,16 @@ EXTRA_ENTRIES = {
     # round-11 addition: the apply side of the BPE tokenizer (encode the
     # corpus under its trained merges); scheduled to front r17
     "bpe_encode_stats": _x_bpenc,
+    # round-11 addition: RRF fusion of the BM25 and embedding-cosine
+    # rankers (Cormack et al. 2009); scheduled to front r18
+    "hybrid_search_rrf": _x_hyb,
+    # round-11 addition: NB quality classifier with held-out evaluation
+    # (the CCNet model-filter pattern); scheduled to front r19
+    "quality_classifier_scores": _x_qc,
+    # round-11 addition: stored term-bucketed BM25 postings probe —
+    # permanent extras class (bit-identical to bm25_search, which holds
+    # the family's official row; identity asserted every pytest)
+    "bm25_probe_stored": _x_bm25x,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

@@ -243,6 +243,27 @@ def _dsir_select_oracle() -> str:
     return C.dsir_select_sql(DSIR_TARGET_WHERE, DSIR_K, seed=DSIR_SEED)
 
 
+def quality_classifier_scores(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet/fastText pattern,
+    Wenzek et al. 2020, via multinomial Naive Bayes, McCallum & Nigam
+    1998): fit on a weak-labeled seeded train split, score every
+    document with a rounded log-likelihood-ratio, report the held-out
+    verdicts alongside — round-19 catalog admission candidate per the
+    PARITY rotation ledger; until then verified by
+    tests/test_quality_classifier.py every pytest run and measured
+    through the catalog EXTRA_ENTRIES registry."""
+    from ..functions import classifier as QC
+
+    return QC.quality_classifier_scores(_docs(spark, sf_dir))
+
+
+def _quality_classifier_oracle() -> str:
+    from ..functions import classifier as QC
+
+    return QC.quality_classifier_scores_sql()
+
+
 # fixed-budget weighted sampling: k docs with inclusion ~ n_chars via
 # derandomised priority keys (Efraimidis-Spiliotis); seed 11 keeps the
 # uniform stream disjoint from dsir_select's gumbel stream (seed 7)

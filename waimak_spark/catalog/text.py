@@ -331,6 +331,119 @@ def _bm25_oracle() -> str:
     return R.bm25_topk_sql()
 
 
+# stored BM25 inverted index — build-once/probe-many (the stored-IVF
+# recipe applied to lexical retrieval); bump on layout/kernel change
+_BM25_IDX_VERSION = "v1"
+#: corpus stats ride the postings table as properties (metadata lookup,
+#: not a data collect; repr round-trips the double exactly)
+_BM25_N_PROP = "wmk.bm25.n_docs"
+_BM25_AVGDL_PROP = "wmk.bm25.avgdl"
+
+
+def _bm25_index_name(sf_dir: str) -> tuple[str, str]:
+    import os
+    import re
+
+    from .similarity import _dataset_fingerprint
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    label = (f"bm25x_{tag}_"
+             f"{_dataset_fingerprint(sf_dir, 'documents.parquet')}"
+             f"_{_BM25_IDX_VERSION}")
+    return tag, label
+
+
+def drop_bm25_index(spark: SparkSession, sf_dir: str) -> None:
+    """Drop ``sf_dir``'s stored BM25 postings so the next probe rebuilds
+    (tools/scale_check.py times the one-time build separately)."""
+    from .similarity import _IVF_IDX_DB
+
+    _, label = _bm25_index_name(sf_dir)
+    spark.sql(f"drop table if exists {_IVF_IDX_DB}.{label}")
+
+
+def _bm25_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Get-or-build the stored postings table: term-bucketed so a probe
+    scans only its query terms' buckets; (n_docs, avgdl) stamped as
+    table properties AFTER the write completes, so a property-less
+    table is a crash leftover and is rebuilt (the LSH completion-
+    property hygiene)."""
+    from .. import Waimak
+    from ..functions import retrieval as R
+    from .similarity import _IVF_IDX_DB, _clear_superseded
+
+    tag, label = _bm25_index_name(sf_dir)
+    name = f"{_IVF_IDX_DB}.{label}"
+    if spark.catalog.tableExists(name):
+        props = {r["key"]: r["value"] for r in spark.sql(
+            f"show tblproperties {name}").collect()}
+        if _BM25_N_PROP in props:
+            return name
+        spark.sql(f"drop table if exists {name}")
+    _clear_superseded(spark, f"bm25x_{tag}_", label)
+    docs = _docs(spark, sf_dir)
+    idx = R.bm25_postings_frame(docs)
+    (Waimak.spark_flow(spark)
+     .open(label, lambda c, df=idx: df)
+     .write_bucketed_table(_IVF_IDX_DB, label, ["term"],
+                           R.BM25_IDX_BUCKETS,
+                           sort_cols=["term", "doc_id"])
+     .execute())
+    n_docs, avgdl = R.bm25_corpus_stats(docs)
+    spark.sql(f"alter table {name} set tblproperties("
+              f"'{_BM25_N_PROP}'='{n_docs}', "
+              f"'{_BM25_AVGDL_PROP}'='{avgdl!r}')")
+    return name
+
+
+def bm25_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k against the STORED term-bucketed postings table — the
+    posture continuous retrieval runs at 100 TB: the corpus is
+    tokenized and shuffled exactly once at build, each probe's scan
+    prunes to its query terms' buckets, and the result is bit-identical
+    to the inline :func:`~waimak_spark.functions.retrieval.bm25_topk`
+    (asserted every pytest run — tests/test_bm25_stored.py — which is
+    why this entry sits in the extras registry's permanent
+    output-identity-sibling class: `bm25_search` holds the family's
+    official driver row, r14 per the ledger)."""
+    from ..functions import retrieval as R
+
+    tbl = _bm25_index_table(spark, sf_dir)
+    props = {r["key"]: r["value"] for r in spark.sql(
+        f"show tblproperties {tbl}").collect()}
+    return R.bm25_topk_from_postings(
+        spark.table(tbl), int(props[_BM25_N_PROP]),
+        float(props[_BM25_AVGDL_PROP]))
+
+
+def _bm25_probe_stored_oracle() -> str:
+    # the stored path is output-identical to the inline form, so the
+    # inline oracle certifies it end-to-end (index build + probe)
+    from ..functions import retrieval as R
+
+    return R.bm25_topk_sql()
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 and embedding-cosine ranked
+    lists per fixed query, fused with Reciprocal Rank Fusion (Cormack
+    et al. 2009) — round-18 catalog admission candidate per the PARITY
+    rotation ledger; until then verified by tests/test_hybrid_rrf.py
+    every pytest run and measured through the catalog EXTRA_ENTRIES
+    registry."""
+    from ..functions import retrieval as R
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return R.hybrid_topk(_docs(spark, sf_dir), emb)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from ..functions import retrieval as R
+
+    return R.hybrid_topk_sql()
+
+
 ENTRIES = {
     "text_quality": {"fn": text_quality, "oracle": T.QUALITY_SQL},
     "unigram_logprob": {"fn": unigram_logprob,
