@@ -250,7 +250,8 @@ def main() -> None:
     print(f"{'query':34} {'1x(s)':>7} {'10x(s)':>7} {'ratio':>6}  rows 1x/10x")
     for name in names:
         if name in ("ann_ivf_probe_stored", "ann_ivf_pq_probe_stored",
-                    "ivf_probe_appended", "dedup_lsh_probe_stored"):
+                    "ivf_probe_appended", "dedup_lsh_probe_stored",
+                    "bm25_probe_stored"):
             # VERDICT r6 #3: one conflated row mixed the ONE-TIME index
             # build (fingerprint miss on the replica) with the amortized
             # probe — the operator's whole point is build-once/probe-
@@ -264,11 +265,13 @@ def main() -> None:
                 drop_ivf_index,
                 drop_ivf_pq_index,
             )
+            from waimak_spark.catalog.text import drop_bm25_index
 
             drop = {"ann_ivf_pq_probe_stored": drop_ivf_pq_index,
                     "ivf_probe_appended": drop_ivf_append_index,
                     "dedup_lsh_probe_stored": drop_lsh_index,
-                    "ann_ivf_probe_stored": drop_ivf_index}[name]
+                    "ann_ivf_probe_stored": drop_ivf_index,
+                    "bm25_probe_stored": drop_bm25_index}[name]
             rows = {}
             for scale, d in (("1x", BASE), ("10x", OUT)):
                 run(name, d)  # JIT/scan warmup; leaves an index built
