@@ -99,23 +99,34 @@ def quality_classifier_scores(docs: DataFrame, text_col: str = "text",
     from .cache_registry import tracked_persist
 
     a = float(alpha)
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        tokens(F.col(text_col)).alias("_t"),
-                        _weak_label(F.col(text_col)).alias("y"))
-            .withColumn(
-                "is_train",
-                (split_bucket(F.col("doc_id"), seed)
-                 < F.lit(train_pct)).cast("int")))
-    # the label/token projection feeds the gram aggregation, the train
-    # tally, and the final scoring rollup — materialize once
-    labeled = tracked_persist(base)
-    grams = (labeled
-             .select("doc_id",
-                     F.explode(F.col("_t")).alias("term"))
-             .select("doc_id",
-                     (md5_hash32(F.col("term")) % buckets).alias("b"))
-             .groupBy("doc_id", "b")
-             .agg(F.count("*").alias("cnt")))
+    # TWO narrow persisted frames, not one wide one.  Measured (stash
+    # A/B, fresh-JVM isolated min-of-6 at sf0.1, same session): the
+    # wide form — persist (doc_id, token_array, y, is_train) once and
+    # let the gram explode+shuffle lineage run twice off it — reads
+    # 1.93-2.10 s vs 2.20-2.26 s here, i.e. ~0.25 s FASTER locally.
+    # The narrow shape is kept anyway for the at-scale contract: the
+    # wide form's persisted footprint is the corpus's full token
+    # arrays (at 100 TB the evict-and-recompute-lineage shape the
+    # kmeans materializer note warns about), while this persists only
+    # 3-scalar-column frames — labels, and the (doc_id, b, cnt)
+    # aggregate whose corpus-sized explode+shuffle then runs ONCE
+    # instead of twice.  The corpus tokenizes twice (label ratio +
+    # gram stream, both map-only single passes); that second scan is
+    # the measured local price of not caching the token arrays.
+    labeled = tracked_persist(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    _weak_label(F.col(text_col)).alias("y"))
+        .withColumn(
+            "is_train",
+            (split_bucket(F.col("doc_id"), seed)
+             < F.lit(train_pct)).cast("int")))
+    grams = tracked_persist(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+        .select("doc_id",
+                (md5_hash32(F.col("term")) % buckets).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt")))
     # class-conditional bucket counts: bounded at 2*buckets rows BY
     # CONSTRUCTION after map-side partial agg -> bounded collect (the
     # DSIR recipe); likewise the 2-row train-label tally
