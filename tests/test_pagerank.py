@@ -170,3 +170,29 @@ class TestPagerankRobustness:
         assert a == b
         # mass conserved (3 nodes, 5 iterations of 6dp rounding drift)
         assert sum(a.values()) == pytest.approx(1.0, abs=1e-4)
+
+    def test_dst_complete_identical_on_undirected(self, spark, sf_dir):
+        """The dst_complete fast path (skip the per-iteration nodes
+        left join) must be bit-identical on an undirected edge list —
+        the promise the catalog entry relies on — and its plan must
+        carry one fewer join per iteration."""
+        from waimak_spark.functions.graph import copurchase_edges
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = copurchase_edges(li, orders)
+        slow = pagerank(edges).collect()
+        fast = pagerank(edges, dst_complete=True).collect()
+        assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
+
+    def test_dst_complete_false_keeps_source_only_nodes(self, spark):
+        """The guard the flag documents: on a DIRECTED graph with a
+        source-only node, the default path must still rank that node
+        (base rank), while dst_complete would have dropped it — which
+        is why it is opt-in."""
+        from pyspark.sql import Row
+
+        edges = spark.createDataFrame(
+            [Row(src=1, dst=2, w=1.0), Row(src=2, dst=2, w=1.0)])
+        got = {r.node: r.rank for r in pagerank(edges).collect()}
+        assert 1 in got and got[1] > 0

@@ -119,7 +119,10 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return pagerank(copurchase_edges(li, orders))
+    # copurchase_edges emits both directions, so every node is a dst —
+    # the dst_complete promise holds and the per-iteration nodes join
+    # is skipped (bit-identical, identity-locked in tests/test_pagerank)
+    return pagerank(copurchase_edges(li, orders), dst_complete=True)
 
 
 def _pagerank_oracle() -> str:
