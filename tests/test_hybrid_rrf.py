@@ -139,3 +139,26 @@ class TestHybridPlan:
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") <= 2
         assert "BroadcastHashJoin" in plan
+
+
+class TestHybridPluggableRanker:
+    def test_ivf_dense_ranker_slots_in(self, spark, sf_dir):
+        """The 100 TB steer the docstring makes: any
+        (emb, query_ids, k) -> ranked callable works as the dense side
+        — here the IVF probe replaces brute force; the fusion schema
+        and per-query row bound are unchanged, and every IVF-surfaced
+        candidate fuses with a valid rank."""
+        from waimak_spark.functions.similarity import ivf_topk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        got = hybrid_topk(docs, emb, dense_topk=ivf_topk).collect()
+        assert got, "IVF-backed fusion returned nothing"
+        assert {r.qid for r in got} <= {q for q, _, _ in HYBRID_QUERIES}
+        for r in got:
+            assert 1 <= r.rank <= HYBRID_TOPK
+            assert r.n_lists in (1, 2)
+        # per query at most k rows, ranks dense from 1
+        for qid in {r.qid for r in got}:
+            ranks = sorted(r.rank for r in got if r.qid == qid)
+            assert ranks == list(range(1, len(ranks) + 1))
