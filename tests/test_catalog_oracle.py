@@ -327,6 +327,12 @@ def test_admission_runway_bookkeeping():
         #    family stays officially covered by repetition_metrics):
         ("quality_classifier_scores", "text_quality",
          "repetition_metrics"),
+        # -- front r20, staged + retired during r19 (the round-11 entity
+        #    resolution surface; q10's single-join-agg shape stays
+        #    officially covered by q3 — the subsumption class VERDICT
+        #    r10 #2 licensed):
+        ("er_link_customers", "q10_returned_revenue",
+         "q3_top_revenue_orders"),
     ]
     for cand, retires, witness in decided:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"

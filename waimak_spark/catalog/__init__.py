@@ -163,6 +163,9 @@ from .curation import (  # noqa: E402
 from .events import (  # noqa: E402
     events_value_winsorized as _x_wins,
 )
+from .joins import (  # noqa: E402
+    er_link_customers as _x_erlk,
+)
 from .similarity import (  # noqa: E402
     ann_ivf_pq_refined as _x_pqref,
     ann_ivf_probe_appended as _x_ivf_apd,
@@ -229,6 +232,9 @@ EXTRA_ENTRIES = {
     # permanent extras class (bit-identical to bm25_search, which holds
     # the family's official row; identity asserted every pytest)
     "bm25_probe_stored": _x_bm25x,
+    # round-11 addition: entity resolution with dual-offset blocking and
+    # ground-truth evaluation (Fellegi-Sunter); scheduled to front r20
+    "er_link_customers": _x_erlk,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

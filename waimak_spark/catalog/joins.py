@@ -131,6 +131,28 @@ def _pagerank_oracle() -> str:
     return copurchase_pagerank_sql()
 
 
+def er_link_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (Fellegi & Sunter 1969; blocking per Christen
+    2012): the customer table linked against its deterministic
+    perturbed copy via dual-offset balance-bucket blocking and
+    normalized-Levenshtein + balance scoring; every emitted pair
+    carries an exact ground-truth bit, so the entry is self-certifying
+    like ann_ivf_recall — round-20 catalog admission candidate per the
+    PARITY rotation ledger; until then verified by
+    tests/test_linkage.py every pytest run and measured through the
+    catalog EXTRA_ENTRIES registry."""
+    from ..functions.linkage import link_customers
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return link_customers(cust)
+
+
+def _er_link_oracle() -> str:
+    from ..functions.linkage import link_customers_sql
+
+    return link_customers_sql()
+
+
 ENTRIES = {
     "asof_quote_per_trade": {"fn": asof_quote_per_trade,
                              "oracle": ASOF_ORACLE},
