@@ -345,7 +345,11 @@ def test_admission_runway_bookkeeping():
                  "dedup_jaccard_prefix",
                  # round 11: stored BM25 postings probe — bit-identical
                  # to bm25_search (tests/test_bm25_stored.py)
-                 "bm25_probe_stored"]
+                 "bm25_probe_stored",
+                 # round 11: stateless streaming NB scoring —
+                 # output-identical to quality_classifier_scores
+                 # (tests/test_quality_classifier.py)
+                 "streaming_quality_scores"]
     for cand in permanent:
         assert cand in EXTRA_ENTRIES, f"{cand} left the extras early"
     assert len(decided) + len(permanent) == len(EXTRA_ENTRIES), (

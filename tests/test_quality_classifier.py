@@ -9,6 +9,7 @@ import math
 
 import duckdb
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from waimak_spark.functions.classifier import (
     QC_ALPHA,
@@ -181,3 +182,66 @@ class TestQualityClassifierPlan:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestStreamingQualityScores:
+    def test_streaming_identical_to_batch(self, spark, sf_dir):
+        """The streamed stateless scorer (folded llr map literal,
+        per-row token aggregate, append mode) must reproduce the batch
+        entry row for row — the identity that licenses sharing the
+        batch oracle verbatim and the entry's permanent
+        output-identity-sibling slot in the extras registry."""
+        from waimak_spark.catalog.curation import (
+            quality_classifier_scores as batch_entry,
+        )
+        from waimak_spark.catalog.streaming import (
+            streaming_quality_scores,
+        )
+
+        got = sorted(tuple(r) for r in
+                     streaming_quality_scores(spark, sf_dir).collect())
+        want = sorted(tuple(r) for r in
+                      batch_entry(spark, sf_dir).collect())
+        assert len(got) == len(want) > 0
+        assert got == want
+
+    def test_streaming_matches_duckdb_oracle(self, spark, sf_dir):
+        from waimak_spark.catalog.streaming import (
+            _streaming_quality_oracle,
+            streaming_quality_scores,
+        )
+
+        got = sorted(tuple(r) for r in
+                     streaming_quality_scores(spark, sf_dir).collect())
+        con = duckdb.connect()
+        con.execute(f"create view documents as "
+                    f"select * from '{sf_dir}/documents.parquet'")
+        want = sorted(tuple(r) for r in con.execute(
+            _streaming_quality_oracle()).fetchall())
+        assert got == want
+
+    def test_score_expression_matches_batch_on_edge_docs(self, spark):
+        """The map-literal per-row scorer vs the batch broadcast-join
+        scorer on a crafted corpus with empty/null/unseen-token docs —
+        same fitted model, same rounded scores."""
+        from pyspark.sql import Row
+
+        from waimak_spark.functions.classifier import (
+            nb_fit,
+            nb_score_columns,
+            quality_classifier_scores,
+        )
+
+        texts = {0: "the cat sat on the mat and it is a good mat",
+                 1: "alpha beta gamma delta", 2: "", 3: None,
+                 4: "zzqx wwvv uupp", 5: "the the the of of it"}
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in texts.items()])
+        _l, _g, llr_rows, lp = nb_fit(df)
+        cols = nb_score_columns(F.col("text"), llr_rows, lp)
+        per_row = {r.doc_id: (r.y, r.score) for r in df.select(
+            "doc_id", cols["y"].alias("y"),
+            cols["score"].alias("score")).collect()}
+        batch = {r.doc_id: (r.y, r.score)
+                 for r in quality_classifier_scores(df).collect()}
+        assert per_row == batch

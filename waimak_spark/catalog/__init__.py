@@ -177,6 +177,7 @@ from .storage import (  # noqa: E402
 from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
     streaming_heavy_hitters_cms as _x_scms,
+    streaming_quality_scores as _x_sqs,
     streaming_running_totals_stateful as _x_ssrt,
     streaming_sliding_counts as _x_sslc,
     streaming_value_quantiles_kmv as _x_skmv,
@@ -235,6 +236,11 @@ EXTRA_ENTRIES = {
     # round-11 addition: entity resolution with dual-offset blocking and
     # ground-truth evaluation (Fellegi-Sunter); scheduled to front r20
     "er_link_customers": _x_erlk,
+    # round-11 addition: stateless streaming NB scoring — permanent
+    # extras class (output-identical to quality_classifier_scores,
+    # which holds the family's official row; identity asserted every
+    # pytest)
+    "streaming_quality_scores": _x_sqs,
 }
 _extra_overlap = set(EXTRA_ENTRIES) & set(_MERGED)
 if _extra_overlap:

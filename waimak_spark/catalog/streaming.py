@@ -766,6 +766,55 @@ def _streaming_kmv_oracle() -> str:
     from ..functions.sketch import kmv_bucket_quantiles_sql
 
     return kmv_bucket_quantiles_sql()
+def streaming_quality_scores(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STATELESS model serving: the NB quality model (fitted batch-side
+    — the run-once path, bounded collects) rides the streaming plan as
+    a folded ``buckets``-entry map literal, and every micro-batch
+    scores its documents MAP-ONLY — per-row token aggregate, zero
+    shuffle, zero state store (the query runs in APPEND mode, which
+    Spark refuses for any stateful plan: statelessness is enforced by
+    the engine, not asserted).  Output is identical to the batch
+    ``quality_classifier_scores`` entry up to the 4dp round's
+    summation-order absorption (identity test-locked), so the batch
+    oracle certifies the streamed path verbatim and the entry sits in
+    the extras registry's permanent output-identity-sibling class.
+    Verified by tests/test_quality_classifier.py every pytest run and
+    measured through the catalog EXTRA_ENTRIES registry."""
+    from ..functions import classifier as QC
+    from ..functions.curation import split_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _labeled, _grams, llr_rows, lp = QC.nb_fit(docs)
+    run = _run_session(spark)
+    schema = docs.schema
+    src = (run.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    cols = QC.nb_score_columns(F.col("text"), llr_rows, lp)
+    scored = src.select(
+        F.col("doc_id"),
+        cols["y"].alias("y"),
+        (split_bucket(F.col("doc_id"), 1)
+         < F.lit(QC.QC_TRAIN_PCT)).cast("int").alias("is_train"),
+        cols["score"].alias("score")).withColumn(
+            "pred", (F.col("score") >= F.lit(0.0)).cast("int"))
+    name = "stream_quality_scores_sink"
+    q = (scored.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+    return _collect_into_caller(
+        spark, run, name,
+        _sink_rows_from_progress(q, complete=False, run=run))
+
+
+def _streaming_quality_oracle() -> str:
+    """The batch oracle verbatim — the streamed scorer is
+    output-identical to the batch entry (identity test-locked)."""
+    from ..functions.classifier import quality_classifier_scores_sql
+
+    return quality_classifier_scores_sql()
 
 
 ENTRIES = {

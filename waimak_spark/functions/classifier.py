@@ -84,18 +84,16 @@ def _weak_label(text_col: Column) -> Column:
     return (ratio >= F.lit(QC_THRESHOLD)).cast("int")
 
 
-def quality_classifier_scores(docs: DataFrame, text_col: str = "text",
-                              id_col: str = "doc_id",
-                              buckets: int = QC_BUCKETS,
-                              alpha: float = QC_ALPHA,
-                              train_pct: int = QC_TRAIN_PCT,
-                              seed: int = 1) -> DataFrame:
-    """``(doc_id, y, is_train, score, pred)`` — every document scored
-    by the NB quality model fitted on the train slice: ``y`` the weak
-    label, ``is_train`` the split membership, ``score`` the rounded
-    log-likelihood-ratio (positive = high-quality side), ``pred`` the
-    thresholded verdict.  Zero-token documents score the prior odds
-    alone (an empty product of likelihoods)."""
+def nb_fit(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id", buckets: int = QC_BUCKETS,
+           alpha: float = QC_ALPHA, train_pct: int = QC_TRAIN_PCT,
+           seed: int = 1):
+    """Fit the NB model; returns ``(labeled, grams, llr_rows, lp)`` —
+    the two persisted narrow frames (reused by the batch scorer), the
+    collected per-bucket llr weights ``[(b, w)] * buckets`` and the
+    prior log-odds, both ENGINE-evaluated doubles (JVM log over the
+    exact-integer counts), so every scorer — the batch broadcast join,
+    the streaming map-literal — carries bit-identical model values."""
     from .cache_registry import tracked_persist
 
     a = float(alpha)
@@ -156,22 +154,69 @@ def quality_classifier_scores(docs: DataFrame, text_col: str = "text",
         (F.log((F.col("cp") + F.lit(a)) / (F.lit(float(t_pos)) + ab))
          - F.log((F.col("cn") + F.lit(a)) / (F.lit(float(t_neg)) + ab))
          ).alias("w"))
-    # prior odds as an engine log over exact-int literals (constant-
-    # folded JVM-side; DuckDB computes its own ln — 4dp round absorbs)
-    lp = F.log((F.lit(float(n_pos)) + F.lit(a))
-               / (F.lit(float(n_neg)) + F.lit(a)))
+    # prior odds as an engine log over exact-int literals — evaluated
+    # (with the llr column) in the SAME JVM that scores, so the model
+    # doubles are identical wherever they are re-embedded (DuckDB
+    # computes its own ln — the 4dp score round absorbs that ulp)
+    lp_expr = F.log((F.lit(float(n_pos)) + F.lit(a))
+                    / (F.lit(float(n_neg)) + F.lit(a)))
+    llr_rows = sorted((r["b"], r["w"]) for r in llr.collect())
+    lp = spark.range(1).select(lp_expr.alias("lp")).collect()[0]["lp"]
+    return labeled, grams, llr_rows, lp
+
+
+def quality_classifier_scores(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              buckets: int = QC_BUCKETS,
+                              alpha: float = QC_ALPHA,
+                              train_pct: int = QC_TRAIN_PCT,
+                              seed: int = 1) -> DataFrame:
+    """``(doc_id, y, is_train, score, pred)`` — every document scored
+    by the NB quality model fitted on the train slice: ``y`` the weak
+    label, ``is_train`` the split membership, ``score`` the rounded
+    log-likelihood-ratio (positive = high-quality side), ``pred`` the
+    thresholded verdict.  Zero-token documents score the prior odds
+    alone (an empty product of likelihoods)."""
+    labeled, grams, llr_rows, lp = nb_fit(
+        docs, text_col, id_col, buckets, alpha, train_pct, seed)
+    llr = docs.sparkSession.createDataFrame(
+        llr_rows, "b long, w double")
     per_doc = (grams.join(F.broadcast(llr), "b")
                .groupBy("doc_id")
                .agg(F.sum(F.col("cnt") * F.col("w")).alias("_s")))
     scored = (labeled.join(per_doc, "doc_id", "left")
               .select("doc_id", "y", "is_train",
-                      F.round(lp + F.coalesce(F.col("_s"), F.lit(0.0)),
+                      F.round(F.lit(float(lp))
+                              + F.coalesce(F.col("_s"), F.lit(0.0)),
                               QC_ROUND).alias("score")))
     # degenerate all-one-class train slices stay finite: alpha > 0 keeps
     # every log argument strictly positive (e.g. n_neg=0 -> prior
     # ln((n_pos+a)/a)), so pred just degrades toward the seen class
     return scored.withColumn(
         "pred", (F.col("score") >= F.lit(0.0)).cast("int"))
+
+
+def nb_score_columns(text_col: Column, llr_rows, lp: float,
+                     buckets: int = QC_BUCKETS) -> dict[str, Column]:
+    """Map-only per-row scoring columns from a COLLECTED model — the
+    streaming/serving form: the ``buckets``-entry llr map and the prior
+    ride the plan as a folded literal, each row's score is one
+    ``aggregate`` over its own token array (same 4dp round as the batch
+    scorer; summation order is array order vs the batch's shuffle
+    order — inside the round's absorption band like every aggregate in
+    the family).  ZERO state and ZERO shuffle: the proof is that the
+    streaming entry runs in append mode, which Spark refuses for any
+    stateful plan."""
+    m = F.create_map(*[x for b, w in llr_rows
+                       for x in (F.lit(int(b)), F.lit(float(w)))])
+    toks = F.coalesce(tokens(text_col), F.array())
+    score = F.round(
+        F.aggregate(
+            toks, F.lit(float(lp)).cast("double"),
+            lambda acc, t: acc + F.element_at(
+                m, md5_hash32(t) % buckets)),
+        QC_ROUND)
+    return {"y": _weak_label(text_col), "score": score}
 
 
 def quality_classifier_scores_sql(table: str = "documents",
