@@ -45,7 +45,13 @@ NEVER_ACCEPTABLE = ("CartesianProduct", "BroadcastNestedLoopJoin")
 CROSS_OK = {"ann_brute_force_topk",
             "tfidf_top_terms", "q22_wealthy_inactive", "ann_ivf_recall",
             "unigram_logprob", "bigram_logprob", "lang_mixture_weights",
-            "q11_important_parts", "sample_lang_balanced"}
+            "q11_important_parts", "sample_lang_balanced",
+            # pre-wired for its r18 admission (extras until then):
+            # hybrid_search_rrf composes BM25's 1-row corpus-stats cross
+            # + brute-force's <=|queries|-row query cross — both
+            # whitelisted tiny-side broadcasts, <=2 BNLJ locked in
+            # tests/test_hybrid_rrf.py meanwhile
+            "hybrid_search_rrf"}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ENTRIES))

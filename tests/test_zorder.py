@@ -162,16 +162,34 @@ class TestZorderSkipping:
         must decode a fraction of the corpus under the z-order layout
         while lexicographic clustering decodes every row — with
         identical query results.  Wall-time at 10x is recorded in
-        SCALE_RUNS.txt (round-11 zorder A/B row)."""
+        SCALE_RUNS.txt (round-11 zorder A/B row).
+
+        Determinism note: repartitionByRange SAMPLES its split points
+        with a seed derived from the RDD id, which depends on how many
+        RDDs the session created before this test — a full-suite run
+        once shifted the splits enough to decode 0.56n and trip the
+        0.5n gate (round-11, after new test files changed the RDD
+        sequencing).  Pinning the range-exchange sample size above the
+        per-partition row count makes the boundary computation
+        effectively exact, and the measured decode is then a stable
+        6,563/15,000 = 0.44n at ANY prior-RDD offset (swept 0/50/200/
+        500 burned RDDs) — the documented one-off-layout-job knob in
+        zorder_layout's docstring."""
         orders = spark.read.parquet(f"{SF01}/orders.parquet")
         n = orders.count()
         zdir = str(tmp_path / "zscan")
         ldir = str(tmp_path / "lscan")
-        (zorder_layout(orders, ["o_custkey", "o_totalprice"],
-                       num_partitions=16).write.parquet(zdir))
-        (orders.repartitionByRange(16, "o_custkey", "o_totalprice")
-         .sortWithinPartitions("o_custkey", "o_totalprice")
-         .write.parquet(ldir))
+        conf_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+        old = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "4000")
+        try:
+            (zorder_layout(orders, ["o_custkey", "o_totalprice"],
+                           num_partitions=16).write.parquet(zdir))
+            (orders.repartitionByRange(16, "o_custkey", "o_totalprice")
+             .sortWithinPartitions("o_custkey", "o_totalprice")
+             .write.parquet(ldir))
+        finally:
+            spark.conf.set(conf_key, old)
 
         pred = F.col("o_totalprice").between(100000.0, 110000.0)
         zq = spark.read.parquet(zdir).where(pred)

@@ -100,7 +100,19 @@ def zorder_layout(df: DataFrame, cols: Sequence[str],
                   rel_err: float = 0.001) -> DataFrame:
     """``df`` range-partitioned and sorted by its z-key, key dropped —
     ready for a parquet write whose every file carries narrow footer
-    min/max bands on every z-ordered column."""
+    min/max bands on every z-ordered column.
+
+    The range exchange SAMPLES its split points (seeded off the RDD
+    id), so exactly where z-cells land across files can shift between
+    sessions — immaterial at cluster scale (thousands of partitions
+    average the jitter out), but a small ONE-OFF layout job that wants
+    reproducible splits should raise
+    ``spark.sql.execution.rangeExchange.sampleSizePerPartition`` above
+    its per-partition row count for the write: the boundary computation
+    is then effectively exact and the file layout deterministic
+    (measured: the skipping A/B in tests/test_zorder.py is stable at
+    any prior-RDD offset with the knob, and swung 0.32n-0.56n decoded
+    without it)."""
     z = zorder_key(df, cols, bits, rel_err=rel_err)
     keyed = df.withColumn("_zkey", z)
     ranged = (keyed.repartitionByRange(num_partitions, "_zkey")
