@@ -154,9 +154,10 @@ def link_customers_sql(seed: int = ER_SEED,
                        threshold: float = ER_THRESHOLD,
                        table: str = "customer") -> str:
     """DuckDB oracle for :func:`link_customers` — identical hash,
-    perturbation, dual-grid blocking (the OR of the two grid
-    equalities, like the Spark join condition), similarity arithmetic
-    and rounding."""
+    perturbation, similarity arithmetic and rounding.  Blocking is the
+    OR of the two grid equalities in one join here (the oracle needs
+    the RESULT, not the plan); the Spark side's union-of-grids +
+    pair-key dedup produces the identical pair set."""
     h = md5_hash32_sql(f"'er:{seed}:' || c_custkey::VARCHAR")
     w = repr(ER_BAL_W)
     half = repr(ER_BAL_W / 2.0)
