@@ -162,3 +162,17 @@ class TestHybridPluggableRanker:
         for qid in {r.qid for r in got}:
             ranks = sorted(r.rank for r in got if r.qid == qid)
             assert ranks == list(range(1, len(ranks) + 1))
+
+    def test_three_list_fusion_matches_reference(self, spark):
+        """rrf_fuse is n-ary (tri-modal retrieval: lexical + dense +
+        e.g. a metadata ranker) — three lists against the reference."""
+        a = {("q", 0): 1, ("q", 1): 2}
+        b = {("q", 1): 1, ("q", 2): 2}
+        c = {("q", 1): 1, ("q", 0): 2, ("q", 3): 3}
+        frames = [spark.createDataFrame(
+            [Row(qid=q, doc_id=d, rank=r) for (q, d), r in lst.items()])
+            for lst in (a, b, c)]
+        got = {(r.qid, r.doc_id): (r.rrf_score, r.n_lists, r.rank)
+               for r in rrf_fuse(frames, k=10).collect()}
+        assert got == _py_rrf([a, b, c], k=10)
+        assert got[("q", 1)][1] == 3  # surfaced by all three lists
