@@ -315,7 +315,10 @@ class TestMmrCandidatePool:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         mmr_select(emb, k=3, pool=64, materialize=mat,
                    checkpoint_every=1000)
-        plan = (captured[0]._jdf.queryExecution().executedPlan()
+        # captured[0] is the shared normalized base (round-11 persist:
+        # the seed pick and the pool pass share one normalize);
+        # captured[1] is the pooled candidate frame the loop scans
+        plan = (captured[1]._jdf.queryExecution().executedPlan()
                 .toString())
         assert "TakeOrderedAndProject" in plan
 

@@ -547,9 +547,11 @@ def _ivf_pq_index_tables(spark: SparkSession,
                                S.IVF_CENTROIDS,
                                sort_cols=["cell", "vec_id"])
          .execute())
+        from ..functions.util import local_rows_df
+
         rows = [(s + 1, c + 1, books[s][c])
                 for s in range(len(books)) for c in range(len(books[s]))]
-        (spark.createDataFrame(rows, "s int, c int, w array<double>")
+        (local_rows_df(spark, rows, "s int, c int, w array<double>")
          .coalesce(1)
          .write.mode("overwrite").saveAsTable(books_name))
     return cells_name, books_name

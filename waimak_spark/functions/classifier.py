@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from .curation import split_bucket, split_bucket_sql
 from .text import TOKENS_SQL, md5_hash32, md5_hash32_sql, tokens
+from .util import local_rows_df
 
 #: hashed feature buckets (collisions trade accuracy for a bounded
 #: model; 256 keeps the llr table broadcast-tiny and the oracle compact)
@@ -144,7 +145,8 @@ def nb_fit(docs: DataFrame, text_col: str = "text",
     # ALL buckets get an llr row — a bucket unseen in the train slice
     # scores the smoothed default ln(a/(T_pos+aB)) - ln(a/(T_neg+aB)),
     # not a silent zero (proper add-alpha NB for out-of-train tokens)
-    counts = spark.createDataFrame(
+    counts = local_rows_df(
+        spark,
         [(b, pos_by_b.get(b, 0), neg_by_b.get(b, 0))
          for b in range(buckets)],
         "b long, cp long, cn long")
@@ -179,8 +181,7 @@ def quality_classifier_scores(docs: DataFrame, text_col: str = "text",
     alone (an empty product of likelihoods)."""
     labeled, grams, llr_rows, lp = nb_fit(
         docs, text_col, id_col, buckets, alpha, train_pct, seed)
-    llr = docs.sparkSession.createDataFrame(
-        llr_rows, "b long, w double")
+    llr = local_rows_df(docs.sparkSession, llr_rows, "b long, w double")
     per_doc = (grams.join(F.broadcast(llr), "b")
                .groupBy("doc_id")
                .agg(F.sum(F.col("cnt") * F.col("w")).alias("_s")))

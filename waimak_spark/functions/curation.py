@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import local_rows_df
+
 # ---------------------------------------------------------------------------
 # deterministic sampling: keep iff first 4 md5 hex chars < threshold
 # ---------------------------------------------------------------------------
@@ -561,30 +563,49 @@ def dsir_importance(raw_df: DataFrame, target_df: DataFrame | None,
       one boolean column on the already-persisted stream.
     """
     from .cache_registry import tracked_persist
+    from .dedup import spread_for_compute
     from .text import md5_hash32
 
     if (target_df is None) == (target_predicate is None):
         raise ValueError(
             "pass exactly one of target_df / target_predicate")
     bucket = (md5_hash32(F.col("gram")) % buckets).alias("b")
+    # spread: a single small parquet file arrives as ONE scan partition,
+    # serializing the tokenize/explode pass that builds the persisted
+    # gram stream (no-op at cluster scale — see spread_for_compute)
     raw_grams = tracked_persist(
-        _dsir_gram_stream(raw_df, text_col, id_col,
+        _dsir_gram_stream(spread_for_compute(raw_df), text_col, id_col,
                           flag=target_predicate))
-    cr = (raw_grams.where(F.col("gram").isNotNull()).select(bucket)
-          .groupBy("b").agg(F.count("*").alias("cr")))
-    tgt_grams = (raw_grams.where(F.col("_t"))
-                 if target_predicate is not None
-                 else _dsir_gram_stream(target_df, text_col, id_col))
-    ct = (tgt_grams
-          .where(F.col("gram").isNotNull()).select(bucket)
-          .groupBy("b").agg(F.count("*").alias("ct")))
-    # a gram-less corpus sums to NULL, not 0 — coalesce so the empty-target
-    # boundary degrades to the uniform (all-alpha) model instead of
-    # null-ing every llr
-    # cr/ct are bucket-count frames bounded at `buckets` rows BY
-    # CONSTRUCTION (B=4096 default) — collect each once (the
-    # bounded-collect pattern the fixpoint/probe operators already use)
-    # and rebuild the llr INPUT as a local frame.  This replaced the old
+    if target_predicate is not None:
+        # subset-target path: ONE aggregation pass + ONE collect computes
+        # both bucket counts — cr over every gram, ct as the flagged
+        # conditional count (previously two jobs, each a full scan of
+        # the persisted stream).  A bucket with zero target grams gets
+        # ct = 0, which the llr coalesce treated identically when it
+        # arrived as a missing row — values unchanged.
+        both_rows = (raw_grams.where(F.col("gram").isNotNull())
+                     .select(bucket, "_t")
+                     .groupBy("b")
+                     .agg(F.count("*").alias("cr"),
+                          F.count(F.when(F.col("_t"), True)).alias("ct"))
+                     ).collect()
+        cr_rows = [(r["b"], r["cr"]) for r in both_rows]
+        ct_rows = [(r["b"], r["ct"]) for r in both_rows if r["ct"] > 0]
+    else:
+        cr = (raw_grams.where(F.col("gram").isNotNull()).select(bucket)
+              .groupBy("b").agg(F.count("*").alias("cr")))
+        tgt_grams = _dsir_gram_stream(spread_for_compute(target_df),
+                                      text_col, id_col)
+        ct = (tgt_grams
+              .where(F.col("gram").isNotNull()).select(bucket)
+              .groupBy("b").agg(F.count("*").alias("ct")))
+        cr_rows = [(r["b"], r["cr"]) for r in cr.collect()]
+        ct_rows = [(r["b"], r["ct"]) for r in ct.collect()]
+    # cr/ct are bucket-count rows bounded at `buckets` BY CONSTRUCTION
+    # (B=4096 default) — collected once (the bounded-collect pattern the
+    # fixpoint/probe operators already use; the subset-target path
+    # collects both columns in ONE aggregation job since round 11) and
+    # the llr INPUT rebuilt as a local frame.  This replaced the old
     # shape (two keyless 1-row total joins) for two measured reasons:
     # (a) the totals' only physical form was the BroadcastNestedLoopJoin
     # the catalog-wide plan sweep (rightly) refuses to whitelist, and
@@ -599,14 +620,12 @@ def dsir_importance(raw_df: DataFrame, target_df: DataFrame | None,
     # corpus has zero rows here — totals coalesce to 0 so the
     # empty-target boundary degrades to the uniform (all-alpha) model
     # instead of null-ing every llr.
-    cr_rows = [(r["b"], r["cr"]) for r in cr.collect()]
-    ct_rows = [(r["b"], r["ct"]) for r in ct.collect()]
     r_total = float(sum(c for _, c in cr_rows))
     t_total = float(sum(c for _, c in ct_rows))
     ct_by_b = dict(ct_rows)
     spark = raw_df.sparkSession
-    counts = spark.createDataFrame(
-        [(b, c, ct_by_b.get(b)) for b, c in cr_rows],
+    counts = local_rows_df(
+        spark, [(b, c, ct_by_b.get(b)) for b, c in cr_rows],
         "b long, cr long, ct long")
     a, ab = F.lit(float(alpha)), F.lit(float(alpha) * buckets)
     # only raw-present buckets are ever looked up, so cr is the base side

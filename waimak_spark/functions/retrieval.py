@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from .dedup import spread_for_compute
 from .text import TOKENS_SQL, tokens
+from .util import local_rows_df
 
 #: BM25 shape parameters (the standard defaults)
 BM25_K1 = 1.2
@@ -106,7 +107,8 @@ def bm25_topk(docs: DataFrame, queries=BM25_QUERIES,
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = base.select(F.count("*").alias("_n"),
                         F.avg(F.size("_t")).alias("_avgdl"))
-    qterms = docs.sparkSession.createDataFrame(
+    qterms = local_rows_df(
+        docs.sparkSession,
         [(qid, t) for qid, q in queries for t in _qtokens(q)],
         "qid string, term string")
     idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("df") + F.lit(0.5))
@@ -298,8 +300,9 @@ def hybrid_topk(docs: DataFrame, emb: DataFrame,
     sparse = bm25_candidates(docs, [(qid, q) for qid, q, _ in queries],
                              k=depth)
     dense = dense_topk(emb, [v for _, _, v in queries], k=depth)
-    qmap = docs.sparkSession.createDataFrame(
-        [(qid, v) for qid, _, v in queries], "qid string, query_id long")
+    qmap = local_rows_df(docs.sparkSession,
+                         [(qid, v) for qid, _, v in queries],
+                         "qid string, query_id long")
     dense = (dense.join(F.broadcast(qmap), "query_id")
              .select("qid", F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse([sparse, dense], k_rrf=k_rrf, k=k)
@@ -409,7 +412,8 @@ def bm25_topk_from_postings(postings: DataFrame, n_docs: int,
     vocab = sorted({t for _, q in queries for t in _qtokens(q)})
     tf = postings.where(F.col("term").isin(vocab))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qterms = postings.sparkSession.createDataFrame(
+    qterms = local_rows_df(
+        postings.sparkSession,
         [(qid, t) for qid, q in queries for t in _qtokens(q)],
         "qid string, term string")
     # the same literals the inline path's 1-row stats cross evaluates to

@@ -472,14 +472,13 @@ def _fixpoint_local(ids: DataFrame, edges: DataFrame,
                 ra, rb = rb, ra
             parent[rb] = ra  # union by MIN: roots stay component minima
     members = set(pdf["id"].tolist())
-    from pyspark.sql.types import StructField, StructType
+    from .util import local_rows_df
 
     spark = ids.sparkSession
-    id_type = ids.schema["id"].dataType
-    labels = spark.createDataFrame(
-        [(m, find(m)) for m in members],
-        StructType([StructField("id", id_type),
-                    StructField("canonical", id_type)]))
+    id_type = ids.schema["id"].dataType.simpleString()
+    labels = local_rows_df(
+        spark, [(m, find(m)) for m in members],
+        f"id {id_type}, canonical {id_type}")
     return (ids.join(F.broadcast(labels), "id", "left")
             .select(F.col("id"),
                     F.coalesce("canonical", F.col("id"))
@@ -1665,10 +1664,22 @@ def _pq_unit_base(emb: DataFrame, dims: int, id_col: str,
     base = (valid_embeddings(emb, dims, vec_col)
             .select(F.col(id_col), as_double(F.col(vec_col)).alias("raw")))
     nrm = F.sqrt(dot(F.col("raw"), F.col("raw")))
+    # The norm is BOUND as a higher-order-function lambda variable (a
+    # 1-element array transform) so it evaluates ONCE per row: interpreted
+    # higher-order expressions get no common-subexpression elimination, so
+    # the previous form — `nrm` referenced inside the per-element division
+    # lambda — re-ran the full O(dims) self-dot for EVERY element (O(dims²)
+    # per row, measured 64× the arithmetic at dims=64; the _dsir_gram_stream
+    # recipe, but projection boundaries don't survive CollapseProject here
+    # because the norm is single-referenced — a lambda binding is the form
+    # the optimizer can never re-inline).  Values are bit-identical: same
+    # sequential self-dot, same per-element division.
+    unit = F.element_at(
+        F.transform(F.array(nrm),
+                    lambda n: F.transform(F.col("raw"),
+                                          lambda x: x / n)), 1)
     return (base.where(nrm > 0)
-            .select(id_col,
-                    F.transform(F.col("raw"),
-                                lambda x: x / nrm).alias("v")))
+            .select(id_col, unit.alias("v")))
 
 
 def _pq_assign_kernel(books: list[list[list[float]]]):
@@ -2320,8 +2331,13 @@ def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dims: int = 64,
                     pass
             prev_cut, cur, recent_ids = cut, cut, []
     id_type = dict(base.dtypes)[id_col]
-    return emb.sparkSession.createDataFrame(
-        chosen, f"rank int, vec_id {id_type}, dist double")
+    # k local rows: Arrow-backed local frame, not defaultParallelism
+    # Python-evaluated slices (~0.7 s per downstream action — see
+    # local_rows_df)
+    from .util import local_rows_df
+
+    return local_rows_df(emb.sparkSession, chosen,
+                         f"rank int, vec_id {id_type}, dist double")
 
 
 def kcenter_select_sql(k: int = KCENTER_K, dims: int = 64) -> str:
@@ -2452,7 +2468,10 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
     from .cache_registry import tracked_persist
 
     mat = materialize or tracked_persist
-    base = _pq_unit_base(emb, dims, id_col, vec_col)
+    # persist: the seed pick and the relevance/pool pass are two passes
+    # over the same normalized frame — one cache write instead of two
+    # normalize scans (the kcenter base recipe)
+    base = mat(_pq_unit_base(emb, dims, id_col, vec_col))
     if query_vec is None:
         seed = base.orderBy(F.asc(id_col)).limit(1).collect()
         if not seed:
@@ -2514,8 +2533,13 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
                     pass
             prev_cut, cur, recent_ids = cut, cut, []
     id_type = dict(base.dtypes)[id_col]
-    return emb.sparkSession.createDataFrame(
-        chosen, f"rank int, vec_id {id_type}, score double")
+    # k local rows: Arrow-backed local frame, not defaultParallelism
+    # Python-evaluated slices (~0.7 s per downstream action — see
+    # local_rows_df)
+    from .util import local_rows_df
+
+    return local_rows_df(emb.sparkSession, chosen,
+                         f"rank int, vec_id {id_type}, score double")
 
 
 def mmr_select_sql(k: int = MMR_K, lam: float = MMR_LAMBDA,

@@ -599,8 +599,11 @@ def bpe_learn(df: DataFrame, text_col: str = "text",
         raise ValueError(f"n_merges={n_merges} must be >= 1")
     merges = learn_bpe_merges(word_frequencies(df, text_col, cap),
                               n_merges)
-    return df.sparkSession.createDataFrame(
-        merges, "rank int, left string, right string, freq bigint")
+    from .util import local_rows_df
+
+    return local_rows_df(
+        df.sparkSession, merges,
+        "rank int, left string, right string, freq bigint")
 
 
 # ---------------------------------------------------------------------------
