@@ -30,18 +30,37 @@ PAGERANK_ROUND = 6
 SUPP_OFFSET = 1_000_000
 #: plan-cut cadence for the rank frame (kcenter recipe)
 PAGERANK_CHECKPOINT_EVERY = 4
+#: broadcast the (node, rank) / (src, out-weight) frames when the graph
+#: has at most this many nodes: one ~16-byte row per node, so 4M nodes
+#: ≈ 64 MB framed — comfortably inside executor memory and far under
+#: Spark's 8 GB broadcast cap; beyond it the loop keeps the shuffle-join
+#: plan (the decision reads the ALREADY-COUNTED node total, so it is
+#: data-derived and scale-adaptive, not a sandbox tuning)
+PAGERANK_BROADCAST_MAX_NODES = 4_000_000
 
 
-def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def copurchase_edges(lineitem: DataFrame, orders: DataFrame,
+                     materialize=None) -> DataFrame:
     """``(src, dst, w)`` — undirected weighted edges between customers
     and suppliers, weight = number of lineitems linking them (multi-
     edges collapsed); both directions emitted so every node has
-    out-degree >= 1 (no dangling mass)."""
-    half = (lineitem.join(orders,
-                          lineitem["l_orderkey"] == orders["o_orderkey"])
-            .groupBy(F.col("o_custkey").alias("a"),
-                     (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("b"))
-            .agg(F.count("*").cast("double").alias("w")))
+    out-degree >= 1 (no dangling mass).
+
+    The collapsed pair frame is PERSISTED before the two-direction
+    union: union branches get no common-subexpression elimination, so
+    the un-materialized form ran the lineitem⋈orders join + pair
+    aggregation once PER BRANCH, and pagerank's out-weight/nodes/
+    transition consumers re-ran it again per derivation (event-log
+    profile at sf0.1: three ~0.8 s executions of the same join in one
+    pagerank run — now one, the rest cache reads)."""
+    from .cache_registry import tracked_persist
+
+    mat = materialize or tracked_persist
+    half = mat(lineitem.join(orders,
+                             lineitem["l_orderkey"] == orders["o_orderkey"])
+               .groupBy(F.col("o_custkey").alias("a"),
+                        (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("b"))
+               .agg(F.count("*").cast("double").alias("w")))
     return (half.select(F.col("a").alias("src"), F.col("b").alias("dst"),
                         "w")
             .unionByName(half.select(F.col("b").alias("src"),
@@ -70,6 +89,8 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
         raise ValueError(f"iters={iters} must be >= 0")
     if not 0.0 <= d <= 1.0:
         raise ValueError(f"d={d} must be in [0, 1]")
+    import math
+
     from .cache_registry import tracked_persist
 
     mat = materialize or tracked_persist
@@ -78,21 +99,47 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     # probabilities — drop them up front (a zero-weight edge IS no edge)
     edges = edges.where(F.col("w") > 0)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
-    trans = mat(edges.join(out_w, "src")
-                .select("src", "dst",
-                        (F.col("w") / F.col("_ow")).alias("p")))
     nodes = mat(edges.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     if n == 0:
         return edges.sparkSession.createDataFrame(
             [], "node long, rank double")
+    # The rank and out-weight frames carry exactly one ~16-byte row per
+    # NODE — n is known (just counted), so when they fit comfortably in a
+    # broadcast relation the per-iteration matvec becomes one broadcast
+    # hash join over the persisted transition frame + one partially-
+    # aggregated shuffle of <= n rows, instead of shuffling the (much
+    # larger) edge-sized transition frame every iteration.  Past the
+    # threshold the original shuffle-join plan is kept — the decision is
+    # data-derived, not tuned to the sandbox.
+    bounded = n <= PAGERANK_BROADCAST_MAX_NODES
+    trans = (edges.join(F.broadcast(out_w) if bounded else out_w, "src")
+             .select("src", "dst", (F.col("w") / F.col("_ow")).alias("p")))
+    # size the persisted transition frame's partitions to the edge set
+    # (the fixpoint-loop sizing recipe): a sandbox-scale graph otherwise
+    # pays 32+ near-empty tasks per iteration, while a 100 TB edge set
+    # keeps the session layout (the sizing only ever LOWERS the count)
+    try:
+        default_parts = int(edges.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        default_parts = None
+    if default_parts is not None and bounded:
+        # bounded => edge rows are countable driver-side at worst n^2 but
+        # in practice ~avg-degree*n; approximate by node count (degree
+        # >= 1 each) — only used to coalesce tiny graphs, never to grow
+        sized = max(4, min(default_parts, math.ceil(n / 500_000)))
+        if sized < default_parts:
+            trans = trans.coalesce(sized)
+    trans = mat(trans)
     r = nodes.select("node",
                      F.round(F.lit(1.0) / F.lit(float(n)),
                              PAGERANK_ROUND).alias("rank"))
     base = (1.0 - d) / float(n)
     prev_cut: DataFrame | None = None
     for t in range(1, iters + 1):
-        contrib = (trans.join(r, trans["src"] == r["node"])
+        rk = F.broadcast(r) if bounded else r
+        contrib = (trans.join(rk, trans["src"] == rk["node"])
                    .groupBy(trans["dst"].alias("node"))
                    .agg(F.sum(F.col("rank") * F.col("p")).alias("_c")))
         if dst_complete:
@@ -104,7 +151,8 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
                         + F.lit(d) * F.coalesce("_c", F.lit(0.0)),
                         PAGERANK_ROUND).alias("rank"))
         else:
-            r = (nodes.join(contrib, "node", "left")
+            r = (nodes.join(F.broadcast(contrib) if bounded else contrib,
+                            "node", "left")
                  .select("node",
                          F.round(F.lit(base)
                                  + F.lit(d) * F.coalesce("_c", F.lit(0.0)),

@@ -458,17 +458,21 @@ KMV_RANK_TOL = 2.0 / (KMV_K ** 0.5)
 def kmv_bottomk(df: DataFrame, value_col: str = "value",
                 group_col: str = "event_type", id_col: str = "event_id",
                 k: int = KMV_K, seed: int = KMV_SEED,
-                salt: int = KMV_SALT) -> DataFrame:
+                salt: int = KMV_SALT, spread: bool = True) -> DataFrame:
     """``(g, id, v, _u)`` — per group, the ``k`` rows with the smallest
     seeded hash of the row id: a uniform size-k sample without
     replacement, selected in TWO phases (row_number inside
     ``(g, id % salt)`` buckets prunes to <= k*salt rows per group
     before the final per-group rank) so the only per-group-keyed window
     runs over a bounded frame.  Rows with a null group or value are
-    excluded on both engines."""
+    excluded on both engines.  ``spread=False`` skips the input
+    round-robin for callers whose frame is already well-partitioned
+    (e.g. the persisted :func:`_kmv_full` projection — spreading a
+    cached frame is a pure extra exchange immediately re-shuffled by
+    the first window)."""
     from pyspark.sql import Window as W
 
-    base = (spread_for_compute(df)
+    base = ((spread_for_compute(df) if spread else df)
             .where(F.col(value_col).isNotNull()
                    & F.col(group_col).isNotNull())
             .select(F.col(group_col).alias("g"),
@@ -514,21 +518,27 @@ def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
     + salted top-k) and certifies on a slice."""
     full = _kmv_full(df, value_col, group_col, id_col)
     # sample from the persisted projection (already named g/id/v) so the
-    # bottom-k side is a cache read, not a second corpus scan+filter
-    samp = kmv_bottomk(full, "v", "g", "id", k, seed)
+    # bottom-k side is a cache read, not a second corpus scan+filter;
+    # spread=False — the projection was spread BEFORE persisting, so the
+    # cache is already parallel and the window exchange redistributes
+    samp = kmv_bottomk(full, "v", "g", "id", k, seed, spread=False)
     return _kmv_report(full, samp, qs, group_col, 2.0 / (k ** 0.5))
 
 
 def _kmv_full(df: DataFrame, value_col: str, group_col: str,
               id_col: str) -> DataFrame:
     """Null-filtered persisted ``(g, id, v)`` projection — feeds the
-    per-group counts, the exact-rank window, and the rank-error count
-    (one cache write, three cache reads)."""
+    per-group counts, the exact-rank window, the rank-error count, and
+    the bottom-k sample (one cache write, four cache reads).  Spread
+    BEFORE the persist: a single small parquet file arrives as ONE scan
+    partition, which would serialize the cache write and leave every
+    consumer a 1-partition cache (no-op at cluster scale)."""
     from .cache_registry import tracked_persist
 
     return tracked_persist(
-        df.where(F.col(value_col).isNotNull()
-                 & F.col(group_col).isNotNull())
+        spread_for_compute(df)
+        .where(F.col(value_col).isNotNull()
+               & F.col(group_col).isNotNull())
         .select(F.col(group_col).alias("g"), F.col(id_col).alias("id"),
                 F.col(value_col).alias("v")))
 

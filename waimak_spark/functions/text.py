@@ -281,9 +281,13 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     p from the corpus's add-1-smoothed unigram counts.  Docs with zero
     tokens drop out (no rows to average — same on both engines)."""
     from .cache_registry import tracked_persist
+    from .dedup import spread_for_compute
 
-    tok = df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    # spread: a single small parquet file arrives as ONE scan partition,
+    # serializing the interpreted tokenize (no-op at cluster scale)
+    tok = spread_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"))
     # read twice (frequency build + scoring join) — materialize once
     tok = tracked_persist(tok)
     freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
@@ -322,22 +326,29 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     tokens every partition holds, so join skew matches data skew and AQE
     splits oversized partitions)."""
     from .cache_registry import tracked_persist
+    from .dedup import spread_for_compute
 
-    toks = tokens(F.col(text_col))
+    # ONE tokenize pass: the token ARRAYS persist (spread first — a
+    # single small parquet file arrives as one scan partition, which
+    # serialized the interpreted split/filter), and both the bigram-pair
+    # and unigram streams derive from the cached arrays (previously the
+    # unigram side re-tokenized the whole corpus — a second full
+    # interpreted pass, ~0.9 s single-threaded at sf0.1)
+    tk = tracked_persist(
+        spread_for_compute(df).select(F.col(id_col).alias("doc_id"),
+                                      tokens(F.col(text_col)).alias("_tk")))
+    toks = F.col("_tk")
     n = F.size(toks)
     pair = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("prev"), b.alias("cur")))
-    bg = (df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(pair).alias("p"))
+    bg = (tk.select("doc_id", F.explode(pair).alias("p"))
           .select("doc_id", F.col("p.prev").alias("prev"),
                   F.col("p.cur").alias("cur")))
-    # read three times (bigram freq build + scoring join + the unigram
-    # side derives from the same exploded tokens) — materialize once
+    # read twice (bigram freq build + scoring join) — materialize once
     bg = tracked_persist(bg)
-    tok = df.select(F.col(id_col).alias("doc_id"),
-                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = tk.select("doc_id", F.explode(toks).alias("tok"))
     ufreq = tracked_persist(tok.groupBy("tok").agg(F.count("*").alias("c")))
     totals = ufreq.agg(F.sum("c").alias("t_total"),
                        F.count("*").alias("vocab"))
@@ -459,13 +470,26 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     nwin = F.greatest(n - (w - 1), F.lit(1))
 
     def pick(i):
-        win = F.slice(F.col("_gh"), i, w)
-        m = F.array_min(win)
-        idx = F.element_at(
-            F.filter(F.sequence(F.lit(1), F.size(win)),
-                     lambda j: F.element_at(win, j) == m), -1)
-        return F.struct((i - 1 + idx).cast("int").alias("pos"),
-                        m.alias("fp"))
+        # `win` (a slice) and `m` (its min) are BOUND as lambda variables
+        # via 1-element-array transforms so each evaluates ONCE per
+        # window: interpreted higher-order expressions get no CSE, so the
+        # previous form — both referenced inside the rightmost-min filter
+        # lambda — re-sliced the window and re-ran array_min for EVERY
+        # probed position (O(w²) per window instead of O(w); the
+        # _pq_unit_base recipe).  Values are bit-identical.
+        def with_m(win):
+            def body(m):
+                idx = F.element_at(
+                    F.filter(F.sequence(F.lit(1), F.size(win)),
+                             lambda j: F.element_at(win, j) == m), -1)
+                return F.struct((i - 1 + idx).cast("int").alias("pos"),
+                                m.alias("fp"))
+
+            return F.element_at(
+                F.transform(F.array(F.array_min(win)), body), 1)
+
+        return F.element_at(
+            F.transform(F.array(F.slice(F.col("_gh"), i, w)), with_m), 1)
 
     sel = (F.when(n >= 1, F.transform(F.sequence(F.lit(1), nwin), pick))
            .otherwise(F.array().cast(
