@@ -405,13 +405,21 @@ _Q21_LATE_DAYS = 1400
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders, supplier = _read(
         spark, sf_dir, "lineitem", "orders", "supplier")
+    from ..functions.cache_registry import tracked_persist
+
     all_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
-    late = (lineitem
-            .join(orders.where(F.col("o_orderstatus") == "F"),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
-            .where(F.col("l_shipdate") > F.col("o_orderdate")
-                   + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS"))
-            .select("l_orderkey", "l_suppkey").distinct())
+    # `late` feeds three consumers (the waiting join + its own count +
+    # the late_cnt build); the two subplan copies differ in pruned
+    # columns, so ReuseExchange never fires and the lineitem⋈orders +
+    # distinct chain ran twice — persist the (small) distinct late-pair
+    # frame instead
+    late = tracked_persist(
+        lineitem
+        .join(orders.where(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate")
+               + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct())
     all_cnt = all_pairs.groupBy("l_orderkey").agg(
         F.count("*").alias("n_all"))
     late_cnt = late.groupBy("l_orderkey").agg(

@@ -160,9 +160,16 @@ def cms_heavy_hitters_from_sketch(sketch: DataFrame, grams: DataFrame,
     sketch bit-for-bit and this report is identical either way).
     ``grams`` is the batch-side gram stream the exact top-k certifies
     from (the run-once expensive path at 100 TB)."""
-    exact = (grams.groupBy("gram").agg(F.count("*").cast("bigint")
-                                       .alias("c_exact"))
-             .orderBy(F.desc("c_exact"), F.asc("gram")).limit(k))
+    from .cache_registry import tracked_persist
+
+    # the k-row exact top-k feeds BOTH the estimate's probe stream and
+    # the final certification join — persist it, or the full
+    # groupBy-over-the-gram-stream aggregation runs once per consumer
+    # (event-log profile at sf0.1: two ~1.2 s jobs for one answer)
+    exact = tracked_persist(
+        grams.groupBy("gram").agg(F.count("*").cast("bigint")
+                                  .alias("c_exact"))
+        .orderBy(F.desc("c_exact"), F.asc("gram")).limit(k))
     est = cms_estimate(sketch, exact.select("gram"),
                        depth=depth, width=width)
     return (exact.join(est, "gram")
@@ -529,16 +536,17 @@ def _kmv_full(df: DataFrame, value_col: str, group_col: str,
               id_col: str) -> DataFrame:
     """Null-filtered persisted ``(g, id, v)`` projection — feeds the
     per-group counts, the exact-rank window, the rank-error count, and
-    the bottom-k sample (one cache write, four cache reads).  Spread
-    BEFORE the persist: a single small parquet file arrives as ONE scan
-    partition, which would serialize the cache write and leave every
-    consumer a 1-partition cache (no-op at cluster scale)."""
+    the bottom-k sample (one cache write, four cache reads).  No spread:
+    the projection is narrow (no interpreted per-row pipeline), every
+    consumer's window/aggregate re-shuffles anyway, and an interleaved
+    same-JVM A/B at sf0.1 measured the round-robin exchange as pure
+    cost (min-of-5: 5.16 s with it, 2.95 s without — it also beat the
+    round-10 form, which spread inside the bottom-k sampler)."""
     from .cache_registry import tracked_persist
 
     return tracked_persist(
-        spread_for_compute(df)
-        .where(F.col(value_col).isNotNull()
-               & F.col(group_col).isNotNull())
+        df.where(F.col(value_col).isNotNull()
+                 & F.col(group_col).isNotNull())
         .select(F.col(group_col).alias("g"), F.col(id_col).alias("id"),
                 F.col(value_col).alias("v")))
 

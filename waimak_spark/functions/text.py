@@ -281,14 +281,14 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     p from the corpus's add-1-smoothed unigram counts.  Docs with zero
     tokens drop out (no rows to average — same on both engines)."""
     from .cache_registry import tracked_persist
-    from .dedup import spread_for_compute
 
-    # spread: a single small parquet file arrives as ONE scan partition,
-    # serializing the interpreted tokenize (no-op at cluster scale)
-    tok = spread_for_compute(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"))
-    # read twice (frequency build + scoring join) — materialize once
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    # read twice (frequency build + scoring join) — materialize once.
+    # (round-11 optimization pass: a spread_for_compute before the
+    # tokenize was tried and REVERTED on measurement — interleaved
+    # same-JVM A/B at sf0.1: 1.31 s spread vs 0.99 s without; the
+    # round-robin exchange costs more than the parallel tokenize saves)
     tok = tracked_persist(tok)
     freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
     totals = freq.agg(F.sum("c").alias("t_total"),
@@ -326,17 +326,17 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     tokens every partition holds, so join skew matches data skew and AQE
     splits oversized partitions)."""
     from .cache_registry import tracked_persist
-    from .dedup import spread_for_compute
 
-    # ONE tokenize pass: the token ARRAYS persist (spread first — a
-    # single small parquet file arrives as one scan partition, which
-    # serialized the interpreted split/filter), and both the bigram-pair
-    # and unigram streams derive from the cached arrays (previously the
-    # unigram side re-tokenized the whole corpus — a second full
-    # interpreted pass, ~0.9 s single-threaded at sf0.1)
+    # ONE tokenize pass: the token ARRAYS persist, and both the
+    # bigram-pair and unigram streams derive from the cached arrays
+    # (previously the unigram side re-tokenized the whole corpus — a
+    # second full interpreted pass).  Interleaved same-JVM A/B at sf0.1:
+    # 1.56 vs 1.67 s min-of-6; a spread_for_compute before the tokenize
+    # was ALSO tried and rejected (the round-robin exchange cost more
+    # than the parallel tokenize saved at this corpus size: 1.98 s).
     tk = tracked_persist(
-        spread_for_compute(df).select(F.col(id_col).alias("doc_id"),
-                                      tokens(F.col(text_col)).alias("_tk")))
+        df.select(F.col(id_col).alias("doc_id"),
+                  tokens(F.col(text_col)).alias("_tk")))
     toks = F.col("_tk")
     n = F.size(toks)
     pair = F.zip_with(
@@ -470,26 +470,21 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     nwin = F.greatest(n - (w - 1), F.lit(1))
 
     def pick(i):
-        # `win` (a slice) and `m` (its min) are BOUND as lambda variables
-        # via 1-element-array transforms so each evaluates ONCE per
-        # window: interpreted higher-order expressions get no CSE, so the
-        # previous form — both referenced inside the rightmost-min filter
-        # lambda — re-sliced the window and re-ran array_min for EVERY
-        # probed position (O(w²) per window instead of O(w); the
-        # _pq_unit_base recipe).  Values are bit-identical.
-        def with_m(win):
-            def body(m):
-                idx = F.element_at(
-                    F.filter(F.sequence(F.lit(1), F.size(win)),
-                             lambda j: F.element_at(win, j) == m), -1)
-                return F.struct((i - 1 + idx).cast("int").alias("pos"),
-                                m.alias("fp"))
-
-            return F.element_at(
-                F.transform(F.array(F.array_min(win)), body), 1)
-
-        return F.element_at(
-            F.transform(F.array(F.slice(F.col("_gh"), i, w)), with_m), 1)
+        # NOTE (round-11 optimization pass): re-binding `win`/`m` as
+        # lambda variables (the _pq_unit_base recipe) was tried and
+        # REVERTED on measurement — at w=4 the O(w²)→O(w) savings inside
+        # the filter is ~12 trivial comparisons per window, while the two
+        # extra nested transform/array allocations per window measured
+        # 4× SLOWER (isolated min 2.3 → 7.8 s).  The recipe pays off for
+        # expensive inner expressions (an O(dims) dot), not w-element
+        # slices.
+        win = F.slice(F.col("_gh"), i, w)
+        m = F.array_min(win)
+        idx = F.element_at(
+            F.filter(F.sequence(F.lit(1), F.size(win)),
+                     lambda j: F.element_at(win, j) == m), -1)
+        return F.struct((i - 1 + idx).cast("int").alias("pos"),
+                        m.alias("fp"))
 
     sel = (F.when(n >= 1, F.transform(F.sequence(F.lit(1), nwin), pick))
            .otherwise(F.array().cast(
