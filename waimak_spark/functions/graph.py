@@ -39,6 +39,21 @@ PAGERANK_CHECKPOINT_EVERY = 4
 PAGERANK_BROADCAST_MAX_NODES = 4_000_000
 
 
+def _track_ckpt_release(df: DataFrame) -> None:
+    """Register a localCheckpoint'd frame's RDD blocks for
+    ``release_tracked()`` — the DataFrame cache manager never frees
+    them (the k-center/fixpoint hygiene recipe)."""
+    from .cache_registry import track_release
+
+    def _free(d=df):
+        try:
+            d.rdd.unpersist(False)
+        except Exception:
+            pass
+
+    track_release(_free)
+
+
 def copurchase_edges(lineitem: DataFrame, orders: DataFrame,
                      materialize=None) -> DataFrame:
     """``(src, dst, w)`` — undirected weighted edges between customers
@@ -127,10 +142,17 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     if default_parts is not None and bounded:
         # bounded => edge rows are countable driver-side at worst n^2 but
         # in practice ~avg-degree*n; approximate by node count (degree
-        # >= 1 each) — only used to coalesce tiny graphs, never to grow
+        # >= 1 each) — only used to size tiny graphs, never to grow
         sized = max(4, min(default_parts, math.ceil(n / 500_000)))
-        if sized < default_parts:
-            trans = trans.coalesce(sized)
+        # hash-partition the persisted transition frame by DST: the
+        # broadcast-rank matvec's groupBy("dst") distribution is then
+        # already satisfied (BroadcastHashJoin preserves the streamed
+        # side's partitioning through the projection), so EVERY power
+        # iteration runs as a single exchange-free stage — iters
+        # exchanges removed for one edge-sized shuffle paid once at
+        # build.  Only taken on the bounded/broadcast path: the
+        # unbounded plan joins by src, where a dst layout buys nothing.
+        trans = trans.repartition(sized, "dst")
     trans = mat(trans)
     r = nodes.select("node",
                      F.round(F.lit(1.0) / F.lit(float(n)),
@@ -158,11 +180,22 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
                                  + F.lit(d) * F.coalesce("_c", F.lit(0.0)),
                                  PAGERANK_ROUND).alias("rank")))
         if t < iters and t % checkpoint_every == 0:
-            cut = mat(r)
-            cut.count()  # materialize while the old cache is live
+            # localCheckpoint, not persist: a cached frame still CARRIES
+            # its full logical lineage, so the analyzer/optimizer re-walk
+            # the whole t-deep nested iteration tree on every downstream
+            # action — event-log profile at sf0.1 showed ~1 s of pure
+            # driver planning gap before the checkpoint action at depth
+            # 4.  localCheckpoint truncates the logical plan to the
+            # materialized RDD (guide: "write + read back, or
+            # localCheckpoint, truncates the plan"), so planning stays
+            # O(checkpoint_every)-deep however many iterations run.  The
+            # rank frame holds one ~16-byte row per node, distributed
+            # across executor block managers — no driver collect.
+            cut = r.localCheckpoint(eager=True)
+            _track_ckpt_release(cut)
             if prev_cut is not None:
                 try:
-                    prev_cut.unpersist()
+                    prev_cut.rdd.unpersist(False)
                 except Exception:
                     pass
             prev_cut, r = cut, cut

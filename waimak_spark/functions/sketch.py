@@ -562,17 +562,18 @@ def _kmv_report(full: DataFrame, samp: DataFrame, qs: tuple,
     streaming form)."""
     from pyspark.sql import Window as W
 
-    n_g = full.groupBy("g").agg(F.count("*").alias("n"))
+    # ONE windowed pass over the full projection (round-11 optimization
+    # pass, guide §2.4 "remove shuffles outright"): the per-group count
+    # rides the SAME hash-partition(g) exchange as the rank window (an
+    # unordered window count adds a WindowExec but no exchange or extra
+    # scan), and with the tiny per-group estimate frame broadcast in,
+    # the rank-error conditional counts become extra aggregates of the
+    # SAME groupBy — the previous shape paid three separate full passes
+    # (count aggregate, rank window, error count) each with its own
+    # exchange over the persisted projection.  Values identical: same
+    # picks, same counts, same rounding.
     wv = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
-    ranked = (full.withColumn("_rn", F.row_number().over(wv))
-              .join(F.broadcast(n_g), "g"))
-    exact_wide = ranked.groupBy("g", "n").agg(*[
-        F.max(F.when(
-            F.col("_rn") == F.greatest(
-                F.lit(1).cast("long"),
-                F.ceil(F.lit(float(q)) * F.col("n"))),
-            F.col("v"))).alias(f"x_{_qtag(q)}")
-        for q in qs])
+    wn = W.partitionBy("g")
     ws = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
     sn = samp.groupBy("g").agg(F.count("*").alias("sn"))
     est_wide = (samp.withColumn("_sr", F.row_number().over(ws))
@@ -584,12 +585,22 @@ def _kmv_report(full: DataFrame, samp: DataFrame, qs: tuple,
                             F.ceil(F.lit(float(q)) * F.col("sn"))),
                         F.col("v"))).alias(f"e_{_qtag(q)}")
                     for q in qs]))
-    errs = (full.join(F.broadcast(est_wide), "g")
-            .groupBy("g").agg(*[
-                F.sum(F.when(F.col("v") <= F.col(f"e_{_qtag(q)}"), 1)
-                      .otherwise(0)).cast("long").alias(f"c_{_qtag(q)}")
-                for q in qs]))
-    wide = (exact_wide.join(est_wide, "g").join(errs, "g"))
+    ranked = (full.withColumn("_rn", F.row_number().over(wv))
+              .withColumn("n", F.count("*").over(wn))
+              .join(F.broadcast(est_wide), "g"))
+    merged = ranked.groupBy("g", "n").agg(*(
+        [F.max(F.when(
+            F.col("_rn") == F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(float(q)) * F.col("n"))),
+            F.col("v"))).alias(f"x_{_qtag(q)}")
+         for q in qs]
+        + [F.sum(F.when(F.col("v") <= F.col(f"e_{_qtag(q)}"), 1)
+                 .otherwise(0)).cast("long").alias(f"c_{_qtag(q)}")
+           for q in qs]))
+    # re-attach the per-group estimates for the stack (k-group frames —
+    # a broadcast join of two tiny aggregates, not a corpus pass)
+    wide = merged.join(F.broadcast(est_wide), "g")
     stack_args = ", ".join(
         f"cast({float(q)!r} as double), x_{_qtag(q)}, e_{_qtag(q)}, "
         f"c_{_qtag(q)}" for q in qs)
