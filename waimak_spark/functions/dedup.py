@@ -606,41 +606,46 @@ def simhash(df: DataFrame, text_col: str = "text",
     of 64 separate passes over the token array); the sign of each vote
     packs into the result. Per-row narrow compute, no shuffle."""
     df = spread_for_compute(df)
-    tok = F.array_distinct(tokens(F.col(text_col)))
-    # two-step transform: ms references each md5 once, so the digest is
-    # computed once per token (interpreted HOFs get no CSE — inlining the
-    # md5 into both halves would run it twice)
-    ms = F.transform(tok, F.md5)
-    hs = F.transform(ms, lambda m: F.struct(
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("lo"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("hi"),
-    ))
-
-    def signs(h: Column) -> Column:
-        # ±1 per bit, built as a literal 64-element array so every shift
-        # amount is a Python literal → plain shiftright+AND per element
-        # (round 5: the previous dynamic-bit-index transform paid
-        # floor(v / element_at(pow2, b%32+1)) + a branch per token per
-        # bit, which doubled sf0.1 wall time; 2*bit−1 also drops the
-        # CASE WHEN).  h.lo / h.hi are struct-field reads, free per ref.
-        return F.array(*[
-            F.shiftright(h["lo"] if i < 32 else h["hi"], i % 32)
-            .bitwiseAND(F.lit(1)) * 2 - 1
-            for i in range(SIMHASH_BITS)
-        ]).cast("array<long>")
-
-    votes = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(acc, signs(h), lambda a, s: a + s),
-    )
-    bitvals = F.lit(_BIT_VALUES).cast("array<long>")
-    packed = F.aggregate(
-        F.zip_with(votes, bitvals,
-                   lambda v, bv: F.when(v > 0, bv).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    # The whole packed-simhash expression is built as ONE SQL string and
+    # parsed in a single F.expr call (round-11 optimization pass): the
+    # previous Column-by-Column construction of the 64-element signs
+    # array cost ~400 py4j round-trips ≈ 0.85 s of pure DRIVER time per
+    # query construction — an O(bits) Python-side tax paid before any
+    # job runs.  The parsed tree is semantically identical: same
+    # two-step transform (each token's md5 computed ONCE — interpreted
+    # HOFs get no CSE), same literal shift amounts per element (the
+    # round-5 lesson: a dynamic-bit-index transform paid a division and
+    # a branch per token per bit), same ±1 = 2*bit−1 vote arithmetic,
+    # same bit-value packing with shiftleft(1L, i) constant-folded by
+    # Catalyst into the identical literal array (bit 63 folds to
+    # Long.MIN_VALUE = the two's-complement -(1<<63)).  Locked by the
+    # DuckDB lockstep oracles and the catalog hash gate.
+    signs = ", ".join(
+        f"(shiftright(h.{'lo' if i < 32 else 'hi'}, {i % 32}) & 1) * 2 - 1"
+        for i in range(SIMHASH_BITS))
+    bitvals = ", ".join(
+        f"shiftleft(1L, {i})" for i in range(SIMHASH_BITS))
+    packed = F.expr(f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(
+                transform(array_distinct(filter(split(lower(`{text_col}`),
+                                                      '\\\\s+'),
+                                                x -> length(x) > 0)),
+                          t -> md5(t)),
+                m -> struct(
+                  cast(conv(substring(m, 1, 8), 16, 10) as bigint) as lo,
+                  cast(conv(substring(m, 9, 8), 16, 10) as bigint) as hi)),
+              array_repeat(0L, {SIMHASH_BITS}),
+              (acc, h) -> zip_with(acc,
+                                   cast(array({signs}) as array<bigint>),
+                                   (a, s) -> a + s)),
+            array({bitvals}),
+            (v, bv) -> if(v > 0, bv, 0L)),
+          0L,
+          (a, x) -> a + x)
+    """)
     return df.select(F.col(id_col), packed.alias("simhash"))
 
 
