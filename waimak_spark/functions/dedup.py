@@ -31,10 +31,14 @@ from .cache_registry import tracked_persist
 from .text import (
     TOKENS_SQL,
     md5_hash32,
+    md5_hash32_sexpr,
     md5_hash32_sql,
+    seeded_hash_sexpr,
     shingles,
+    shingles_sexpr,
     shingles_sql,
     tokens,
+    tokens_sexpr,
 )
 
 # ---------------------------------------------------------------------------
@@ -171,10 +175,14 @@ def shingle_base(df: DataFrame, text_col: str = "text",
             F.col(id_col),
             distinct_shingle_kernel(n)(F.col(text_col)).alias("_sh"),
         ))
-    tk = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    # _sexpr strings: one parsed expression per projection instead of
+    # ~200 py4j round-trips of Column construction (the round-11
+    # construction-tax pass; identical tree, see text.py:md5_hash32_sexpr)
+    tk = df.select(F.col(id_col),
+                   F.expr(tokens_sexpr(f"`{text_col}`")).alias("_t"))
     return tracked_persist(tk.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col("_t"), n)).alias("_sh"),
+        F.expr(f"array_distinct({shingles_sexpr('_t', n)})").alias("_sh"),
     ))
 
 
@@ -193,19 +201,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     seed columns would re-run tokenize→shingle→distinct→md5 — measured 8×
     the cost at k=8 pre-barrier, and ~3× the cost with per-seed md5."""
     base = shingle_base(df, text_col, id_col, n)
+    # _sexpr strings: the md5 pass and the k mixed mins parse as k+1
+    # expressions instead of ~20 higher-order-function Column builds
+    # (~0.7 s of py4j driver time per construction; identical tree)
     hashed = base.select(
         F.col(id_col),
-        F.transform(F.col("_sh"), md5_hash32).alias("_h"))
-
-    def mixer(seed: int):
+        F.expr(f"transform(_sh, s -> {md5_hash32_sexpr('s')})")
+        .alias("_h"))
+    cols = []
+    for i, seed in enumerate(seeds):
         a, b = _mix_params(seed)
-        # single-arg lambda only: 2-arg lambdas become (element, index)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-    cols = [
-        F.array_min(F.transform(F.col("_h"), mixer(seed))).alias(f"mh{i}")
-        for i, seed in enumerate(seeds)
-    ]
+        cols.append(F.expr(
+            f"array_min(transform(_h, h -> ({a} * h + {b}) "
+            f"% {MINHASH_PRIME}))").alias(f"mh{i}"))
     return hashed.select(F.col(id_col), *cols)
 
 
@@ -377,12 +385,10 @@ def _band_key_rows(sig: DataFrame, out_id: str, seeds: list[int],
     == keys(A ∪ B) exactly).  Null-signature docs (< n tokens) are
     dropped on both engines (see lsh_candidate_pairs)."""
     n_bands = len(seeds) // band_size
-    band_keys = F.array(*[
-        F.md5(F.concat_ws(
-            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        ))
-        for b in range(n_bands)
-    ])
+    band_keys = F.expr("array(" + ", ".join(
+        "md5(concat_ws('_', " + ", ".join(
+            f"mh{b * band_size + j}" for j in range(band_size)) + "))"
+        for b in range(n_bands)) + ")")
     return (sig.where(F.col("mh0").isNotNull())
             .select(F.col(id_col).alias(out_id),
                     F.posexplode(band_keys).alias("band", "band_key")))
@@ -1502,14 +1508,16 @@ BLOOM_HASHES = 5
 _BLOOM_SEED_BASE = 7001
 
 
-def bloom_positions(col: Column, k: int = BLOOM_HASHES,
+def bloom_positions(col_sql: str, k: int = BLOOM_HASHES,
                     m: int = BLOOM_BITS) -> Column:
     """The k seeded positions a text sets/probes (duplicates possible
-    when two seeds collide mod m — callers distinct/dedup as needed)."""
-    from .text import seeded_hash
-
-    return F.array(*[(seeded_hash(col, _BLOOM_SEED_BASE + i) % m)
-                     .cast("int") for i in range(k)])
+    when two seeds collide mod m — callers distinct/dedup as needed).
+    ``col_sql`` is a SQL column reference/expression string — the array
+    parses as ONE expression instead of k×10 py4j Column builds (the
+    round-11 construction-tax pass; identical tree)."""
+    return F.expr("array(" + ", ".join(
+        f"cast({seeded_hash_sexpr(col_sql, _BLOOM_SEED_BASE + i)} % {m} "
+        f"as int)" for i in range(k)) + ")")
 
 
 def bloom_corpus_positions(corpus: DataFrame, text_col: str = "text",
@@ -1526,7 +1534,7 @@ def bloom_corpus_positions(corpus: DataFrame, text_col: str = "text",
     # same engine difference functions/curation.py handles)
     return (corpus
             .where(F.col(text_col).isNotNull())
-            .select(F.explode(bloom_positions(F.col(text_col), k, m))
+            .select(F.explode(bloom_positions(f"`{text_col}`", k, m))
                     .alias("pos"))
             .distinct())
 
@@ -1562,7 +1570,7 @@ def bloom_dedup_against_corpus(new: DataFrame, corpus: DataFrame,
     pos_set = bloom_corpus_positions(corpus, text_col, k, m)
     probes = (new.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(bloom_positions(F.col(text_col), k, m))
+        F.array_distinct(bloom_positions(f"`{text_col}`", k, m))
         .alias("_ps"))
         .distinct()
         .select("doc_id", "_ps", F.explode("_ps").alias("pos")))

@@ -29,10 +29,13 @@ from .dedup import spread_for_compute
 from .text import (
     TOKENS_SQL,
     seeded_hash,
+    seeded_hash_sexpr,
     seeded_hash_sql,
     shingles,
+    shingles_sexpr,
     shingles_sql,
     tokens,
+    tokens_sexpr,
 )
 
 #: depth d: independent seeded hash rows (error probability δ = e^-d)
@@ -60,14 +63,23 @@ def cms_gram_stream(df: DataFrame, text_col: str = "text",
     spreads with an explicit round-robin exchange instead — the
     :func:`hll_gram_stream` contract)."""
     base = spread_for_compute(df) if spread else df
+    # _sexpr strings: one parsed expression per projection (the round-11
+    # construction-tax pass; identical tree — see text.py)
     return (base
             .where(F.col(text_col).isNotNull())
-            .select(tokens(F.col(text_col)).alias("_t"))
-            .select(F.explode(shingles(F.col("_t"), n)).alias("gram")))
+            .select(F.expr(tokens_sexpr(f"`{text_col}`")).alias("_t"))
+            .select(F.explode(F.expr(shingles_sexpr("_t", n)))
+                    .alias("gram")))
 
 
-def _cms_cell(gram: Column, j: int, width: int) -> Column:
-    return (seeded_hash(gram, CMS_SEED_BASE + j) % width).cast("int")
+def _cms_probes(gram_sql: str, depth: int, width: int) -> Column:
+    """``array(struct(j, cell), ...)`` — the d (row, cell) probes of a
+    gram, parsed as ONE expression (the Column-loop form cost ~40 py4j
+    round-trips per construction site)."""
+    return F.expr("array(" + ", ".join(
+        f"struct({j} as j, "
+        f"cast({seeded_hash_sexpr(gram_sql, CMS_SEED_BASE + j)} % {width} "
+        f"as int) as cell)" for j in range(depth)) + ")")
 
 
 def cms_sketch(df: DataFrame, text_col: str = "text", n: int = CMS_NGRAM,
@@ -89,10 +101,7 @@ def cms_sketch_from_grams(grams: DataFrame, depth: int = CMS_DEPTH,
     entry point for callers that share one persisted gram stream across
     the sketch and an exact certification branch (the shingle_base
     recipe; see :func:`cms_heavy_hitters`)."""
-    probes = F.array(*[
-        F.struct(F.lit(j).alias("j"),
-                 _cms_cell(F.col("gram"), j, width).alias("cell"))
-        for j in range(depth)])
+    probes = _cms_probes("gram", depth, width)
     return (grams
             .select(F.explode(probes).alias("p"))
             .select("p.j", "p.cell")
@@ -110,10 +119,7 @@ def cms_estimate(sketch: DataFrame, grams: DataFrame,
     (unbounded) corpus child, so without the hint the planner would
     shuffle the probe stream at scale (the Bloom position-set
     argument)."""
-    probes = F.array(*[
-        F.struct(F.lit(j).alias("j"),
-                 _cms_cell(F.col(gram_col), j, width).alias("cell"))
-        for j in range(depth)])
+    probes = _cms_probes(f"`{gram_col}`", depth, width)
     p = (grams.select(F.col(gram_col).alias("gram"))
          .select("gram", F.explode(probes).alias("p"))
          .select("gram", "p.j", "p.cell"))
@@ -575,28 +581,27 @@ def _kmv_report(full: DataFrame, samp: DataFrame, qs: tuple,
     wv = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
     wn = W.partitionBy("g")
     ws = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    # per-q aggregates as _sexpr strings — one parse each instead of ~10
+    # py4j Column builds (the round-11 construction-tax pass; the 1L /
+    # ceil(double)->bigint typing matches the Column form exactly)
     sn = samp.groupBy("g").agg(F.count("*").alias("sn"))
     est_wide = (samp.withColumn("_sr", F.row_number().over(ws))
                 .join(F.broadcast(sn), "g")
                 .groupBy("g").agg(*[
-                    F.max(F.when(
-                        F.col("_sr") == F.greatest(
-                            F.lit(1).cast("long"),
-                            F.ceil(F.lit(float(q)) * F.col("sn"))),
-                        F.col("v"))).alias(f"e_{_qtag(q)}")
+                    F.expr(f"max(case when _sr = greatest(1L, "
+                           f"ceil({float(q)!r} * sn)) then v end)")
+                    .alias(f"e_{_qtag(q)}")
                     for q in qs]))
     ranked = (full.withColumn("_rn", F.row_number().over(wv))
               .withColumn("n", F.count("*").over(wn))
               .join(F.broadcast(est_wide), "g"))
     merged = ranked.groupBy("g", "n").agg(*(
-        [F.max(F.when(
-            F.col("_rn") == F.greatest(
-                F.lit(1).cast("long"),
-                F.ceil(F.lit(float(q)) * F.col("n"))),
-            F.col("v"))).alias(f"x_{_qtag(q)}")
+        [F.expr(f"max(case when _rn = greatest(1L, "
+                f"ceil({float(q)!r} * n)) then v end)")
+         .alias(f"x_{_qtag(q)}")
          for q in qs]
-        + [F.sum(F.when(F.col("v") <= F.col(f"e_{_qtag(q)}"), 1)
-                 .otherwise(0)).cast("long").alias(f"c_{_qtag(q)}")
+        + [F.expr(f"cast(sum(case when v <= e_{_qtag(q)} then 1 else 0 "
+                  f"end) as bigint)").alias(f"c_{_qtag(q)}")
            for q in qs]))
     # re-attach the per-group estimates for the stack (k-group frames —
     # a broadcast join of two tiny aggregates, not a corpus pass)

@@ -43,6 +43,30 @@ def seeded_hash_sql(expr: str, seed: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Spark-SQL fragment builders (the ``_sexpr`` family).  Each py4j call
+# costs ~0.6 ms of driver round-trip; Column-by-Column construction of
+# the hash/tokenize/shingle kernels summed to 0.5-1 s of PURE DRIVER
+# time per query construction (cProfile: 1.5k-3k socket round-trips on
+# the near-dedup/sketch entries — an O(expression-size) Python-side tax
+# paid before any job runs).  These builders emit the SAME expression as
+# their Column twins as ONE parsed SQL string (one py4j call); identity
+# is locked by the DuckDB lockstep oracles on every consumer.  The
+# DuckDB ``_sql`` builders above/below are the ORACLE twins — keep all
+# three in sync.
+# ---------------------------------------------------------------------------
+
+
+def md5_hash32_sexpr(expr: str) -> str:
+    """Spark-SQL fragment matching :func:`md5_hash32`."""
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)"
+
+
+def seeded_hash_sexpr(expr: str, seed: int) -> str:
+    """Spark-SQL fragment matching :func:`seeded_hash`."""
+    return md5_hash32_sexpr(f"concat('{seed}:', {expr})")
+
+
+# ---------------------------------------------------------------------------
 # tokenisation
 # ---------------------------------------------------------------------------
 
@@ -66,6 +90,24 @@ def shingles(tok: Column, n: int = 3) -> Column:
     return F.when(F.size(tok) >= n, F.transform(idx, make)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def tokens_sexpr(col: str) -> str:
+    """Spark-SQL fragment matching :func:`tokens` (``col`` is a column
+    reference / expression string, backtick-quote raw names)."""
+    return f"filter(split(lower({col}), '\\\\s+'), x -> length(x) > 0)"
+
+
+def shingles_sexpr(tok: str, n: int = 3) -> str:
+    """Spark-SQL fragment matching :func:`shingles`; ``tok`` must be a
+    column reference in scope (lambdas read outer row columns)."""
+    parts = ", ".join(
+        (f"element_at({tok}, i + {k})" if k else f"element_at({tok}, i)")
+        for k in range(n))
+    return (f"case when size({tok}) >= {n} then "
+            f"transform(sequence(1, size({tok}) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"else cast(array() as array<string>) end")
 
 
 def shingles_sql(tok_col: str = "t", n: int = 3) -> str:
