@@ -175,14 +175,15 @@ def shingle_base(df: DataFrame, text_col: str = "text",
             F.col(id_col),
             distinct_shingle_kernel(n)(F.col(text_col)).alias("_sh"),
         ))
-    # _sexpr strings: one parsed expression per projection instead of
-    # ~200 py4j round-trips of Column construction (the round-11
-    # construction-tax pass; identical tree, see text.py:md5_hash32_sexpr)
-    tk = df.select(F.col(id_col),
-                   F.expr(tokens_sexpr(f"`{text_col}`")).alias("_t"))
-    return tracked_persist(tk.select(
-        F.col(id_col),
-        F.expr(f"array_distinct({shingles_sexpr('_t', n)})").alias("_sh"),
+    # _sexpr strings via selectExpr: each projection is ONE py4j call
+    # parsing all its expressions JVM-side, instead of ~200 round-trips
+    # of Column construction (the round-11 construction-tax pass;
+    # analyzed plan identical — see text.py:md5_hash32_sexpr)
+    tk = df.selectExpr(f"`{id_col}`",
+                       f"{tokens_sexpr(f'`{text_col}`')} as _t")
+    return tracked_persist(tk.selectExpr(
+        f"`{id_col}`",
+        f"array_distinct({shingles_sexpr('_t', n)}) as _sh",
     ))
 
 
@@ -201,20 +202,20 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     seed columns would re-run tokenize→shingle→distinct→md5 — measured 8×
     the cost at k=8 pre-barrier, and ~3× the cost with per-seed md5."""
     base = shingle_base(df, text_col, id_col, n)
-    # _sexpr strings: the md5 pass and the k mixed mins parse as k+1
-    # expressions instead of ~20 higher-order-function Column builds
-    # (~0.7 s of py4j driver time per construction; identical tree)
-    hashed = base.select(
-        F.col(id_col),
-        F.expr(f"transform(_sh, s -> {md5_hash32_sexpr('s')})")
-        .alias("_h"))
-    cols = []
+    # _sexpr strings via selectExpr: the md5 pass and the k mixed mins
+    # parse JVM-side in ONE py4j call per projection instead of ~20
+    # higher-order-function Column builds (~0.7 s of py4j driver time
+    # per construction; analyzed plan identical — measured 251 → 99
+    # round-trips for the whole signature construction)
+    hashed = base.selectExpr(
+        f"`{id_col}`",
+        f"transform(_sh, s -> {md5_hash32_sexpr('s')}) as _h")
+    exprs = [f"`{id_col}`"]
     for i, seed in enumerate(seeds):
         a, b = _mix_params(seed)
-        cols.append(F.expr(
-            f"array_min(transform(_h, h -> ({a} * h + {b}) "
-            f"% {MINHASH_PRIME}))").alias(f"mh{i}"))
-    return hashed.select(F.col(id_col), *cols)
+        exprs.append(f"array_min(transform(_h, h -> ({a} * h + {b}) "
+                     f"% {MINHASH_PRIME})) as mh{i}")
+    return hashed.selectExpr(*exprs)
 
 
 def minhash_signature_sql(seeds: list[int] = DEFAULT_SEEDS,
@@ -385,13 +386,13 @@ def _band_key_rows(sig: DataFrame, out_id: str, seeds: list[int],
     == keys(A ∪ B) exactly).  Null-signature docs (< n tokens) are
     dropped on both engines (see lsh_candidate_pairs)."""
     n_bands = len(seeds) // band_size
-    band_keys = F.expr("array(" + ", ".join(
+    band_keys = "array(" + ", ".join(
         "md5(concat_ws('_', " + ", ".join(
             f"mh{b * band_size + j}" for j in range(band_size)) + "))"
-        for b in range(n_bands)) + ")")
-    return (sig.where(F.col("mh0").isNotNull())
-            .select(F.col(id_col).alias(out_id),
-                    F.posexplode(band_keys).alias("band", "band_key")))
+        for b in range(n_bands)) + ")"
+    return (sig.where("mh0 is not null")
+            .selectExpr(f"`{id_col}` as `{out_id}`",
+                        f"posexplode({band_keys}) as (band, band_key)"))
 
 
 def _banded_keys(sig: DataFrame, out_id: str, seeds: list[int],
@@ -1418,10 +1419,13 @@ def substring_ngram_dedup(df: DataFrame, text_col: str = "text",
     # shingles() would re-run the whole split pipeline once per
     # element_at reference (window× per gram position; measured 40 s for
     # 196k grams at sf0.1 before the split, ~1 s after)
+    # _sexpr strings: one parsed expression per projection (the F6
+    # construction-tax recipe; identical tree — see text.py)
     tk = (spread_for_compute(df)
           .select(F.col(id_col).alias("doc_id"),
-                  tokens(F.col(text_col)).alias("_t")))
-    base = tk.select("doc_id", shingles(F.col("_t"), window).alias("grams"))
+                  F.expr(tokens_sexpr(f"`{text_col}`")).alias("_t")))
+    base = tk.select("doc_id",
+                     F.expr(shingles_sexpr("_t", window)).alias("grams"))
     # explode_outer keeps zero-gram docs as a null-gram row, so the
     # per-doc rollup needs no join back onto the corpus frame
     if key_bits not in (64, 128):

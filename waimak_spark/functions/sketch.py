@@ -63,13 +63,13 @@ def cms_gram_stream(df: DataFrame, text_col: str = "text",
     spreads with an explicit round-robin exchange instead — the
     :func:`hll_gram_stream` contract)."""
     base = spread_for_compute(df) if spread else df
-    # _sexpr strings: one parsed expression per projection (the round-11
-    # construction-tax pass; identical tree — see text.py)
+    # _sexpr strings via selectExpr: one py4j call per projection (the
+    # round-11 construction-tax pass; analyzed plan identical — see
+    # text.py)
     return (base
-            .where(F.col(text_col).isNotNull())
-            .select(F.expr(tokens_sexpr(f"`{text_col}`")).alias("_t"))
-            .select(F.explode(F.expr(shingles_sexpr("_t", n)))
-                    .alias("gram")))
+            .where(f"`{text_col}` is not null")
+            .selectExpr(f"{tokens_sexpr(f'`{text_col}`')} as _t")
+            .selectExpr(f"explode({shingles_sexpr('_t', n)}) as gram"))
 
 
 def _cms_probes(gram_sql: str, depth: int, width: int) -> Column:
