@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
+from .util import dmat_lit, dvec_lit
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product of two array<double> columns (matches
@@ -691,8 +693,11 @@ def _ivf_scores(vec: Column, n_centroids: int, dims: int) -> Column:
     """Per-centroid score |c|² − 2·(v·c) — argmin equals nearest centroid
     by euclidean distance (the |v|² term is constant per vector).
     Expression form; the operators use the vectorized kernels below."""
-    cents = F.lit(_centroid_matrix(n_centroids, dims))
-    norms = F.lit(_centroid_norms(n_centroids, dims))
+    # dmat/dvec_lit: one parsed string per literal, not ~5 py4j calls
+    # per element — 16x64 centroids were ~5k round-trips (~3 s of
+    # driver time on a parse-cold JVM) per probe construction (F6)
+    cents = dmat_lit(_centroid_matrix(n_centroids, dims))
+    norms = dvec_lit(_centroid_norms(n_centroids, dims))
     return F.zip_with(cents, norms, lambda w, n2: n2 - 2.0 * dot(vec, w))
 
 
@@ -1366,8 +1371,8 @@ def kmeans_exemplars(emb: DataFrame, k: int = KMEANS_K,
                            materialize)
     assigned = base.withColumn(
         "cluster", _kmeans_assign_kernel(Wc)(F.col("v")))
-    cent = F.element_at(F.lit(Wc), F.col("cluster"))
-    n2 = F.element_at(F.lit(_seq_norms(Wc)), F.col("cluster"))
+    cent = F.element_at(dmat_lit(Wc), F.col("cluster"))
+    n2 = F.element_at(dvec_lit(_seq_norms(Wc)), F.col("cluster"))
     d2 = F.round(
         dot(F.col("v"), F.col("v"))
         - 2.0 * dot(F.col("v"), cent)
@@ -2303,7 +2308,7 @@ def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dims: int = 64,
     recent_ids = [first[0][id_col]]  # chosen since the last plan cut
     prev_cut: DataFrame | None = None
     for rank in range(2, k + 1):
-        lit_vec = F.array(*[F.lit(float(x)) for x in chosen_vecs[-1]])
+        lit_vec = dvec_lit(chosen_vecs[-1])
         d_new = F.round(F.lit(1.0) - dot(F.col("v"), lit_vec),
                         KCENTER_ROUND)
         cur = cur.withColumn(
@@ -2481,7 +2486,7 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
         base = base.where(F.col(id_col) != seed[0][id_col])
     else:
         qv = [float(x) for x in query_vec]
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = dvec_lit(qv)
     scored = base.select(
         id_col, "v", F.round(dot(F.col("v"), qlit), MMR_ROUND)
         .alias("rel"))
@@ -2504,7 +2509,7 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
     recent_ids = [first[0][id_col]]
     prev_cut: DataFrame | None = None
     for rank in range(2, k + 1):
-        lit_vec = F.array(*[F.lit(float(x)) for x in chosen_vecs[-1]])
+        lit_vec = dvec_lit(chosen_vecs[-1])
         s_new = F.round(dot(F.col("v"), lit_vec), MMR_ROUND)
         cur = cur.withColumn(
             "_ms", s_new if rank == 2 else F.greatest(F.col("_ms"), s_new))
@@ -2677,8 +2682,7 @@ def kmeanspar_oversample(emb: DataFrame, k: int = KMEANSPAR_K,
     for r in range(1, rounds + 1):
         d_exprs = [
             F.round(F.lit(2.0) - F.lit(2.0)
-                    * dot(F.col("v"),
-                          F.array(*[F.lit(float(x)) for x in c])), 4)
+                    * dot(F.col("v"), dvec_lit(c)), 4)
             for c in new_vecs]
         d_new = d_exprs[0] if len(d_exprs) == 1 else F.least(*d_exprs)
         cur = cur.withColumn(
@@ -2701,8 +2705,7 @@ def kmeanspar_oversample(emb: DataFrame, k: int = KMEANSPAR_K,
     assign = F.sort_array(F.array(*[
         F.struct(
             F.round(F.lit(2.0) - F.lit(2.0)
-                    * dot(F.col("v"),
-                          F.array(*[F.lit(float(x)) for x in v])), 4)
+                    * dot(F.col("v"), dvec_lit(v)), 4)
             .alias("d"),
             F.lit(cid).cast("long").alias("cid"))
         for cid, v in all_vecs.items()]))[0]["cid"]

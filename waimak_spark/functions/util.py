@@ -33,3 +33,36 @@ def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         {n: pd.Series([r[i] for r in rows], dtype=object)
          for i, n in enumerate(names)})
     return spark.createDataFrame(pdf, schema)
+
+
+def dvec_sexpr(vals) -> str:
+    """Spark-SQL fragment for an ``array<double>`` literal.
+
+    ``F.lit(list_of_floats)`` (or ``F.array(*[F.lit(x) ...])``) builds
+    the literal Column-by-Column over py4j — ~5 driver round-trips PER
+    ELEMENT, so a 16x64 centroid matrix costs ~5k round-trips of pure
+    single-threaded driver time before any job runs (round-11 F6
+    instrument).  Emitting the same values as ONE parsed SQL string is
+    a single round-trip.  ``repr`` round-trips every finite double
+    exactly and the ``D`` suffix forces DoubleType (a bare decimal
+    literal would parse as DECIMAL and change the expression tree);
+    the analyzed plan is identical to the ``F.lit`` form modulo
+    expression IDs (locked in tests/test_dvec_lit.py)."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+
+def dvec_lit(vals):
+    """``F.lit(list_of_floats)`` as one parsed expression — see
+    :func:`dvec_sexpr`."""
+    from pyspark.sql import functions as F
+
+    return F.expr(dvec_sexpr(vals))
+
+
+def dmat_lit(rows):
+    """``F.lit(list_of_lists_of_floats)`` (array<array<double>>) as one
+    parsed expression — see :func:`dvec_sexpr`."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "array(" + ",".join(dvec_sexpr(r) for r in rows) + ")")

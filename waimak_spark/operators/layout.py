@@ -41,7 +41,9 @@ def equidepth_bucket(col: Column, boundaries: Sequence[float]) -> Column:
     per row, JVM-side).  NULL compares to nothing and lands in bucket 0,
     so null rows cluster together at the curve's origin on both write
     and read (deterministic, documented)."""
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    from ..functions.util import dvec_lit
+
+    arr = dvec_lit(boundaries)
     return (F.size(F.filter(arr, lambda b: b <= col.cast("double")))
             .cast("long"))
 
