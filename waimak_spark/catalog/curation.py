@@ -494,9 +494,12 @@ EMB_DIM = 64
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # one parsed string per aggregate, not ~7 py4j Column calls each
+    # (round-11 F6 construction-tax recipe); `embedding[i]` subscripts
+    # are 0-based GetArrayItem on both forms — same expression tree
     avgs = [
-        F.round(F.avg(F.col("embedding")[i].cast("double")), 4)
-        .alias(f"c{i:02d}")
+        F.expr(f"round(avg(cast(embedding[{i}] as double)), 4) "
+               f"as c{i:02d}")
         for i in range(EMB_DIM)
     ]
     return (emb.groupBy("label")

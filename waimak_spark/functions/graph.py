@@ -113,9 +113,14 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
     # and silently leak rank mass through null/negative transition
     # probabilities — drop them up front (a zero-weight edge IS no edge)
     edges = edges.where(F.col("w") > 0)
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("_ow"))
-    nodes = mat(edges.select(F.col("src").alias("node")).distinct())
-    n = nodes.count()
+    # one aggregation over the edge frame, not two: the out-weight
+    # frame's key set IS the distinct src set, so `nodes` derives from
+    # the persisted aggregate instead of a separate distinct pass
+    # (guide §2.4 — the node count, the r0 frame and the transition
+    # join all read the same cached k-row result)
+    out_w = mat(edges.groupBy("src").agg(F.sum("w").alias("_ow")))
+    nodes = out_w.select(F.col("src").alias("node"))
+    n = out_w.count()
     if n == 0:
         return edges.sparkSession.createDataFrame(
             [], "node long, rank double")
