@@ -67,6 +67,56 @@ class TestDvecLit:
         s = dvec_sexpr([1.0, -2.0])
         assert s == "array(1.0D,-2.0D)"
 
+    def test_unit_base_sexpr_matches_column_form(self, spark, sf_dir):
+        """round-11 F6 follow-up: _pq_unit_base and valid_embeddings as
+        parsed SQL strings (439 -> 22 round-trips) must keep the
+        OPTIMIZED plan identical to the Column form modulo expression
+        IDs and lambda variable names (SQL can't reproduce pyspark's
+        positional x/y renaming without shadowing), and the output
+        bit-identical — the value check is what makes the
+        alpha-blind plan comparison sound."""
+        import pyspark.sql.functions as F
+
+        from waimak_spark.functions import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        def old_valid(emb, dims, vec_col="embedding"):
+            v = F.col(vec_col)
+            finite = F.forall(
+                S.as_double(v),
+                lambda x: x.isNotNull() & ~F.isnan(x)
+                & (F.abs(x) != F.lit(float("inf"))))
+            return emb.where(v.isNotNull() & (F.size(v) == dims) & finite)
+
+        def old_unit_base(emb, dims, id_col, vec_col):
+            base = (old_valid(emb, dims, vec_col)
+                    .select(F.col(id_col),
+                            S.as_double(F.col(vec_col)).alias("raw")))
+            nrm = F.sqrt(S.dot(F.col("raw"), F.col("raw")))
+            unit = F.element_at(
+                F.transform(F.array(nrm),
+                            lambda n: F.transform(F.col("raw"),
+                                                  lambda x: x / n)), 1)
+            return (base.where(nrm > 0)
+                    .select(id_col, unit.alias("v")))
+
+        def norm(df):
+            s = df._jdf.queryExecution().optimizedPlan().toString()
+            s = re.sub(r"#\d+", "#", s)
+            return re.sub(r"lambda '?[a-z]+(_\d+)?#", "lambda _#", s)
+
+        old = old_unit_base(emb, 64, "vec_id", "embedding")
+        new = S._pq_unit_base(emb, 64, "vec_id", "embedding")
+        assert norm(old) == norm(new)
+        ro = old.orderBy("vec_id").collect()
+        rn = new.orderBy("vec_id").collect()
+        assert len(ro) == len(rn) and len(ro) > 0
+        for a, b in zip(ro, rn):
+            assert a["vec_id"] == b["vec_id"]
+            assert [struct.pack("d", x) for x in a["v"]] == \
+                   [struct.pack("d", x) for x in b["v"]]
+
     def test_non_finite_rejected_by_parse(self, spark):
         # the callers only ever pass finite doubles (validated
         # embeddings, computed norms); nan/inf have no SQL literal form

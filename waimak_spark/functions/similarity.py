@@ -59,14 +59,17 @@ def valid_embeddings(emb: DataFrame, dims: int,
     engines (Spark SQL sorts NaN greater than every number, NumPy
     comparisons return False, DuckDB follows IEEE) — so a vector carrying
     a non-finite component has no engine-stable bucket/cell/rank and is
-    treated as invalid input rather than propagated inconsistently."""
-    v = F.col(vec_col)
-    finite = F.forall(
-        as_double(v),
-        lambda x: x.isNotNull() & ~F.isnan(x)
-        & (F.abs(x) != F.lit(float("inf"))),
-    )
-    return emb.where(v.isNotNull() & (F.size(v) == dims) & finite)
+    treated as invalid input rather than propagated inconsistently.
+
+    The filter is ONE parsed SQL string (round-11 F6: the Column form
+    paid ~150 py4j round-trips per construction; ``double('Infinity')``
+    constant-folds to the same double literal the Column form embeds —
+    optimized-plan identity locked in tests/test_dvec_lit.py)."""
+    return emb.where(F.expr(
+        f"`{vec_col}` is not null and size(`{vec_col}`) = {int(dims)} "
+        f"and forall(cast(`{vec_col}` as array<double>), "
+        f"x -> x is not null and not isnan(x) "
+        f"and abs(x) != double('Infinity'))"))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -1666,9 +1669,6 @@ def _pq_unit_base(emb: DataFrame, dims: int, id_col: str,
     (== DuckDB list_dot_product) so both engines normalize
     bit-identically; zero vectors are already dropped upstream by the
     all-finite/valid filter plus the norm>0 guard here."""
-    base = (valid_embeddings(emb, dims, vec_col)
-            .select(F.col(id_col), as_double(F.col(vec_col)).alias("raw")))
-    nrm = F.sqrt(dot(F.col("raw"), F.col("raw")))
     # The norm is BOUND as a higher-order-function lambda variable (a
     # 1-element array transform) so it evaluates ONCE per row: interpreted
     # higher-order expressions get no common-subexpression elimination, so
@@ -1678,13 +1678,19 @@ def _pq_unit_base(emb: DataFrame, dims: int, id_col: str,
     # recipe, but projection boundaries don't survive CollapseProject here
     # because the norm is single-referenced — a lambda binding is the form
     # the optimizer can never re-inline).  Values are bit-identical: same
-    # sequential self-dot, same per-element division.
-    unit = F.element_at(
-        F.transform(F.array(nrm),
-                    lambda n: F.transform(F.col("raw"),
-                                          lambda x: x / n)), 1)
-    return (base.where(nrm > 0)
-            .select(id_col, unit.alias("v")))
+    # sequential self-dot, same per-element division.  Emitted as parsed
+    # SQL strings (round-11 F6 — the Column form paid ~440 py4j
+    # round-trips per construction across its HOF lambdas; optimized-plan
+    # identity vs the Column form locked in tests/test_dvec_lit.py).
+    nrm_s = ("sqrt(aggregate(zip_with(raw, raw, (x, y) -> x * y), "
+             "cast(0.0D as double), (acc, v) -> acc + v))")
+    base = (valid_embeddings(emb, dims, vec_col)
+            .selectExpr(f"`{id_col}`",
+                        f"cast(`{vec_col}` as array<double>) as raw"))
+    return (base.where(F.expr(f"{nrm_s} > 0"))
+            .selectExpr(f"`{id_col}`",
+                        f"element_at(transform(array({nrm_s}), "
+                        f"n -> transform(raw, x -> x / n)), 1) as v"))
 
 
 def _pq_assign_kernel(books: list[list[list[float]]]):
