@@ -279,17 +279,10 @@ def test_admission_runway_bookkeeping():
 
     decided = [
         # (candidate in extras, retirement target, machinery witness)
-        # -- front r13, staged + retired during r12:
-        ("ivf_probe_appended", "q15_top_supplier",
-         "q2_min_cost_supplier"),
-        ("embedding_kmeanspar_init", "q4_priority_exists",
-         "q21_waiting_suppliers"),
-        ("dedup_repeated_segments", "sample_lang_balanced",
-         "sample_stratified"),
-        ("corpus_distinct_hll", "embedding_centroids",
-         "embedding_kmeans"),
-        ("streaming_running_totals_stateful", "running_value_per_user",
-         "order_window_stats"),
+        # -- front r13 rows EXECUTED during round 12: the five staged
+        #    admissions joined the catalog and their decided retirement
+        #    targets moved to RETIRED_ENTRIES (witnesses verified at
+        #    import time + test_retirement_bookkeeping).
         # -- front r14, staged + retired during r13:
         ("bm25_search", "corpus_vocabulary", "tfidf_top_terms"),
         ("dedup_lsh_probe_stored", "ann_brute_force_topk",
@@ -357,15 +350,15 @@ def test_admission_runway_bookkeeping():
         "extend the ledger")
 
 
-def test_parity_round12_front_draft_stays_valid():
-    """PARITY.md precomputes round 12's _FRONT (the five staged round-11
-    admissions fronting first + the 45 r10-latest survivors — the
+def test_parity_round13_front_draft_stays_valid():
+    """PARITY.md precomputes round 13's _FRONT (the five staged round-12
+    admissions fronting first + the 45 r11-latest survivors — the
     set-A/set-B alternation at the 100-entry cap, minus the five
-    r12-obligation retirements the round-11 backlog fix executed).  Lock
-    the draft against drift: every name must exist in the catalog, no
-    duplicates, it must fill exactly one window, and together with the
-    CURRENT window it must cover the whole catalog — the
-    every-other-round guarantee the rotation exists to provide."""
+    r12 retirements the round-12 rotation executed).  Lock the draft
+    against drift: every name must exist in the catalog, no duplicates,
+    it must fill exactly one window, and together with the CURRENT
+    window it must cover the whole catalog — the every-other-round
+    guarantee the rotation exists to provide."""
     import os
     import re
 
@@ -373,9 +366,9 @@ def test_parity_round12_front_draft_stays_valid():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     text = open(os.path.join(repo, "PARITY.md")).read()
-    m = re.search(r"45\s+surviving r10-latest entries `([^`]+)`", text,
+    m = re.search(r"45\s+surviving r11-latest entries `([^`]+)`", text,
                   re.S)
-    assert m, "PARITY.md round-12 _FRONT draft went missing"
+    assert m, "PARITY.md round-13 _FRONT draft went missing"
     draft = [n.strip() for n in m.group(1).replace("\n", " ").split(",")
              if n.strip()]
     front = list(STAGED_NEXT_ROUND) + draft
@@ -388,5 +381,5 @@ def test_parity_round12_front_draft_stays_valid():
     uncovered = [n for n in ALL_ENTRIES
                  if n not in window_now and n not in set(front)]
     assert not uncovered, (
-        f"entries in neither the current window nor the round-12 draft "
+        f"entries in neither the current window nor the round-13 draft "
         f"(would go >2 rounds unchecked): {uncovered}")

@@ -5,11 +5,15 @@ broadcast-nested-loop join."""
 
 import pytest
 
-from waimak_spark.catalog import ALL_ENTRIES
+from waimak_spark.catalog import ALL_ENTRIES, RETIRED_ENTRIES
 
 
 def build_entry(name, spark, sf_dir):
-    return ALL_ENTRIES[name]["fn"](spark, sf_dir)
+    # retired entries (rotation ledger) keep their plan locks alongside
+    # their DuckDB lockstep — retirement frees a driver-window slot, it
+    # never drops verification
+    entry = ALL_ENTRIES.get(name) or RETIRED_ENTRIES[name]
+    return entry["fn"](spark, sf_dir)
 
 
 def plan_of(name, spark, sf_dir) -> str:

@@ -61,6 +61,19 @@ _RETIREMENTS: tuple[tuple[str, str, tuple[str, ...]], ...] = (
     ("dedup_against_corpus", "r11", ("dedup_bloom_against_corpus",
                                      "dedup_near_against_corpus")),
     ("dedup_embedding_cosine", "r11", ("dedup_embedding_cosine_fixpoint",)),
+    # -- round-12 retirements (the backlog ledger's decided set), freeing
+    #    five round-13 window slots for the staged admissions below.  Each
+    #    gets its final official row in CORRECTNESS_r11 (all were in the
+    #    round-11 window, 50/50 green) and keeps full DuckDB lockstep via
+    #    RETIRED_ENTRIES every pytest run:
+    ("q15_top_supplier", "r12", ("q2_min_cost_supplier",)),  # argmax-by-join-back class
+    ("q4_priority_exists", "r12", ("q21_waiting_suppliers",)),  # exists/semi-join class
+    ("running_value_per_user", "r12", ("order_window_stats",
+                                       "streaming_running_totals_stateful")),
+    ("sample_lang_balanced", "r12", ("sample_stratified",
+                                     "lang_mixture_weights")),  # its two composed halves
+    ("embedding_centroids", "r12", ("embedding_kmeans",
+                                    "embedding_cluster_exemplars")),
 )
 RETIRED_ENTRIES: dict[str, dict] = {}
 for _name, _round, _wits in _RETIREMENTS:
@@ -82,40 +95,39 @@ if _bad_wits:
 # (test_driver_window_covers_all_unchecked_entries) fails the suite if any
 # entry would go two rounds without an official row.
 #
-# _FRONT for round 11 — the rotation precomputed in PARITY.md's round-10
-# ledger (CORRECTNESS_r10 matched the committed round-10 window exactly,
-# key-for-key), WIDENED by the round-11 backlog fix (VERDICT r10 #2: the
-# one-admission-per-round cadence left ~18 verified families never meeting
-# the driver's oracle, so this round retires eight entries and admits
-# eight).  The window: the staged `ann_ivf_pq_probe_stored` fronting first
-# (its first official row), then the three same-round admissions in the
-# slots freed by the three r11-forced retirements above
-# (`dedup_bloom_against_corpus` per the original runway,
-# `events_value_quantiles_kmv` and `sample_kcenter_diverse` pulled forward
-# from it), then the 46 surviving r9-latest entries.  Zero free slots.
+# _FRONT for round 12 — the rotation precomputed in PARITY.md's round-11
+# ledger (CORRECTNESS_r11 matched the committed round-11 window exactly,
+# key-for-key, 50/50 green — verified before rotating, so the draft was
+# used as precomputed): the five round-11 staged admissions fronting
+# first (their first official rows), then the 45 surviving r10-latest
+# entries (the r10/set-B window minus the five round-11 retirements).
+# Zero free slots.  The five r12 retirements above all held r11-window
+# rows, so the r13-forced set is the 45 surviving r11-latest entries —
+# exactly five slots free for the round-12 staged admissions below.
 _FRONT: tuple[str, ...] = (
-    "ann_ivf_pq_probe_stored",
-    "dedup_bloom_against_corpus",
-    "events_value_quantiles_kmv",
-    "sample_kcenter_diverse",
-    "contamination_overlap", "chunk_overlapping_windows",
-    "dedup_semantic_kmeans", "embedding_centroids", "dedup_simhash",
-    "dedup_minhash_resolve", "dedup_embedding_cosine_fixpoint",
-    "embedding_kmeans", "unigram_logprob", "lang_mixture_weights",
-    "q2_min_cost_supplier", "q8_market_share", "q15_top_supplier",
-    "q16_supplier_count", "q19_disjunctive_revenue", "q20_heavy_suppliers",
-    "q21_waiting_suppliers", "embedding_quantize_int8",
-    "embedding_cluster_exemplars", "sample_lang_balanced",
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_region_revenue",
-    "q6_revenue_delta", "top3_orders_per_customer", "rollup_quantity",
-    "pivot_status_quantity", "customers_without_orders",
-    "part_feature_projection", "q4_priority_exists", "q7_nation_volume",
-    "q9_profit_by_nation", "q10_returned_revenue", "q13_order_distribution",
-    "q14_promo_share", "q18_large_volume", "q22_wealthy_inactive",
-    "status_custkey_setops", "order_window_stats",
-    "latest_event_per_user_type", "sessions_per_user",
-    "running_value_per_user", "approx_event_stats", "skew_count_distinct",
-    "skew_salted_join", "event_funnel",
+    "copurchase_pagerank",
+    "corpus_heavy_hitters",
+    "bpe_merges",
+    "sample_mmr_diverse",
+    "doc_winnow_fingerprints",
+    "dsir_select", "dedup_substring_ngram", "ann_ivf_probe_stored",
+    "bigram_logprob", "q11_important_parts", "dq_window_anomaly",
+    "dedup_simhash_resolve", "asof_quote_per_trade",
+    "range_join_shipments", "grouping_sets_quantity",
+    "streaming_tumbling_counts", "streaming_session_counts",
+    "streaming_dedup_pairs", "streaming_trade_quote_join",
+    "sample_stratified", "split_leakage_safe", "pii_redaction",
+    "repetition_metrics", "dedup_near_against_corpus", "source_rollup",
+    "sample_quota_per_stratum", "curation_pipeline",
+    "decontaminate_against_benchmark", "corpus_vocabulary",
+    "tfidf_top_terms", "pack_sequences", "sample_weighted",
+    "decontaminate_near", "dq_metrics_trend", "text_quality", "lang_id",
+    "token_counts", "doc_fingerprint", "dedup_exact",
+    "dedup_lsh_candidates", "dedup_minhash_verified_resolve",
+    "ann_brute_force_topk", "ann_ivf_topk", "ann_ivf_recall",
+    "storage_snapshot_dedup", "storage_all_between",
+    "rdbm_temporal_snapshot", "rdbm_lowercase_all",
+    "multimodal_byte_features", "multimodal_image_decode",
 )
 
 # Entries NEW this round that the window cannot hold.  The sanctioned
@@ -123,17 +135,17 @@ _FRONT: tuple[str, ...] = (
 # verify_drive) and MUST be fronted next round — the rotation invariant
 # test treats a staged entry as legal outside the window ONLY while it
 # has never appeared in any official CORRECTNESS file (i.e. it is
-# genuinely new, not an old entry being parked).  Round 11: five
-# admissions into the slots freed by the five r12-forced retirements
-# above (the round-11 window is fully forced, so they stage here and
-# front in round 12: round-12 forced = the 45 surviving r10-latest
-# entries + these five = 50).
+# genuinely new, not an old entry being parked).  Round 12: five
+# admissions into the slots freed by the five r12 retirements above (the
+# round-12 window is fully forced, so they stage here and front in round
+# 13: round-13 forced = the 45 surviving r11-latest entries + these five
+# = 50).
 STAGED_NEXT_ROUND: tuple[str, ...] = (
-    "copurchase_pagerank",
-    "corpus_heavy_hitters",
-    "bpe_merges",
-    "sample_mmr_diverse",
-    "doc_winnow_fingerprints",
+    "ivf_probe_appended",
+    "embedding_kmeanspar_init",
+    "dedup_repeated_segments",
+    "corpus_distinct_hll",
+    "streaming_running_totals_stateful",
 )
 
 _missing = [n for n in _FRONT if n not in _MERGED]
@@ -168,8 +180,6 @@ from .joins import (  # noqa: E402
 )
 from .similarity import (  # noqa: E402
     ann_ivf_pq_refined as _x_pqref,
-    ann_ivf_probe_appended as _x_ivf_apd,
-    embedding_kmeanspar_init as _x_kmpar,
 )
 from .storage import (  # noqa: E402
     storage_snapshot_diff as _x_snapdiff,
@@ -178,7 +188,6 @@ from .streaming import (  # noqa: E402
     streaming_distinct_hll as _x_shll,
     streaming_heavy_hitters_cms as _x_scms,
     streaming_quality_scores as _x_sqs,
-    streaming_running_totals_stateful as _x_ssrt,
     streaming_sliding_counts as _x_sslc,
     streaming_value_quantiles_kmv as _x_skmv,
 )
@@ -187,10 +196,8 @@ from .text import (  # noqa: E402
     bm25_search as _x_bm25,
     bpe_encode_stats as _x_bpenc,
     hybrid_search_rrf as _x_hyb,
-    corpus_distinct_hll as _x_hll,
     dedup_jaccard_prefix as _x_ppj,
     dedup_jaccard_prefix_collapsed as _x_ppjc,
-    dedup_repeated_segments as _x_segs,
     vocab_jaccard_kmv as _x_kmvj,
 )
 
@@ -198,10 +205,11 @@ EXTRA_ENTRIES = {
     # dsir_select left the extras at its round-9 catalog admission;
     # ivf_pq_probe_stored left at its round-10 admission; the round-11
     # backlog fix moved bloom, events-KMV, k-center, pagerank, CMS
-    # heavy hitters, BPE, MMR, and winnowing into the catalog (three
-    # fronting r11, five staged for r12 — see PARITY.md's ledger).
-    "ivf_probe_appended": _x_ivf_apd,
-    "corpus_distinct_hll": _x_hll,
+    # heavy hitters, BPE, MMR, and winnowing into the catalog; round 12
+    # moved ivf_probe_appended, embedding_kmeanspar_init,
+    # dedup_repeated_segments, corpus_distinct_hll, and
+    # streaming_running_totals_stateful in (staged, front r13 — see
+    # PARITY.md's ledger).
     "bm25_search": _x_bm25,
     "dedup_lsh_probe_stored": _x_lshdx,
     "streaming_distinct_hll": _x_shll,
@@ -210,9 +218,6 @@ EXTRA_ENTRIES = {
     "sample_priority_topk": _x_prio,
     "streaming_value_quantiles_kmv": _x_skmv,
     "streaming_heavy_hitters_cms": _x_scms,
-    "dedup_repeated_segments": _x_segs,
-    "streaming_running_totals_stateful": _x_ssrt,
-    "embedding_kmeanspar_init": _x_kmpar,
     "events_value_winsorized": _x_wins,
     "vocab_jaccard_kmv": _x_kmvj,
     "ann_ivf_pq_refined": _x_pqref,

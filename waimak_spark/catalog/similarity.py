@@ -749,4 +749,16 @@ ENTRIES = {
         "fn": sample_mmr_diverse,
         "oracle": _mmr_oracle(),
     },
+    # round-12 STAGED admissions (front round 13 per the rotation ledger)
+    "ivf_probe_appended": {
+        "fn": ann_ivf_probe_appended,
+        # index(A) ∪ index(B) == index(A ∪ B) exactly (union-commutes
+        # test-locked), so the STATIC full-corpus probe SQL certifies the
+        # appended index verbatim
+        "oracle": _ivf_probe_appended_oracle(),
+    },
+    "embedding_kmeanspar_init": {
+        "fn": embedding_kmeanspar_init,
+        "oracle": _kmeanspar_oracle(),
+    },
 }

@@ -834,4 +834,9 @@ ENTRIES = {
         "fn": streaming_trade_quote_join,
         "oracle": STREAMING_SSJ_ORACLE,
     },
+    # round-12 STAGED admission (fronts round 13 per the rotation ledger)
+    "streaming_running_totals_stateful": {
+        "fn": streaming_running_totals_stateful,
+        "oracle": STREAMING_STATEFUL_TOTALS_ORACLE,
+    },
 }

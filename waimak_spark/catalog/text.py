@@ -481,4 +481,9 @@ ENTRIES = {
     "bpe_merges": {"fn": bpe_merges, "oracle": None},
     "doc_winnow_fingerprints": {"fn": doc_winnow_fingerprints,
                                 "oracle": _winnow_oracle()},
+    # round-12 STAGED admissions (front round 13 per the rotation ledger)
+    "corpus_distinct_hll": {"fn": corpus_distinct_hll,
+                            "oracle": _distinct_hll_oracle()},
+    "dedup_repeated_segments": {"fn": dedup_repeated_segments,
+                                "oracle": _repeated_segments_oracle()},
 }
