@@ -196,3 +196,42 @@ class TestPagerankRobustness:
             [Row(src=1, dst=2, w=1.0), Row(src=2, dst=2, w=1.0)])
         got = {r.node: r.rank for r in pagerank(edges).collect()}
         assert 1 in got and got[1] > 0
+
+    def test_unbounded_path_keeps_shuffle_plan(self, spark, sf_dir,
+                                               monkeypatch):
+        """VERDICT r11 #7: the n > PAGERANK_BROADCAST_MAX_NODES branch
+        (the 100 TB shape) had zero plan coverage — sandbox node counts
+        always take the broadcast matvec.  Shrink the cap to force the
+        unbounded branch and lock its shape: no broadcast exchange
+        anywhere in the iteration plan (rank, out-weight and contrib
+        frames all stay shuffle-joined; the dst repartition of the
+        transition frame is gated on the same `bounded` flag in
+        graph.py, so skipping broadcast skips it too), with the
+        auto-broadcast threshold disabled as it effectively is at scale.
+        Values must be bit-identical to the bounded path — the branch
+        changes data DISTRIBUTION, never arithmetic."""
+        import waimak_spark.functions.graph as G
+        from waimak_spark.functions.graph import copurchase_edges
+
+        from waimak_spark.functions.cache_registry import release_tracked
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        bounded = pagerank(copurchase_edges(li, orders)).collect()
+        # drop the bounded run's persisted frames: the cache manager
+        # would otherwise serve the second run the FIRST run's cached
+        # plans (compiled with broadcasting enabled)
+        release_tracked()
+        spark.catalog.clearCache()
+        monkeypatch.setattr(G, "PAGERANK_BROADCAST_MAX_NODES", 0)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = pagerank(copurchase_edges(li, orders))
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            unbounded = df.collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastExchange" not in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert sorted(map(tuple, bounded)) == sorted(map(tuple, unbounded))

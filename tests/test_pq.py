@@ -316,16 +316,16 @@ def test_catalog_wrapper_matches_its_admission_oracle(spark, sf_dir):
             assert gv == pytest.approx(wv, abs=1e-9)
 
 
-def test_round11_rotation_executed():
-    """Test-lock the round-11 rotation as EXECUTED (VERDICT r10 #1 + #2):
-    the staged PQ probe fronts FIRST (its first official row), the three
-    same-round admissions (`dedup_bloom_against_corpus` per the original
-    runway, `events_value_quantiles_kmv` and `sample_kcenter_diverse`
-    pulled forward by the backlog fix) sit in the window in the slots
-    freed by the three r11-forced retirements, all admitted entries left
-    EXTRA_ENTRIES, the `ann_int8_recall` retirement holds, and the window
-    arithmetic holds: 1 fronted stage + 3 admissions + 46 survivors = 50,
-    with five fresh admissions staged for round 12."""
+def test_round12_rotation_executed():
+    """Test-lock the round-12 rotation as EXECUTED (VERDICT r11 #5: the
+    rotation follows the committed PARITY ledger exactly): the five
+    round-11 staged admissions front the window for their first official
+    rows, the five r12 retirements left the catalog for RETIRED_ENTRIES
+    (still DuckDB-lockstep-tested every run), their freed slots admitted
+    the next five ledger stagings (new entries, staged to front round
+    13), and every admitted entry left EXTRA_ENTRIES.  Window
+    arithmetic: 5 fronted stagings + 45 surviving r10-latest entries =
+    50, zero free slots, five fresh admissions staged."""
     from waimak_spark.catalog import (
         ALL_ENTRIES,
         EXTRA_ENTRIES,
@@ -335,32 +335,36 @@ def test_round11_rotation_executed():
 
     names = list(ALL_ENTRIES)
     assert len(names) == 100
-    assert names[0] == "ann_ivf_pq_probe_stored", \
-        "the round-10 staged admission fronts first in round 11"
     window = set(names[:50])
-    for adm in ("dedup_bloom_against_corpus", "events_value_quantiles_kmv",
-                "sample_kcenter_diverse"):
-        assert adm in window, f"{adm} admitted this round but not fronted"
-    assert STAGED_NEXT_ROUND == (
+    assert names[:5] == [
         "copurchase_pagerank", "corpus_heavy_hitters", "bpe_merges",
-        "sample_mmr_diverse", "doc_winnow_fingerprints")
+        "sample_mmr_diverse", "doc_winnow_fingerprints"], \
+        "the round-11 staged admissions front first in round 12"
+    assert STAGED_NEXT_ROUND == (
+        "ivf_probe_appended", "embedding_kmeanspar_init",
+        "dedup_repeated_segments", "corpus_distinct_hll",
+        "streaming_running_totals_stateful")
     for s in STAGED_NEXT_ROUND:
         assert s in ALL_ENTRIES and s not in window, s
     # an admitted entry leaves EXTRA_ENTRIES the round it is admitted
-    for gone in ("bloom_dedup_against_corpus", "events_value_quantiles_kmv",
-                 "sample_kcenter_diverse", "copurchase_pagerank",
-                 "corpus_heavy_hitters", "bpe_merges", "sample_mmr_diverse",
-                 "doc_winnow_fingerprints", "ivf_pq_probe_stored"):
+    for gone in ("copurchase_pagerank", "corpus_heavy_hitters",
+                 "bpe_merges", "sample_mmr_diverse",
+                 "doc_winnow_fingerprints", "ivf_probe_appended",
+                 "embedding_kmeanspar_init", "dedup_repeated_segments",
+                 "corpus_distinct_hll",
+                 "streaming_running_totals_stateful"):
         assert gone not in EXTRA_ENTRIES, gone
     assert "ann_int8_recall" not in ALL_ENTRIES
     assert "embedding_quantize_int8" in ALL_ENTRIES
-    # the r11-forced retirements freed exactly the three fronted slots;
-    # the r12-forced retirements freed the five staged slots
+    # retirement ledger: r11 freed the three fronted slots + the five
+    # r12-staged slots; the r12 retirements freed the five r13 slots
     r11_freed = {"q12_late_priority", "q17_small_quantity",
-                 "tumbling_window_counts"}
-    r12_freed = {"dedup_simhash_near_dups", "dedup_minhash_verified",
-                 "dedup_ngram_jaccard", "dedup_against_corpus",
-                 "dedup_embedding_cosine"}
+                 "tumbling_window_counts", "dedup_simhash_near_dups",
+                 "dedup_minhash_verified", "dedup_ngram_jaccard",
+                 "dedup_against_corpus", "dedup_embedding_cosine"}
+    r12_freed = {"q15_top_supplier", "q4_priority_exists",
+                 "running_value_per_user", "sample_lang_balanced",
+                 "embedding_centroids"}
     assert r11_freed | r12_freed == set(RETIRED_ENTRIES)
     assert not (r11_freed | r12_freed) & set(ALL_ENTRIES)
 
@@ -385,7 +389,10 @@ def test_round11_bloom_retirement_bookkeeping():
 
     assert "bloom_dedup_against_corpus" not in EXTRA_ENTRIES
     names = list(ALL_ENTRIES)
-    assert "dedup_bloom_against_corpus" in names[:50]
+    # round 12: its first official row landed in CORRECTNESS_r11, so the
+    # entry rotates out of the r12 window like any other r11-latest row —
+    # catalog membership (full lockstep every pytest) is the invariant
+    assert "dedup_bloom_against_corpus" in names
     retired = RETIRED_ENTRIES["dedup_simhash_near_dups"]
     assert retired["retired"] == "r11"
     for w in retired["witnesses"]:

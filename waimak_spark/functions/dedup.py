@@ -1518,7 +1518,15 @@ def bloom_positions(col_sql: str, k: int = BLOOM_HASHES,
     when two seeds collide mod m — callers distinct/dedup as needed).
     ``col_sql`` is a SQL column reference/expression string — the array
     parses as ONE expression instead of k×10 py4j Column builds (the
-    round-11 construction-tax pass; identical tree)."""
+    round-11 construction-tax pass; identical tree).  A ``Column``
+    argument (the pre-round-11 signature) fails loudly here instead of
+    silently interpolating ``Column<...>`` repr into broken SQL
+    (ADVICE r11)."""
+    if isinstance(col_sql, Column):
+        raise TypeError(
+            "bloom_positions takes a SQL expression STRING since the "
+            "round-11 construction-tax pass (e.g. '`text`'); pass "
+            "the column's SQL form, not a Column")
     return F.expr("array(" + ", ".join(
         f"cast({seeded_hash_sexpr(col_sql, _BLOOM_SEED_BASE + i)} % {m} "
         f"as int)" for i in range(k)) + ")")

@@ -28,30 +28,40 @@ PAGERANK_ROUND = 6
 #: supplier node ids are offset into their own range so the bipartite
 #: node sets cannot collide
 SUPP_OFFSET = 1_000_000
-#: plan-cut cadence for the rank frame (kcenter recipe)
+#: plan-cut cadence for the rank frame (kcenter recipe).  The cut is a
+#: ``localCheckpoint`` — non-reliable by design (ADVICE r11): planning
+#: stays O(cadence)-deep, but an executor loss mid-run loses the
+#: truncated-lineage blocks and fails the job instead of recomputing.
+#: A long cluster run that wants fault tolerance should pass
+#: ``materialize=`` (parquet plan-cut) to :func:`pagerank`; the sandbox
+#: keeps the cheap cut.
 PAGERANK_CHECKPOINT_EVERY = 4
 #: broadcast the (node, rank) / (src, out-weight) frames when the graph
 #: has at most this many nodes: one ~16-byte row per node, so 4M nodes
 #: ≈ 64 MB framed — comfortably inside executor memory and far under
 #: Spark's 8 GB broadcast cap; beyond it the loop keeps the shuffle-join
 #: plan (the decision reads the ALREADY-COUNTED node total, so it is
-#: data-derived and scale-adaptive, not a sandbox tuning)
+#: data-derived and scale-adaptive, not a sandbox tuning).  ADVICE r11:
+#: at the cap the per-iteration broadcast BUILD collects ~64 MB of row
+#: objects through the driver — well above the 10 MB auto-broadcast
+#: default but normal explicit-hint territory (guide §3.1: "a few
+#: hundred MB is usually fine"); size the driver accordingly or lower
+#: this cap on memory-tight drivers.
 PAGERANK_BROADCAST_MAX_NODES = 4_000_000
 
 
 def _track_ckpt_release(df: DataFrame) -> None:
     """Register a localCheckpoint'd frame's RDD blocks for
     ``release_tracked()`` — the DataFrame cache manager never frees
-    them (the k-center/fixpoint hygiene recipe)."""
+    them (the k-center/fixpoint hygiene recipe).  Round 12 (ADVICE
+    r11): releases the LogicalRDD's backing RDD via
+    :func:`~waimak_spark.functions.util.free_ckpt_blocks` — the old
+    ``df.rdd.unpersist`` unpersisted a freshly derived javaToPython RDD
+    (storage level NONE) and freed nothing."""
     from .cache_registry import track_release
+    from .util import free_ckpt_blocks
 
-    def _free(d=df):
-        try:
-            d.rdd.unpersist(False)
-        except Exception:
-            pass
-
-    track_release(_free)
+    track_release(lambda d=df: free_ckpt_blocks(d))
 
 
 def copurchase_edges(lineitem: DataFrame, orders: DataFrame,
@@ -199,10 +209,9 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
             cut = r.localCheckpoint(eager=True)
             _track_ckpt_release(cut)
             if prev_cut is not None:
-                try:
-                    prev_cut.rdd.unpersist(False)
-                except Exception:
-                    pass
+                from .util import free_ckpt_blocks
+
+                free_ckpt_blocks(prev_cut)  # superseded cut: free NOW
             prev_cut, r = cut, cut
     return r.orderBy("node")
 

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from .util import dmat_lit, dvec_lit
+from .util import dmat_lit, dvec_lit, dvec_sexpr
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -44,6 +44,16 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
+
+
+def dot_sexpr(a: str, b: str) -> str:
+    """Spark-SQL fragment matching :func:`dot` — the whole sequential
+    dot parses as ONE expression instead of the ~60 py4j round-trips the
+    Column/lambda form pays per construction (round-11 F6 recipe; the
+    ``cast(0.0D as double)`` zero matches ``F.lit(0.0).cast("double")``
+    exactly, the same pairing `_pq_unit_base` plan-locks)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"cast(0.0D as double), (acc, v) -> acc + v)")
 
 
 def as_double(col: Column) -> Column:
@@ -202,23 +212,24 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     from .dedup import spread_for_compute
 
     emb = valid_embeddings(emb, dims, vec_col)
-    v = as_double(F.col(vec_col))
-    base = spread_for_compute(emb).select(F.col(id_col), v.alias("v"))
+    base = spread_for_compute(emb).selectExpr(
+        f"`{id_col}`", f"cast(`{vec_col}` as array<double>) as v")
     # carry each vector's norm so the per-candidate expression does one dot
     # product instead of three (self-dots are interpreted HOFs with no CSE);
-    # sqrt-then-multiply keeps the result IEEE-identical to the inline form
-    base = base.select("*", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    # sqrt-then-multiply keeps the result IEEE-identical to the inline form.
+    # Projections parse as ONE SQL string each (round-11 F6: the
+    # Column/lambda dot paid ~112 py4j round-trips per construction)
+    base = base.selectExpr("*", f"sqrt({dot_sexpr('v', 'v')}) as nrm")
     queries = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    sim = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
     scored = (
         base.crossJoin(F.broadcast(queries))
         .where(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"),
-                sim.alias("cosine_sim"))
+        .selectExpr("query_id", f"`{id_col}` as neighbor_id",
+                    f"round({dot_sexpr('qv', 'v')} / (qn * nrm), 4) "
+                    f"as cosine_sim")
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -379,11 +390,13 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
 
     def _free_ckpt(df: DataFrame) -> None:
         # localCheckpoint blocks live in the RDD block manager — the
-        # DataFrame cache manager (clearCache/unpersist) never frees them
-        try:
-            df.rdd.unpersist(False)
-        except Exception:
-            pass
+        # DataFrame cache manager (clearCache/unpersist) never frees
+        # them.  Round 12 (ADVICE r11): release the LogicalRDD's backing
+        # RDD — the old df.rdd.unpersist freed a derived javaToPython
+        # RDD (storage level NONE), i.e. nothing.
+        from .util import free_ckpt_blocks
+
+        free_ckpt_blocks(df)
 
     # ONE checkpoint of the symmetric expansion (round 6): the caller's
     # ``pairs`` is usually the LAZY candidate pipeline (LSH/simhash), and
@@ -823,13 +836,14 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     # candidate scoring stays a JVM expression: the candidate set repeats
     # each query vector ~N·nprobe/n_centroids times, so an Arrow kernel
     # would re-ship ~2 full vectors per candidate row (measured 150 MB of
-    # serde at sf0.1 — 4× slower than the interpreted one-dot-per-pair)
-    sim = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
+    # serde at sf0.1 — 4× slower than the interpreted one-dot-per-pair).
+    # One parsed SQL string (round-11 F6: the Column/lambda dot paid
+    # ~112 py4j round-trips per construction)
     cand = (base.join(F.broadcast(queries), "cell")
             .where(F.col(id_col) != F.col("query_id"))
-            .select("query_id", F.col(id_col).alias("neighbor_id"),
-                    sim.alias("cosine_sim")))
+            .selectExpr("query_id", f"`{id_col}` as neighbor_id",
+                        f"round({dot_sexpr('qv', 'v')} / (qn * nrm), 4) "
+                        f"as cosine_sim"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
                                           F.asc("neighbor_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -928,12 +942,11 @@ def ivf_topk_from_index(index: DataFrame, query_src: DataFrame,
                           for r in queries.select("cell").distinct()
                           .collect()})
     pruned = index.where(F.col("cell").isin(probe_cells))
-    sim = F.round(
-        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4)
     cand = (pruned.join(F.broadcast(queries), "cell")
             .where(F.col(id_col) != F.col("query_id"))
-            .select("query_id", F.col(id_col).alias("neighbor_id"),
-                    sim.alias("cosine_sim")))
+            .selectExpr("query_id", f"`{id_col}` as neighbor_id",
+                        f"round({dot_sexpr('qv', 'v')} / (qn * nrm), 4) "
+                        f"as cosine_sim"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"),
                                           F.asc("neighbor_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -1372,16 +1385,20 @@ def kmeans_exemplars(emb: DataFrame, k: int = KMEANS_K,
 
     base, Wc = _kmeans_fit(emb, k, n_iters, dims, id_col, vec_col,
                            materialize)
+    from .util import dmat_sexpr
+
     assigned = base.withColumn(
         "cluster", _kmeans_assign_kernel(Wc)(F.col("v")))
-    cent = F.element_at(dmat_lit(Wc), F.col("cluster"))
-    n2 = F.element_at(dvec_lit(_seq_norms(Wc)), F.col("cluster"))
-    d2 = F.round(
-        dot(F.col("v"), F.col("v"))
-        - 2.0 * dot(F.col("v"), cent)
-        + n2, 4)
+    # one parsed SQL string (round-11 F6: two Column/lambda dots paid
+    # ~224 py4j round-trips per construction); 2.0D * x is bit-identical
+    # whichever operand order the tree takes — IEEE multiply commutes
+    cent_s = f"element_at({dmat_sexpr(Wc)}, cluster)"
+    n2_s = f"element_at({dvec_sexpr(_seq_norms(Wc))}, cluster)"
+    d2_s = (f"round({dot_sexpr('v', 'v')} "
+            f"- 2.0D * {dot_sexpr('v', cent_s)} "
+            f"+ {n2_s}, 4)")
     w = W.partitionBy("cluster").orderBy(F.asc("dist"), F.asc("id"))
-    return (assigned.select("cluster", "id", d2.alias("dist"))
+    return (assigned.selectExpr("cluster", "id", f"{d2_s} as dist")
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= n_exemplars)
             .select("cluster", "rank", F.col("id").alias(id_col), "dist"))
@@ -2178,9 +2195,8 @@ def ivf_pq_refined_topk(emb: DataFrame, books: list[list[list[float]]],
                .join(F.broadcast(short.select("query_id", "neighbor_id")),
                      "neighbor_id")
                .join(F.broadcast(qv), "query_id")
-               .select("query_id", "neighbor_id",
-                       F.round(dot(F.col("_nv"), F.col("_qv")), 4)
-                       .alias("score")))
+               .selectExpr("query_id", "neighbor_id",
+                           f"round({dot_sexpr('_nv', '_qv')}, 4) as score"))
     w = W.partitionBy("query_id").orderBy(F.desc("score"),
                                           F.asc("neighbor_id"))
     return (refined.withColumn("rank", F.row_number().over(w))
@@ -2313,14 +2329,18 @@ def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dims: int = 64,
     cur = base
     recent_ids = [first[0][id_col]]  # chosen since the last plan cut
     prev_cut: DataFrame | None = None
+    # per-iteration expressions parse as ONE SQL string each (round-11
+    # F6 recipe — the Column/lambda dot paid ~60 py4j round-trips per
+    # iteration; identical trees, trace locked in tests/test_kcenter.py)
+    id_s = f"`{id_col}`"
     for rank in range(2, k + 1):
-        lit_vec = dvec_lit(chosen_vecs[-1])
-        d_new = F.round(F.lit(1.0) - dot(F.col("v"), lit_vec),
-                        KCENTER_ROUND)
-        cur = cur.withColumn(
-            "_md", d_new if rank == 2 else F.least(F.col("_md"), d_new))
+        d_new = (f"round(1.0D - {dot_sexpr('v', dvec_sexpr(chosen_vecs[-1]))}"
+                 f", {KCENTER_ROUND})")
+        md = d_new if rank == 2 else f"least(_md, {d_new})"
+        cur = cur.selectExpr(id_s, "v", f"{md} as _md")
         live = (cur if not recent_ids
-                else cur.where(~F.col(id_col).isin(recent_ids)))
+                else cur.where(
+                    f"{id_s} not in ({', '.join(map(str, recent_ids))})"))
         top = (live.orderBy(F.desc("_md"), F.asc(id_col))
                .select(id_col, "v", "_md")
                .limit(1).collect())
@@ -2332,8 +2352,9 @@ def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dims: int = 64,
         if rank < k and (rank - 1) % checkpoint_every == 0:
             # plan cut: store the survivors' evaluated _md doubles (the
             # same rounded values the expression chain would re-derive)
-            cut = mat(cur.where(~F.col(id_col).isin(recent_ids))
-                      .select(id_col, "v", "_md"))
+            cut = mat(cur.where(
+                f"{id_s} not in ({', '.join(map(str, recent_ids))})")
+                .select(id_col, "v", "_md"))
             cut.count()  # materialize NOW, while the old cache is live
             if prev_cut is not None:
                 try:
@@ -2492,19 +2513,24 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
         base = base.where(F.col(id_col) != seed[0][id_col])
     else:
         qv = [float(x) for x in query_vec]
-    qlit = dvec_lit(qv)
-    scored = base.select(
-        id_col, "v", F.round(dot(F.col("v"), qlit), MMR_ROUND)
-        .alias("rel"))
+    # per-construction expressions parse as ONE SQL string each
+    # (round-11 F6 recipe — the Column/lambda dot paid ~60 py4j
+    # round-trips per iteration; identical trees, trace locked in
+    # tests/test_mmr.py)
+    id_s = f"`{id_col}`"
+    lam_s, one_minus_lam_s = (repr(float(lam)) + "D",
+                              repr(1.0 - float(lam)) + "D")
+    scored = base.selectExpr(
+        id_s, "v",
+        f"round({dot_sexpr('v', dvec_sexpr(qv))}, {MMR_ROUND}) as rel")
     if pool is not None:
         # distributed top-M (TakeOrderedAndProject: per-partition
         # partial top-M, then merge) — never a global sort
         scored = scored.orderBy(F.desc("rel"), F.asc(id_col)) \
                        .limit(int(pool))
     cand = mat(scored)
-    first = (cand.select(id_col, "v", "rel",
-                         F.round(F.lit(lam) * F.col("rel"), MMR_ROUND)
-                         .alias("_sc"))
+    first = (cand.selectExpr(id_s, "v", "rel",
+                             f"round({lam_s} * rel, {MMR_ROUND}) as _sc")
              .orderBy(F.desc("rel"), F.asc(id_col)).limit(1).collect())
     if not first:
         return emb.sparkSession.createDataFrame(
@@ -2515,17 +2541,17 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
     recent_ids = [first[0][id_col]]
     prev_cut: DataFrame | None = None
     for rank in range(2, k + 1):
-        lit_vec = dvec_lit(chosen_vecs[-1])
-        s_new = F.round(dot(F.col("v"), lit_vec), MMR_ROUND)
-        cur = cur.withColumn(
-            "_ms", s_new if rank == 2 else F.greatest(F.col("_ms"), s_new))
+        s_new = (f"round({dot_sexpr('v', dvec_sexpr(chosen_vecs[-1]))}, "
+                 f"{MMR_ROUND})")
+        ms = s_new if rank == 2 else f"greatest(_ms, {s_new})"
+        cur = cur.selectExpr(id_s, "v", "rel", f"{ms} as _ms")
         live = (cur if not recent_ids
-                else cur.where(~F.col(id_col).isin(recent_ids)))
-        top = (live.select(
-                   id_col, "v", "rel", "_ms",
-                   F.round(F.lit(lam) * F.col("rel")
-                           - F.lit(1.0 - lam) * F.col("_ms"), MMR_ROUND)
-                   .alias("_sc"))
+                else cur.where(
+                    f"{id_s} not in ({', '.join(map(str, recent_ids))})"))
+        top = (live.selectExpr(
+                   id_s, "v", "rel", "_ms",
+                   f"round({lam_s} * rel - {one_minus_lam_s} * _ms, "
+                   f"{MMR_ROUND}) as _sc")
                .orderBy(F.desc("_sc"), F.asc(id_col))
                .limit(1).collect())
         if not top:  # corpus smaller than k
@@ -2534,8 +2560,9 @@ def mmr_select(emb: DataFrame, k: int = MMR_K, lam: float = MMR_LAMBDA,
         chosen_vecs.append(list(top[0]["v"]))
         recent_ids.append(top[0][id_col])
         if rank < k and (rank - 1) % checkpoint_every == 0:
-            cut = mat(cur.where(~F.col(id_col).isin(recent_ids))
-                      .select(id_col, "v", "rel", "_ms"))
+            cut = mat(cur.where(
+                f"{id_s} not in ({', '.join(map(str, recent_ids))})")
+                .select(id_col, "v", "rel", "_ms"))
             cut.count()  # materialize NOW, while the old cache is live
             if prev_cut is not None:
                 try:
@@ -2673,7 +2700,7 @@ def kmeanspar_oversample(emb: DataFrame, k: int = KMEANSPAR_K,
         raise ValueError(f"oversample*k={oversample * k} must be >= 1")
     from .cache_registry import tracked_persist
 
-    from .text import seeded_hash
+    from .text import seeded_hash_sexpr
 
     mat = materialize or tracked_persist
     base = mat(_pq_unit_base(emb, dims, id_col, vec_col))
@@ -2685,19 +2712,27 @@ def kmeanspar_oversample(emb: DataFrame, k: int = KMEANSPAR_K,
     new_vecs = [list(seed_row[0]["v"])]
     all_vecs = {seed_row[0][id_col]: new_vecs[0]}
     cur = base
+    # every per-round expression parses as ONE SQL string (round-11 F6
+    # recipe): the Column/lambda form paid ~60 py4j round-trips per dot
+    # construction x l new candidates x rounds, plus the O(rounds*l)
+    # struct literals of the weighting pass — ~9.7k round-trips of pure
+    # driver time per construction (tools/rt_sweep.py, round 12);
+    # identical expression trees, locked by the DuckDB lockstep oracle
+    # and the pure-python reference test
+    id_s = f"`{id_col}`"
     for r in range(1, rounds + 1):
-        d_exprs = [
-            F.round(F.lit(2.0) - F.lit(2.0)
-                    * dot(F.col("v"), dvec_lit(c)), 4)
+        d_terms = [
+            f"round(2.0D - 2.0D * {dot_sexpr('v', dvec_sexpr(c))}, 4)"
             for c in new_vecs]
-        d_new = d_exprs[0] if len(d_exprs) == 1 else F.least(*d_exprs)
-        cur = cur.withColumn(
-            "_d2", d_new if r == 1 else F.least(F.col("_d2"), d_new))
-        u = ((seeded_hash(F.col(id_col).cast("string"), seed + r) + 1)
-             / F.lit(4294967297.0))
-        key = F.round(F.log(u) / F.col("_d2"), 6) + F.lit(0.0)
-        picked = (cur.where(F.col("_d2") > 0)
-                  .select(id_col, "v", key.alias("_key"))
+        d_new = (d_terms[0] if len(d_terms) == 1
+                 else "least(" + ", ".join(d_terms) + ")")
+        d2 = d_new if r == 1 else f"least(_d2, {d_new})"
+        cur = cur.selectExpr(id_s, "v", f"{d2} as _d2")
+        h = seeded_hash_sexpr(f"cast({id_s} as string)", seed + r)
+        u = f"(({h}) + 1) / 4294967297.0D"
+        key = f"round(ln({u}) / _d2, 6) + 0.0D"
+        picked = (cur.where("_d2 > 0")
+                  .selectExpr(id_s, "v", f"{key} as _key")
                   .orderBy(F.desc("_key"), F.asc(id_col))
                   .limit(l).collect())  # bounded: exactly <= l rows
         if not picked:
@@ -2708,20 +2743,23 @@ def kmeanspar_oversample(emb: DataFrame, k: int = KMEANSPAR_K,
             all_vecs[p[id_col]] = list(p["v"])
     # weighting pass: nearest candidate per corpus point (one map over
     # the persisted base; the candidate literal is O(rounds*l) structs)
-    assign = F.sort_array(F.array(*[
-        F.struct(
-            F.round(F.lit(2.0) - F.lit(2.0)
-                    * dot(F.col("v"), dvec_lit(v)), 4)
-            .alias("d"),
-            F.lit(cid).cast("long").alias("cid"))
-        for cid, v in all_vecs.items()]))[0]["cid"]
+    structs = ", ".join(
+        f"named_struct('d', round(2.0D - 2.0D * "
+        f"{dot_sexpr('v', dvec_sexpr(v))}, 4), "
+        f"'cid', cast({int(cid)} as bigint))"
+        for cid, v in all_vecs.items())
     counts = {r["cand_id"]: r["n"] for r in
-              base.select(assign.alias("cand_id"))
+              base.selectExpr(
+                  f"sort_array(array({structs}))[0].cid as cand_id")
               .groupBy("cand_id").agg(F.count("*").alias("n"))
               .collect()}  # bounded: <= len(cands) rows
     out = [(int(cid), rr, int(counts.get(cid, 0))) for cid, rr in cands]
-    return emb.sparkSession.createDataFrame(
-        sorted(out), "cand_id long, sample_round int, n_assigned bigint")
+    # bounded local rows: Arrow-backed frame, not Python-evaluated slices
+    from .util import local_rows_df
+
+    return local_rows_df(
+        emb.sparkSession, sorted(out),
+        "cand_id long, sample_round int, n_assigned bigint")
 
 
 def kmeanspar_oversample_sql(k: int = KMEANSPAR_K,
