@@ -321,3 +321,59 @@ class TestStreamingKmv:
         want = [tuple(r) for r in
                 con.execute(_streaming_kmv_oracle()).fetchall()]
         assert got == want and len(got) > 0
+
+
+class TestCertifyFastPath:
+    """Round-12 (VERDICT r11 #9): the certify=False sketch-only path is
+    the explicit 100 TB production shape — (group, q, est_q) with no
+    persisted projection, no corpus-wide rank window, no exact side.
+    Its estimates must be BIT-identical to the certified report's est_q
+    column (shared pick-rule code), for both sample families."""
+
+    def test_bottomk_estimates_match_certified(self, spark, sf_dir):
+        from waimak_spark.catalog.events import _events_raw
+        from waimak_spark.functions.sketch import kmv_quantiles
+
+        ev = _events_raw(spark, sf_dir)
+        certified = {(r["event_type"], r["q"]): r["est_q"]
+                     for r in kmv_quantiles(ev).collect()}
+        fast = {(r["event_type"], r["q"]): r["est_q"]
+                for r in kmv_quantiles(ev, certify=False).collect()}
+        assert fast == certified and len(fast) > 0
+
+    def test_bucket_estimates_match_certified(self, spark, sf_dir):
+        from waimak_spark.catalog.events import _events_raw
+        from waimak_spark.functions.sketch import kmv_bucket_quantiles
+
+        ev = _events_raw(spark, sf_dir)
+        certified = {(r["event_type"], r["q"]): r["est_q"]
+                     for r in kmv_bucket_quantiles(ev).collect()}
+        fast = {(r["event_type"], r["q"]): r["est_q"]
+                for r in kmv_bucket_quantiles(ev, certify=False).collect()}
+        assert fast == certified and len(fast) > 0
+
+    def test_fast_path_plan_has_no_full_rank_window(self, spark, sf_dir):
+        """The point of the option: the sketch-only plan must not carry
+        the corpus-wide per-group rank window or the cache write — one
+        window over the bounded salted sample only."""
+        from waimak_spark.catalog.events import _events_raw
+        from waimak_spark.functions.sketch import kmv_quantiles
+        from waimak_spark.functions.cache_registry import \
+            release_tracked
+
+        # the certified runs above may have left their persisted
+        # projection cached; the cache manager would transparently
+        # substitute it into the fast path's identical subplan and
+        # fake an InMemoryRelation here
+        release_tracked()
+        spark.catalog.clearCache()
+        df = kmv_quantiles(_events_raw(spark, sf_dir), certify=False)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryRelation" not in plan
+        # ONE corpus pass: the certified plan reads the persisted
+        # projection for the exact rank AND the sample; the sketch-only
+        # plan scans events exactly once into the salted bottom-k
+        assert plan.count("FileScan parquet") == 1, plan
+        # and every rank window is group-limit-bounded (the salted
+        # bottom-k) — no unbounded corpus-wide sort window survives
+        assert "WindowGroupLimit" in plan

@@ -89,6 +89,16 @@ def pairs_of(sorted_arr: Column) -> Column:
     )
 
 
+def pairs_of_sexpr(arr: str) -> str:
+    """Spark-SQL fragment matching :func:`pairs_of` — the nested-lambda
+    Column form paid ~100 py4j round-trips per construction (round-11 F6
+    recipe); one parsed string, identical tree modulo lambda-variable
+    names."""
+    return (f"flatten(transform({arr}, (x, i) -> "
+            f"transform(slice({arr}, i + 2, size({arr})), "
+            f"y -> named_struct('a', x, 'b', y))))")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup: hash-groupBy on full content
 # ---------------------------------------------------------------------------
@@ -341,8 +351,8 @@ def lsh_candidate_pairs(sig: DataFrame, seeds: list[int] = DEFAULT_SEEDS,
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
     return (
-        buckets.select(F.explode(pairs_of(F.col("ids"))).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        buckets.selectExpr(f"explode({pairs_of_sexpr('ids')}) as p")
+        .selectExpr("p.a as doc_a", "p.b as doc_b")
         .distinct()
     )
 
@@ -721,19 +731,17 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
     # materialize the (tiny: id + one long) signature before fanning it out
     # into 4 segment references — same no-CSE reasoning as in LSH banding
     sig = tracked_persist(sig)
-    segs = F.array(*[
-        F.struct(
-            F.lit(s).alias("seg"),
-            F.shiftright("simhash", shift).bitwiseAND(
-                F.lit((1 << width) - 1)).alias("segv"),
-        )
-        for s, (shift, width) in enumerate(_SEGMENTS)
-    ])
+    # one parsed SQL string per projection (round-11 F6 recipe): the
+    # Column forms — 4 shiftright/bitwiseAND structs + the nested-lambda
+    # pairs_of — paid ~700 py4j round-trips per construction
+    segs_s = "array(" + ", ".join(
+        f"named_struct('seg', {s}, 'segv', "
+        f"shiftright(simhash, {shift}) & {(1 << width) - 1})"
+        for s, (shift, width) in enumerate(_SEGMENTS)) + ")"
     parts = (
-        sig.select(F.col(id_col).alias("id"), F.col("simhash"),
-                   F.explode(segs).alias("s"))
-        .select("id", "simhash", F.col("s.seg").alias("seg"),
-                F.col("s.segv").alias("segv"))
+        sig.selectExpr(f"`{id_col}` as id", "simhash",
+                       f"explode({segs_s}) as s")
+        .selectExpr("id", "simhash", "s.seg as seg", "s.segv as segv")
     )
     # precount window before collecting (bounded aggregation buffers —
     # same skew-safety reasoning as in lsh_candidate_pairs)
@@ -744,14 +752,11 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = DEFAULT_MAX_HAMMING,
         bounded.groupBy("seg", "segv")
         .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
     )
-    p = F.explode(pairs_of(F.col("ms"))).alias("p")
-    ham = F.bit_count(
-        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
-    ).cast("int")
     return (
-        buckets.select(p)
-        .select(F.col("p.a.id").alias("doc_a"), F.col("p.b.id").alias("doc_b"),
-                ham.alias("hamming"))
+        buckets.selectExpr(f"explode({pairs_of_sexpr('ms')}) as p")
+        .selectExpr("p.a.id as doc_a", "p.b.id as doc_b",
+                    "cast(bit_count(p.a.simhash ^ p.b.simhash) as int) "
+                    "as hamming")
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -862,7 +867,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.size("ids") >= 2)
     )
     shared = (
-        buckets.select(F.explode(pairs_of(F.col("ids"))).alias("p"))
+        buckets.selectExpr(f"explode({pairs_of_sexpr('ids')}) as p")
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )

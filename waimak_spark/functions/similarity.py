@@ -284,7 +284,7 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
     the exchange is reused — one shuffle total, no self-join."""
     from pyspark.sql import Window as W
 
-    from ..functions.dedup import pairs_of, spread_for_compute
+    from ..functions.dedup import spread_for_compute
 
     emb = valid_embeddings(emb, dims, vec_col)
     v = as_double(F.col(vec_col))
@@ -308,13 +308,13 @@ def lsh_ann_pairs(emb: DataFrame, n_planes: int = DEFAULT_PLANES,
         .agg(F.sort_array(
             F.collect_list(F.struct(id_col, "v", "nrm"))).alias("ms"))
     )
-    p = F.explode(pairs_of(F.col("ms"))).alias("p")
-    pairs = buckets.select(p).select(
-        F.col(f"p.a.{id_col}").alias("id_a"),
-        F.col(f"p.b.{id_col}").alias("id_b"),
-        F.col("p.a.v").alias("va"), F.col("p.b.v").alias("vb"),
-        F.col("p.a.nrm").alias("na"), F.col("p.b.nrm").alias("nb"),
-    )
+    from ..functions.dedup import pairs_of_sexpr
+
+    pairs = (buckets.selectExpr(f"explode({pairs_of_sexpr('ms')}) as p")
+             .selectExpr(f"p.a.`{id_col}` as id_a",
+                         f"p.b.`{id_col}` as id_b",
+                         "p.a.v as va", "p.b.v as vb",
+                         "p.a.nrm as na", "p.b.nrm as nb"))
     # one Arrow-batched dot per pair; norms were computed once per vector
     sim = F.round(
         _pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
@@ -414,10 +414,12 @@ def resolve_duplicates_fixpoint(ids: DataFrame, pairs: DataFrame,
     # either way min-over-x's-peers ≤ a at the next hop.  So each hop is
     # still ONE join + ONE groupBy, without the self-loop union, its
     # distinct shuffle, or a second materialization pass.
-    edges = (pairs.select(F.explode(F.array(
-        F.struct(F.col("id_a").alias("id"), F.col("id_b").alias("peer")),
-        F.struct(F.col("id_b").alias("id"), F.col("id_a").alias("peer")),
-    )).alias("e")).select("e.id", "e.peer")
+    # one parsed SQL string (round-11 F6 recipe: the struct/explode
+    # Column form paid ~50 py4j round-trips per construction)
+    edges = (pairs.selectExpr(
+        "explode(array(named_struct('id', id_a, 'peer', id_b), "
+        "named_struct('id', id_b, 'peer', id_a))) as e")
+        .selectExpr("e.id", "e.peer")
         .localCheckpoint(eager=True))
     n_edges = edges.count()  # cheap: counts the checkpointed blocks
     if n_edges <= local_max_edges:

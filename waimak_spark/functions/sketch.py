@@ -359,7 +359,8 @@ def hll_report(exact: DataFrame, est: DataFrame,
 
 def hll_distinct_grams(df: DataFrame, text_col: str = "text",
                        group_col: str = "lang", n: int = CMS_NGRAM,
-                       p: int = HLL_P, w: int = HLL_W) -> DataFrame:
+                       p: int = HLL_P, w: int = HLL_W,
+                       certify: bool = True) -> DataFrame:
     """``(lang, n_exact, n_est, within_tol)`` — per-group distinct word
     n-gram counts: the exact count-distinct (the expensive
     run-once-to-certify path at 100 TB) next to the HLL estimate and a
@@ -370,9 +371,23 @@ def hll_distinct_grams(df: DataFrame, text_col: str = "text",
     share ONE tokenize pass — unpersisted, the 10× replica paid the
     interpreted shingle pipeline twice (38.9 → 3.0 s at 10×, 1× ratio
     1.3; the unpersisted 10× figure carried host load, but the 1× side
-    alone reproduced 4.9 → 2.3 s)."""
+    alone reproduced 4.9 → 2.3 s).
+
+    ``certify=False`` is the production 100 TB path made explicit
+    (VERDICT r11 #9): ``(lang, n_est)`` from the registers alone — one
+    tokenize pass into the keyed-max register aggregation, no persist
+    (single consumer), no exact count-distinct.  The estimate is the
+    SAME ``hll_estimate`` expression the certified report embeds, so
+    the values match its ``n_est`` column exactly (locked in
+    tests/test_hll.py)."""
     from .cache_registry import tracked_persist
 
+    if not certify:
+        g = hll_gram_stream(df, text_col, group_col, n)
+        est = hll_estimate(hll_registers(g, "gram", ("grp",), p, w),
+                           ("grp",), p)
+        return (est.select(F.col("grp").alias(group_col), "n_est")
+                .orderBy(group_col))
     g = tracked_persist(hll_gram_stream(df, text_col, group_col, n))
     exact = g.groupBy("grp").agg(
         F.countDistinct("gram").cast("bigint").alias("n_exact"))
@@ -511,7 +526,7 @@ def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
                   value_col: str = "value",
                   group_col: str = "event_type",
                   id_col: str = "event_id", k: int = KMV_K,
-                  seed: int = KMV_SEED) -> DataFrame:
+                  seed: int = KMV_SEED, certify: bool = True) -> DataFrame:
     """``(group, q, n, exact_q, est_q, rank_err, within_tol)`` — per
     group and quantile: the exact type-1 (discrete) quantile from a
     full per-group rank (the run-once CERTIFICATION side), the KMV
@@ -528,7 +543,23 @@ def kmv_quantiles(df: DataFrame, qs: tuple = KMV_QS,
     partial aggregation; the sample side is bounded at ``k`` rows per
     group.  The per-group full-sort window is the certification side
     only — a production 100 TB run keeps the sketch path (one map pass
-    + salted top-k) and certifies on a slice."""
+    + salted top-k) and certifies on a slice.
+
+    ``certify=False`` IS that production path, made explicit (VERDICT
+    r11 #9): returns ``(group, q, est_q)`` from the sketch alone — one
+    map pass + the salted bottom-k, no persist, no corpus-wide rank
+    window, no exact side.  The estimates are computed by the SAME
+    shared pick-rule code the certified report embeds, so they are
+    bit-identical to the report's ``est_q`` column (locked in
+    tests/test_kmv.py)."""
+    if not certify:
+        proj = (df.where(F.col(value_col).isNotNull()
+                         & F.col(group_col).isNotNull())
+                .select(F.col(group_col).alias("g"),
+                        F.col(id_col).alias("id"),
+                        F.col(value_col).alias("v")))
+        samp = kmv_bottomk(proj, "v", "g", "id", k, seed, spread=False)
+        return _kmv_estimates_long(samp, qs, group_col)
     full = _kmv_full(df, value_col, group_col, id_col)
     # sample from the persisted projection (already named g/id/v) so the
     # bottom-k side is a cache read, not a second corpus scan+filter;
@@ -557,6 +588,48 @@ def _kmv_full(df: DataFrame, value_col: str, group_col: str,
                 F.col(value_col).alias("v")))
 
 
+def _kmv_sample_estimates(samp: DataFrame, qs: tuple) -> DataFrame:
+    """Per-group wide estimate frame ``(g, e_<q>...)`` from any bounded
+    ``(g, id, v)`` sample: the same type-1 pick rule the exact side
+    uses, over the sample's own rank.  Shared verbatim by the
+    certification report and the ``certify=False`` sketch-only path so
+    the estimates cannot drift between them (locked in
+    tests/test_kmv.py).  Per-q aggregates as _sexpr strings — one parse
+    each instead of ~10 py4j Column builds (the round-11
+    construction-tax pass; the 1L / ceil(double)->bigint typing matches
+    the Column form exactly)."""
+    from pyspark.sql import Window as W
+
+    ws = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    wn = W.partitionBy("g")
+    # sample size as an unordered window over the SAME g-partition the
+    # rank establishes (guide §2.4: no second exchange, no join) — the
+    # round-11 form aggregated sn separately and broadcast-joined it
+    # back, which also made every unpersisted consumer recompute the
+    # sample subplan twice
+    return (samp.withColumn("_sr", F.row_number().over(ws))
+            .withColumn("sn", F.count("*").over(wn))
+            .groupBy("g").agg(*[
+                F.expr(f"max(case when _sr = greatest(1L, "
+                       f"ceil({float(q)!r} * sn)) then v end)")
+                .alias(f"e_{_qtag(q)}")
+                for q in qs]))
+
+
+def _kmv_estimates_long(samp: DataFrame, qs: tuple,
+                        group_col: str) -> DataFrame:
+    """``(group, q, est_q)`` — the sketch-only answer shape of the
+    ``certify=False`` fast path: one stack over the wide per-group
+    estimates, no corpus-wide rank window, no exact side."""
+    est_wide = _kmv_sample_estimates(samp, qs)
+    stack_args = ", ".join(
+        f"cast({float(q)!r} as double), e_{_qtag(q)}" for q in qs)
+    return (est_wide.select(
+        F.col("g").alias(group_col),
+        F.expr(f"stack({len(qs)}, {stack_args}) as (q, est_q)"))
+        .orderBy(group_col, "q"))
+
+
 def _kmv_report(full: DataFrame, samp: DataFrame, qs: tuple,
                 group_col: str, tol: float) -> DataFrame:
     """The shared certification report over any ``(g, id, v)`` sample
@@ -580,18 +653,7 @@ def _kmv_report(full: DataFrame, samp: DataFrame, qs: tuple,
     # picks, same counts, same rounding.
     wv = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
     wn = W.partitionBy("g")
-    ws = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
-    # per-q aggregates as _sexpr strings — one parse each instead of ~10
-    # py4j Column builds (the round-11 construction-tax pass; the 1L /
-    # ceil(double)->bigint typing matches the Column form exactly)
-    sn = samp.groupBy("g").agg(F.count("*").alias("sn"))
-    est_wide = (samp.withColumn("_sr", F.row_number().over(ws))
-                .join(F.broadcast(sn), "g")
-                .groupBy("g").agg(*[
-                    F.expr(f"max(case when _sr = greatest(1L, "
-                           f"ceil({float(q)!r} * sn)) then v end)")
-                    .alias(f"e_{_qtag(q)}")
-                    for q in qs]))
+    est_wide = _kmv_sample_estimates(samp, qs)
     ranked = (full.withColumn("_rn", F.row_number().over(wv))
               .withColumn("n", F.count("*").over(wn))
               .join(F.broadcast(est_wide), "g"))
@@ -762,10 +824,25 @@ def kmv_bucket_quantiles(df: DataFrame, qs: tuple = KMV_QS,
                          value_col: str = "value",
                          group_col: str = "event_type",
                          id_col: str = "event_id",
-                         b: int = KMV_BUCKETS) -> DataFrame:
+                         b: int = KMV_BUCKETS,
+                         certify: bool = True) -> DataFrame:
     """:func:`kmv_quantiles` with the bucketed-minima sample — the
     report shape and certification gate are identical; the sample is
-    the one a stream maintains as bounded keyed-min state."""
+    the one a stream maintains as bounded keyed-min state.
+    ``certify=False`` returns the sketch-only ``(group, q, est_q)``
+    (one map pass + the keyed-min aggregation, no persist, no exact
+    side) — the estimates are bit-identical to the certified report's
+    ``est_q`` column (shared pick-rule code; locked in
+    tests/test_kmv.py)."""
+    if not certify:
+        proj = (df.where(F.col(value_col).isNotNull()
+                         & F.col(group_col).isNotNull())
+                .select(F.col(group_col).alias("g"),
+                        F.col(id_col).alias("id"),
+                        F.col(value_col).alias("v")))
+        samp = kmv_bucket_minima(proj, "v", "g", "id", b)
+        return _kmv_estimates_long(samp.select("g", "id", "v"), qs,
+                                   group_col)
     full = _kmv_full(df, value_col, group_col, id_col)
     # sample from the persisted projection (already named g/id/v) so
     # the minima side is a cache read, not a second corpus scan
