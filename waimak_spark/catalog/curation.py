@@ -128,19 +128,19 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged projections: interpreted higher-order expressions get no CSE,
     # so tokens and shingles are materialised as column refs before the
     # dup-fraction expressions reference them repeatedly
+    # round 12: every stage parses as ONE SQL string (the F6 recipe —
+    # the Column/lambda forms paid ~790 py4j round-trips; same trees)
     df = _docs(spark, sf_dir)
-    tk = df.select("doc_id", T.tokens(F.col("text")).alias("_t"))
-    sh = tk.select(
+    tk = df.selectExpr("doc_id", f"{T.tokens_sexpr('`text`')} as _t")
+    sh = tk.selectExpr(
         "doc_id", "_t",
-        T.shingles(F.col("_t"), 2).alias("_s2"),
-        T.shingles(F.col("_t"), 3).alias("_s3"),
-    )
-    return sh.select(
+        f"{T.shingles_sexpr('_t', 2)} as _s2",
+        f"{T.shingles_sexpr('_t', 3)} as _s3")
+    return sh.selectExpr(
         "doc_id",
-        C.dup_fraction(F.col("_t")).alias("dup_token_frac"),
-        C.dup_fraction(F.col("_s2")).alias("dup_bigram_frac"),
-        C.dup_fraction(F.col("_s3")).alias("dup_trigram_frac"),
-    )
+        f"{C.dup_fraction_sexpr('_t')} as dup_token_frac",
+        f"{C.dup_fraction_sexpr('_s2')} as dup_bigram_frac",
+        f"{C.dup_fraction_sexpr('_s3')} as dup_trigram_frac")
 
 
 REPETITION_ORACLE = f"""

@@ -48,24 +48,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Staged projections (tokens → shingles → hashes) because interpreted
     higher-order expressions get no CSE: inlined, the tokenize pipeline
     would re-run per element_at reference and the md5 transform would run
-    twice (once under array_min, once under array_max)."""
+    twice (once under array_min, once under array_max).  Each stage
+    parses as ONE SQL string (round-12 construction-tax pass — the
+    Column/lambda forms paid ~650 py4j round-trips per construction;
+    identical trees, oracle-locked)."""
     df = _docs(spark, sf_dir)
-    tk = df.select("doc_id", T.tokens(F.col("text")).alias("_t"))
-    shd = tk.select(
+    tk = df.selectExpr("doc_id", f"{T.tokens_sexpr('`text`')} as _t")
+    shd = tk.selectExpr(
         "doc_id",
-        F.array_distinct(D.shingles(F.col("_t"), D.SHINGLE_N)).alias("_sh"),
-    )
-    hsh = shd.select(
+        f"array_distinct({T.shingles_sexpr('_t', D.SHINGLE_N)}) as _sh")
+    hsh = shd.selectExpr(
         "doc_id",
-        F.transform(F.col("_sh"), lambda s: T.md5_hash32(s)).alias("_h"),
-        F.size("_sh").cast("bigint").alias("n_shingles"),
-    )
-    return hsh.select(
-        "doc_id",
-        F.array_min("_h").alias("fp_min"),
-        F.array_max("_h").alias("fp_max"),
-        "n_shingles",
-    )
+        f"transform(_sh, s -> {T.md5_hash32_sexpr('s')}) as _h",
+        "cast(size(_sh) as bigint) as n_shingles")
+    return hsh.selectExpr(
+        "doc_id", "array_min(_h) as fp_min", "array_max(_h) as fp_max",
+        "n_shingles")
 
 
 FINGERPRINT_ORACLE = f"""

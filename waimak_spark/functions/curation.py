@@ -208,6 +208,16 @@ def dup_fraction(arr: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def dup_fraction_sexpr(arr: str) -> str:
+    """Spark-SQL fragment matching :func:`dup_fraction` — one parsed
+    expression instead of ~60 py4j Column builds (round-11 F6 recipe;
+    identical tree, oracle-locked)."""
+    return (f"case when size({arr}) > 0 then "
+            f"round(1.0D - size(array_distinct(filter({arr}, "
+            f"x -> x is not null))) / size({arr}), 4) "
+            f"else 0.0D end")
+
+
 def dup_fraction_sql(arr_expr: str) -> str:
     return (f"round(case when len({arr_expr}) > 0 then "
             f"1.0 - len(list_distinct({arr_expr}))::DOUBLE / len({arr_expr}) "

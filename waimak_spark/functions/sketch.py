@@ -279,14 +279,17 @@ def hll_registers(df: DataFrame, col: str = "gram",
     (integer string length, no float log), identical in Spark and
     DuckDB."""
     m = 1 << p
-    item = F.col(col)
-    j = (seeded_hash(item, HLL_SEED_REG) % m).cast("int").alias("j")
-    v = seeded_hash(item, HLL_SEED_RHO) % (1 << w)
-    rho = (F.when(v == F.lit(0), F.lit(w + 1))
-           .otherwise(F.lit(w + 1) - F.length(F.bin(v)))).cast("int")
-    return (df.where(item.isNotNull())
-            .groupBy(*group_cols, j)
-            .agg(F.max(rho).alias("r")))
+    # single-parse SQL fragments (round-11 F6 recipe; identical trees —
+    # the v subexpression repeats in both CASE branches exactly as the
+    # Column form's expression tree did)
+    item_s = f"`{col}`"
+    j_s = f"cast(({seeded_hash_sexpr(item_s, HLL_SEED_REG)}) % {m} as int)"
+    v_s = f"({seeded_hash_sexpr(item_s, HLL_SEED_RHO)}) % {1 << w}"
+    rho_s = (f"cast(case when ({v_s}) = 0 then {w + 1} "
+             f"else {w + 1} - length(bin({v_s})) end as int)")
+    return (df.where(F.expr(f"{item_s} is not null"))
+            .groupBy(*group_cols, F.expr(j_s).alias("j"))
+            .agg(F.expr(f"max({rho_s})").alias("r")))
 
 
 def hll_merge(a: DataFrame, b: DataFrame,
@@ -313,15 +316,17 @@ def hll_estimate(reg: DataFrame, group_cols: tuple[str, ...] = (),
     alpha = _hll_alpha(m)
     agg = reg.groupBy(*group_cols).agg(
         F.count("*").alias("_occ"),
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"))
-    denom = F.col("_s") + (F.lit(m) - F.col("_occ"))
-    raw = F.lit(alpha) * F.lit(float(m * m)) / denom
-    v_zero = F.lit(m) - F.col("_occ")
-    est = F.when((raw <= F.lit(2.5 * m)) & (v_zero > F.lit(0)),
-                 F.lit(float(m)) * F.log(F.lit(float(m)) /
-                                         v_zero.cast("double"))
-                 ).otherwise(raw)
-    return agg.select(*group_cols, F.round(est, 4).alias(est_col))
+        F.expr("sum(pow(2.0D, -r))").alias("_s"))
+    # one parsed string (round-11 F6 recipe): the raw-estimate
+    # subexpression repeats in both CASE branches exactly as the Column
+    # form's tree did; repr literals round-trip the doubles exactly
+    raw_s = f"{alpha!r}D * {float(m * m)!r}D / (_s + ({m} - _occ))"
+    est_s = (f"case when ({raw_s}) <= {2.5 * m!r}D and ({m} - _occ) > 0 "
+             f"then {float(m)!r}D * ln({float(m)!r}D "
+             f"/ cast({m} - _occ as double)) "
+             f"else ({raw_s}) end")
+    return agg.selectExpr(*group_cols,
+                          f"round({est_s}, 4) as {est_col}")
 
 
 def hll_gram_stream(df: DataFrame, text_col: str = "text",
@@ -334,13 +339,16 @@ def hll_gram_stream(df: DataFrame, text_col: str = "text",
     ``spread_for_compute`` reads driver-side file metadata a streaming
     plan doesn't have)."""
     base = spread_for_compute(df) if spread else df
+    # one parsed SQL string per projection (round-11 F6 recipe — the
+    # Column/lambda tokens+shingles forms paid ~350 py4j round-trips
+    # per construction; identical trees)
     return (base
-            .where(F.col(text_col).isNotNull() &
-                   F.col(group_col).isNotNull())
-            .select(F.col(group_col).alias("grp"),
-                    tokens(F.col(text_col)).alias("_t"))
-            .select("grp", F.explode(shingles(F.col("_t"), n))
-                    .alias("gram")))
+            .where(F.expr(f"`{text_col}` is not null "
+                          f"and `{group_col}` is not null"))
+            .selectExpr(f"`{group_col}` as grp",
+                        f"{tokens_sexpr(f'`{text_col}`')} as _t")
+            .selectExpr("grp",
+                        f"explode({shingles_sexpr('_t', n)}) as gram"))
 
 
 def hll_report(exact: DataFrame, est: DataFrame,
