@@ -1688,29 +1688,34 @@ def repeated_segment_removal(df: DataFrame, text_col: str = "text",
     document made entirely of boilerplate survives with
     ``clean_text = ''`` (the caller decides whether to then drop it —
     length filtering is ``text_quality``'s job, not this operator's).
-    The segment stream is persisted: the frequency count, the anti-join
-    probe, and the per-doc totals share ONE tokenize pass."""
+    The segment stream is persisted: the frequency count and the rebuild
+    pass share ONE tokenize pass.
+
+    Round 12 (guide §2.4): the rebuild is ONE conditional aggregation —
+    the old shape anti-joined the frequent set, grouped the survivors by
+    doc_id, grouped the FULL stream by doc_id again for totals, and
+    joined the two back; marking frequency with a left join and
+    aggregating once computes clean_text / n_kept / n_seg in a single
+    doc_id pass (collect_list skips the CASE's nulls, so the kept set,
+    its pos order, and the counts are value-identical — oracle-locked).
+    Plan: 5 Exchange -> 3, one groupBy(doc_id) instead of two + a
+    join."""
     segs = tracked_persist(segment_stream(df, text_col, k))
     frequent = (segs.groupBy("seg")
                 .agg(F.countDistinct("doc_id").alias("df"))
                 .where(F.col("df") >= min_df)
-                .select("seg"))
-    kept = segs.join(frequent, "seg", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                        lambda s: s["seg"]), " ").alias("clean_text"),
-        F.count("*").cast("int").alias("n_kept"))
-    totals = segs.groupBy("doc_id").agg(
-        F.count("*").cast("int").alias("_n_seg"))
-    return (totals.join(rebuilt, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    F.coalesce("n_kept", F.lit(0)).cast("int")
-                    .alias("n_kept"),
-                    (F.col("_n_seg") - F.coalesce("n_kept", F.lit(0)))
-                    .cast("int").alias("n_removed"))
-            .orderBy("doc_id"))
+                .select("seg", F.lit(True).alias("_freq")))
+    marked = segs.join(frequent, "seg", "left")
+    return (marked.groupBy("doc_id").agg(
+        F.expr("array_join(transform(array_sort(collect_list("
+               "case when _freq is null then struct(pos, seg) end)), "
+               "s -> s.seg), ' ')").alias("clean_text"),
+        F.expr("cast(count(case when _freq is null then 1 end) as int)")
+        .alias("n_kept"),
+        F.expr("cast(count(*) as int)").alias("_n_seg"))
+        .select("doc_id", "clean_text", "n_kept",
+                F.expr("cast(_n_seg - n_kept as int)").alias("n_removed"))
+        .orderBy("doc_id"))
 
 
 def repeated_segment_removal_sql(k: int = SEG_K, min_df: int = SEG_MIN_DF,
