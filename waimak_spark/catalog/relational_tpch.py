@@ -316,15 +316,13 @@ _Q19_ARMS = (("Brand#2", 1, 15, 1, 20),
 
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _read(spark, sf_dir, "lineitem", "part")
-    arms = None
-    for brand, s_lo, s_hi, q_lo, q_hi in _Q19_ARMS:
-        arm = ((F.col("p_brand") == brand)
-               & F.col("p_size").between(s_lo, s_hi)
-               & F.col("l_quantity").between(q_lo, q_hi))
-        arms = arm if arms is None else (arms | arm)
+    # the disjunctive arms parse as ONE SQL string (round-12
+    # construction-tax pass): the Column loop paid ~15 py4j round-trips
+    # per arm; the predicate text is shared with the DuckDB oracle
+    # below (valid in both dialects), so the two sides cannot drift
     return (lineitem
             .join(part, F.col("l_partkey") == F.col("p_partkey"))
-            .where(arms)
+            .where(F.expr(_Q19_SQL_ARMS))
             .agg(F.count("*").alias("n_items"),
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)

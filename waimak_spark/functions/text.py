@@ -376,21 +376,22 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     # 1.56 vs 1.67 s min-of-6; a spread_for_compute before the tokenize
     # was ALSO tried and rejected (the round-robin exchange cost more
     # than the parallel tokenize saved at this corpus size: 1.98 s).
+    # single-parse SQL projections (round-12 construction-tax pass —
+    # the Column/lambda forms paid ~990 py4j round-trips per
+    # construction; identical trees, oracle-locked)
     tk = tracked_persist(
-        df.select(F.col(id_col).alias("doc_id"),
-                  tokens(F.col(text_col)).alias("_tk")))
-    toks = F.col("_tk")
-    n = F.size(toks)
-    pair = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")))
-    bg = (tk.select("doc_id", F.explode(pair).alias("p"))
-          .select("doc_id", F.col("p.prev").alias("prev"),
-                  F.col("p.cur").alias("cur")))
+        df.selectExpr(f"`{id_col}` as doc_id",
+                      f"{tokens_sexpr(f'`{text_col}`')} as _tk"))
+    bg = (tk.selectExpr(
+            "doc_id",
+            "explode(zip_with("
+            "slice(_tk, 1, greatest(size(_tk) - 1, 0)), "
+            "slice(_tk, 2, greatest(size(_tk) - 1, 0)), "
+            "(a, b) -> named_struct('prev', a, 'cur', b))) as p")
+          .selectExpr("doc_id", "p.prev as prev", "p.cur as cur"))
     # read twice (bigram freq build + scoring join) — materialize once
     bg = tracked_persist(bg)
-    tok = tk.select("doc_id", F.explode(toks).alias("tok"))
+    tok = tk.selectExpr("doc_id", "explode(_tk) as tok")
     ufreq = tracked_persist(tok.groupBy("tok").agg(F.count("*").alias("c")))
     totals = ufreq.agg(F.sum("c").alias("t_total"),
                        F.count("*").alias("vocab"))
@@ -404,11 +405,9 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         .join(F.broadcast(totals))
         .withColumn(
             "nlp",
-            -F.log(F.lit(lam) * ((F.col("bc") + F.lit(1.0))
-                                 / (F.col("pc") + F.col("vocab")))
-                   + F.lit(1.0 - lam) * ((F.col("cc") + F.lit(1.0))
-                                         / (F.col("t_total")
-                                            + F.col("vocab"))))))
+            F.expr(f"-ln({float(lam)!r}D * ((bc + 1.0D) / (pc + vocab)) "
+                   f"+ {1.0 - float(lam)!r}D "
+                   f"* ((cc + 1.0D) / (t_total + vocab)))")))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg("nlp"), 4).alias("avg_neg_logp")))
